@@ -1,0 +1,89 @@
+"""Extraction job entry point.
+
+Usage (spark-submit or plain python):
+
+    spark-submit --py-files engine.zip jobs/run_extract.py \
+        --input /path/to/documents_raw_parquet --output /path/to/out
+
+    python jobs/run_extract.py --synth 10000 --output /tmp/out
+
+Reads a documents_raw table (FIXTURES.md §1) — or generates a
+synthetic corpus distributedly with --synth N — runs the two-tier
+extraction cascade, and writes documents_out parquet plus a one-line
+JSON summary to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="two-tier extraction job")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="documents_raw parquet path")
+    src.add_argument("--synth", type=int, help="generate N synthetic docs instead")
+    ap.add_argument("--output", required=True, help="documents_out parquet path")
+    ap.add_argument("--master", default=None, help="spark master (default: env)")
+    ap.add_argument("--salt", type=int, default=16, help="doc_id salt buckets (0=off)")
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--seed", type=int, default=42)
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from two_tier_document_parser_spark.pipeline import (
+        extract,
+        session_tuning,
+        ship_package,
+    )
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    builder = SparkSession.builder.appName("ttdp-extract")
+    if args.master:
+        builder = builder.master(args.master)
+    spark = session_tuning(builder).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ship_package(spark)
+
+    t0 = time.time()
+    if args.input:
+        raw = spark.read.parquet(args.input)
+    else:
+        raw = synth_spark(spark, args.synth, args.seed, partitions=args.partitions)
+
+    out = extract(
+        spark,
+        raw,
+        salt=args.salt or None,
+        n_partitions=args.partitions,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+
+    res = spark.read.parquet(args.output)
+    n_docs = res.count()
+    by_tier = {r["tier"]: r["n"] for r in res.groupBy("tier").count().withColumnRenamed("count", "n").collect()}
+    wall = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "docs": n_docs,
+                "by_tier": by_tier,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(n_docs / wall, 1),
+                "output": args.output,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

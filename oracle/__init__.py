@@ -1,0 +1,22 @@
+"""Single-threaded, per-document reference implementation ("oracle").
+
+This package is the in-repo analogue of the reference parser
+(daddal001/two_tier_document_parser): plain scalar Python, one
+document at a time, written for clarity. Golden fixtures under
+tests/fixtures/ are produced by this code and frozen; the vectorized
+Spark engine (two_tier_document_parser_spark/) must match them
+bit-for-bit on every (kind, text, media_ref, order) tuple and every
+markdown snapshot (SURVEY.md §5.2).
+"""
+
+from .routing import route_doc
+from .tier1 import tier1_extract
+from .tier2 import tier2_extract
+
+
+def extract_doc(doc: dict) -> dict:
+    """Full per-document cascade: route, then extract with the routed
+    tier — the oracle equivalent of the engine's classify-then-split
+    (reference usage pattern: examples/demo_client.py:23-47)."""
+    tier = route_doc(doc)
+    return tier1_extract(doc) if tier == "fast" else tier2_extract(doc)

@@ -1,0 +1,193 @@
+"""Operator-level unit tests (SURVEY §5.2.3): the reference's exact
+semantics — placeholder text, empty-formula drop, table fallback
+preference, artifact-id ordering, XY-cut — pinned one by one."""
+
+from __future__ import annotations
+
+from oracle.tier1 import tier1_extract
+from oracle.tier2 import tier2_extract
+from two_tier_document_parser_spark.layout import xycut
+from two_tier_document_parser_spark.markdown_ser import table_markdown
+
+
+def _doc(spans, doc_class="html", doc_id="t1"):
+    return {
+        "doc_id": doc_id,
+        "doc_class": doc_class,
+        "n_pages": 1 + sum(1 for s in spans if s[0] == "page_break"),
+        "spans": [
+            {"kind": k, "text": t, "media_ref": m, "offset": i}
+            for i, (k, t, m) in enumerate(spans)
+        ],
+    }
+
+
+GOOD_TEXT = "the data of the engine is in the model and it is a table of the layout"
+
+
+def test_skipped_page_placeholder_verbatim():
+    # reference fast/service.py:63-67 - placeholder string, 1-indexed pages
+    doc = _doc(
+        [
+            ("text", GOOD_TEXT, ""),
+            ("page_break", "", ""),
+            ("table_cell", "", ""),  # poison on page 2
+            ("text", GOOD_TEXT, ""),
+            ("page_break", "", ""),
+            ("text", GOOD_TEXT, ""),
+        ]
+    )
+    out = tier1_extract(doc)
+    assert out["skipped_pages"] == [2]
+    assert out["pages"] == 3
+    assert (
+        "\n\n---\n**[Page 2 skipped due to parsing error]**\n---\n\n"
+        in out["markdown"]
+    )
+    # page-2 content is gone, pages 1 and 3 survived
+    assert len(out["spans"]) == 2
+    assert out["markdown"] == (
+        GOOD_TEXT
+        + "\n\n"
+        + "\n\n---\n**[Page 2 skipped due to parsing error]**\n---\n\n"
+        + "\n\n"
+        + GOOD_TEXT
+    )
+
+
+def test_no_poison_no_fallback():
+    out = tier1_extract(_doc([("text", GOOD_TEXT, "")]))
+    assert out["skipped_pages"] == []
+    assert out["spans"][0]["text"] == GOOD_TEXT
+
+
+def test_boilerplate_heuristics():
+    out = tier1_extract(
+        _doc(
+            [
+                ("link_text", "home about products", ""),  # nav: link-dense
+                ("heading", "a fine title", ""),
+                ("text", GOOD_TEXT, ""),
+                ("image", "", "asset_x"),  # block boundary (dropped by tier 1)
+                ("text", "tiny one", ""),  # SHORT -> inherits GOOD above
+                ("heading", "next", ""),
+                ("boilerplate", "copyright rights reserved privacy terms sitemap", ""),
+            ]
+        )
+    )
+    kinds_texts = [(s["kind"], s["text"]) for s in out["spans"]]
+    assert ("heading", "a fine title") in kinds_texts
+    assert any(k == "text" and GOOD_TEXT in t for k, t in kinds_texts)
+    # nav dropped (link density), footer dropped (stop density)
+    assert not any("home about" in t for _, t in kinds_texts)
+    assert not any("copyright" in t for _, t in kinds_texts)
+    # SHORT caption inherited GOOD from the preceding paragraph
+    assert ("text", "tiny one") in kinds_texts
+
+
+def test_short_at_page_start_is_dropped():
+    out = tier1_extract(_doc([("text", "tiny one", "")]))
+    assert out["spans"] == []
+
+
+def test_empty_formula_dropped():
+    # reference accurate/service.py:210: `if formula_content:`
+    doc = _doc(
+        [
+            ("box", "0,0,100,100,formula", ""),
+            ("formula", "", ""),
+            ("box", "0,200,100,300,formula", ""),
+            ("formula", "e=mc^2", ""),
+        ],
+        doc_class="pdfish",
+    )
+    out = tier2_extract(doc)
+    formulas = [s for s in out["spans"] if s["kind"] == "formula"]
+    assert len(formulas) == 1
+    assert formulas[0]["text"] == "e=mc^2"
+    assert formulas[0]["media_ref"] == "page_0_formula_0"
+    assert out["n_formulas"] == 1
+
+
+def test_table_content_else_fallback():
+    # reference accurate/service.py:190-198: content else html, skip if empty
+    doc = _doc(
+        [
+            ("box", "0,0,100,100,table", ""),
+            ("table_cell", "a", ""),
+            ("table_cell", "b", ""),
+            ("table_row_end", "", ""),
+            ("table_cell", "c", ""),
+            ("table_cell", "d", ""),
+            ("table_row_end", "", ""),
+            ("box", "0,200,100,300,table", ""),
+            ("text", "raw table text fallback", ""),
+            ("box", "0,400,100,500,table", ""),  # empty -> nothing
+        ],
+        doc_class="pdfish",
+    )
+    out = tier2_extract(doc)
+    tables = [s for s in out["spans"] if s["kind"] == "table"]
+    assert len(tables) == 2
+    assert tables[0]["text"] == "| a | b |\n| --- | --- |\n| c | d |"
+    assert tables[0]["media_ref"] == "page_0_table_0"
+    assert tables[1]["text"] == "raw table text fallback"
+    assert tables[1]["media_ref"] == "page_0_table_1"
+    assert out["n_tables"] == 2
+
+
+def test_artifact_ids_first_seen_order_across_pages():
+    # reference accurate/service.py:180: page index in the id, counter global
+    doc = _doc(
+        [
+            ("box", "0,0,100,100,figure", ""),
+            ("image", "", "asset_1"),
+            ("page_break", "", ""),
+            ("box", "0,0,100,100,figure", ""),
+            ("image", "", "asset_2"),
+        ],
+        doc_class="pdfish",
+    )
+    out = tier2_extract(doc)
+    imgs = [s for s in out["spans"] if s["kind"] == "image"]
+    assert [s["media_ref"] for s in imgs] == ["page_0_img_0", "page_1_img_1"]
+    assert [s["text"] for s in imgs] == ["asset_1", "asset_2"]
+
+
+def test_xycut_two_column_with_header():
+    boxes = [
+        (520, 160, 940, 400),  # right col top
+        (60, 40, 940, 140),    # full-width header
+        (60, 160, 480, 400),   # left col top
+        (60, 420, 480, 800),   # left col bottom
+        (520, 420, 940, 800),  # right col bottom
+    ]
+    order = xycut(boxes)
+    # header first (no full-height x-gap while it spans both columns),
+    # then left column top->bottom, then right column: column-major
+    assert order == [1, 2, 3, 0, 4]
+
+
+def test_xycut_stream_order_ignored():
+    boxes = [(60, 400, 940, 500), (60, 40, 940, 140), (60, 200, 940, 300)]
+    assert xycut(boxes) == [1, 2, 0]
+
+
+def test_table_markdown_ragged_rows():
+    assert table_markdown([["a", "b"], ["c"]]) == "| a | b |\n| --- | --- |\n| c |"
+    assert table_markdown([]) == ""
+
+
+def test_reading_order_dense_per_doc():
+    doc = _doc(
+        [
+            ("box", "0,0,940,100,text", ""),
+            ("heading", "h", ""),
+            ("text", "body text one", ""),
+            ("box", "0,200,940,300,figure", ""),
+            ("image", "", "a"),
+        ],
+        doc_class="pdfish",
+    )
+    out = tier2_extract(doc)
+    assert [s["order"] for s in out["spans"]] == list(range(len(out["spans"])))
