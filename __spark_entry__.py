@@ -1,38 +1,618 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` — flagship: the full two-tier extraction pipeline over
+the sf0.001 `documents` table (lifted to the span schema by the
+adapter), reduced to per-(tier, kind) span counts.
+
+`queries()` / `oracle_sql()` — one entry per engine operator from
+SURVEY.md §2.2 plus the training-data operators (dedup, similarity,
+text analysis). SQL-expressible operators carry an exact DuckDB
+oracle; Spark-only operators (tier UDFs on the synthetic corpus,
+SimHash, SRP-LSH ANN, media features) are rows-only here and
+exactness-tested against the in-repo oracle by pytest instead.
+
+Column-name parity: every computed column is aliased identically in
+the Spark plan and the SQL text. Float-valued results never cross the
+comparison (integer-scaled scores; ANN returns integer ranks).
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from two_tier_document_parser_spark.spec import LANGS, STOPWORDS  # noqa: E402
+
+_STOP_ALL = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+
+def _sql_list(words) -> str:
+    return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+
+
+_TOKENS_SQL = """
+    SELECT doc_id,
+           generate_subscripts(regexp_split_to_array(text, '\\s+'), 1) - 1 AS pos,
+           unnest(regexp_split_to_array(text, '\\s+')) AS token
+    FROM documents
+"""
+_TOK_CTE = f"WITH tok AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE token <> '')"
+
+ROUTE_CASE_SPARK = None  # built inline
+_ROUTE_SQL = "CASE WHEN n_chars > 300 OR lang = 'zh' THEN 'deep' ELSE 'fast' END"
+
+
+def _route(d: DataFrame) -> DataFrame:
+    return d.withColumn(
+        "tier",
+        F.when((F.col("n_chars") > 300) | (F.col("lang") == "zh"), "deep").otherwise(
+            "fast"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL-checked queries
+# --------------------------------------------------------------------------
+
+def q_scan_project(spark, sf_dir):
+    return _docs(spark, sf_dir).select("doc_id", "lang", "source", "n_chars")
+
+
+def q_filter_valid(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.filter(
+        F.col("text").isNotNull()
+        & F.col("n_chars").between(100, 400)
+        & (F.col("lang") != "zh")
+    ).select("doc_id", "lang", "n_chars")
+
+
+def q_route_tier(spark, sf_dir):
+    return _route(_docs(spark, sf_dir)).select("doc_id", "tier")
+
+
+def q_split_fast(spark, sf_dir):
+    return (
+        _route(_docs(spark, sf_dir))
+        .filter(F.col("tier") == "fast")
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_split_deep(spark, sf_dir):
+    return (
+        _route(_docs(spark, sf_dir))
+        .filter(F.col("tier") == "deep")
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_union_tiers(spark, sf_dir):
+    r = _route(_docs(spark, sf_dir))
+    fast = r.filter(F.col("tier") == "fast").select("doc_id", "tier", "n_chars")
+    deep = r.filter(F.col("tier") == "deep").select("doc_id", "tier", "n_chars")
+    return fast.unionByName(deep)
+
+
+def q_explode_tokens(spark, sf_dir):
+    return _tokens_df(spark, sf_dir)
+
+
+def q_reading_order(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return _tokens_df(spark, sf_dir).select(
+        "doc_id", "token", F.row_number().over(w).alias("rn")
+    )
+
+
+def q_doc_token_stats(spark, sf_dir):
+    return _tokens_df(spark, sf_dir).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("token").alias("n_distinct"),
+        F.max(F.length("token")).alias("max_tok_len"),
+    )
+
+
+def q_token_kind_counts(spark, sf_dir):
+    t = _tokens_df(spark, sf_dir)
+    kind = (
+        F.when(F.lower(F.col("token")).isin(_STOP_ALL), "stop")
+        .when(F.col("token").rlike("^[0-9]+$"), "num")
+        .otherwise("word")
+    )
+    return t.withColumn("kind", kind).groupBy("doc_id", "kind").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_topk_largest(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(100)
+        .select("doc_id", "n_chars")
+    )
+
+
+def q_source_stats_join(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    dim = d.groupBy("source").agg(
+        F.sum("n_chars").alias("src_chars"), F.count(F.lit(1)).alias("src_docs")
+    )
+    return d.join(F.broadcast(dim), "source").select(
+        "doc_id", "source", "src_docs", "src_chars"
+    )
+
+
+def q_anti_join_resume(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    committed = d.filter(F.col("doc_id") % 10 < 3).select("doc_id")
+    return d.join(committed, "doc_id", "left_anti").select("doc_id", "n_chars")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from two_tier_document_parser_spark.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_rank(spark, sf_dir):
+    from two_tier_document_parser_spark.dedup import dedup_rank
+
+    return dedup_rank(_docs(spark, sf_dir))
+
+
+def q_distinct_lang_source(spark, sf_dir):
+    return _docs(spark, sf_dir).select("lang", "source").distinct()
+
+
+def q_string_features(spark, sf_dir):
+    from two_tier_document_parser_spark.textstats import BPE_TOKEN_RE, PUNCT_RE
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_m"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0))).alias(
+            "n_bpe"
+        ),
+        F.size(F.regexp_extract_all("text", F.lit(PUNCT_RE), F.lit(0))).alias(
+            "n_punct"
+        ),
+    )
+
+
+def q_quality_score(spark, sf_dir):
+    t = _tokens_df(spark, sf_dir)
+    return t.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.expr("sum(length(token)) * 100 div count(1)").alias("avg_tok_len_x100"),
+        F.sum(
+            F.when(F.lower(F.col("token")).isin(_STOP_ALL), 1).otherwise(0)
+        ).alias("n_stop"),
+    )
+
+
+def q_lang_guess(spark, sf_dir):
+    from two_tier_document_parser_spark.textstats import lang_guess
+
+    d = _docs(spark, sf_dir)
+    return d.select("doc_id", "lang", lang_guess(F.col("text")).alias("guessed"))
+
+
+def q_fingerprint(spark, sf_dir):
+    from two_tier_document_parser_spark.textstats import fingerprint
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint(F.col("text")).alias("fp")
+    )
+
+
+def q_bigram_distinct(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    t = _tokens_df(spark, sf_dir).withColumn("nxt", F.lead("token").over(w))
+    return (
+        t.filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "token", "nxt").alias("bg"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("bg").alias("n_bigrams"))
+    )
+
+
+def q_minhash_bands(spark, sf_dir):
+    from two_tier_document_parser_spark.dedup import minhash_bands
+
+    return minhash_bands(_docs(spark, sf_dir))
+
+
+def q_lsh_pairs(spark, sf_dir):
+    from two_tier_document_parser_spark.dedup import lsh_candidate_pairs, minhash_bands
+
+    return lsh_candidate_pairs(minhash_bands(_docs(spark, sf_dir)))
+
+
+def q_jaccard_near_dups(spark, sf_dir):
+    from two_tier_document_parser_spark.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    d = _docs(spark, sf_dir)
+    pairs = lsh_candidate_pairs(minhash_bands(d))
+    return jaccard_pairs(d, pairs)
+
+
+def q_knn_bruteforce(spark, sf_dir):
+    from two_tier_document_parser_spark.similarity import brute_force_topk
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query"), F.col("embedding").alias("qvec")
+    )
+    return brute_force_topk(e, queries, k=10)
+
+
+def q_pipeline_documents(spark, sf_dir):
+    """Headline: the REAL tier-1 engine UDF end-to-end over driver
+    data, with an exact SQL oracle replicating the classifier."""
+    from two_tier_document_parser_spark.adapter import documents_to_raw
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+
+    ship_package(spark)
+    raw = documents_to_raw(_docs(spark, sf_dir))
+    out = extract(spark, raw, persist=False)
+    return out.select(
+        "doc_id",
+        "tier",
+        "pages",
+        "markdown",
+        F.size("spans").alias("n_spans"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Spark-only queries (rows-only driver check; exactness via pytest)
+# --------------------------------------------------------------------------
+
+def q_extract_synth_spans(spark, sf_dir):
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    out = extract(spark, synth_spark(spark, 200, partitions=8))
+    s = F.explode("spans").alias("s")
+    return out.select("doc_id", "tier", s).select(
+        "doc_id",
+        "tier",
+        F.col("s.order").alias("ord"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def q_simhash(spark, sf_dir):
+    from two_tier_document_parser_spark.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_knn_lsh(spark, sf_dir):
+    from two_tier_document_parser_spark.similarity import lsh_topk
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query"), F.col("embedding").alias("qvec")
+    )
+    return lsh_topk(e, queries, k=10)
+
+
+def q_media_features(spark, sf_dir):
+    from two_tier_document_parser_spark.multimodal import (
+        extract_media_features,
+        media_side_table,
+    )
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    out = extract(spark, synth_spark(spark, 200, partitions=8))
+    return extract_media_features(media_side_table(out))
+
+
+# --------------------------------------------------------------------------
+# contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from two_tier_document_parser_spark.adapter import documents_to_raw
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+
+    ship_package(spark)
+    raw = documents_to_raw(_docs(spark, "/root/testdata/sf0.001"))
+    out = extract(spark, raw, persist=False)
+    s = F.explode("spans").alias("s")
+    return (
+        out.select("tier", s)
+        .groupBy("tier", F.col("s.kind").alias("kind"))
+        .agg(F.count(F.lit(1)).alias("n_spans"))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "scan_project": q_scan_project,
+        "filter_valid": q_filter_valid,
+        "route_tier": q_route_tier,
+        "split_fast": q_split_fast,
+        "split_deep": q_split_deep,
+        "union_tiers": q_union_tiers,
+        "explode_tokens": q_explode_tokens,
+        "reading_order": q_reading_order,
+        "doc_token_stats": q_doc_token_stats,
+        "token_kind_counts": q_token_kind_counts,
+        "topk_largest": q_topk_largest,
+        "source_stats_join": q_source_stats_join,
+        "anti_join_resume": q_anti_join_resume,
+        "dedup_exact": q_dedup_exact,
+        "dedup_rank": q_dedup_rank,
+        "distinct_lang_source": q_distinct_lang_source,
+        "string_features": q_string_features,
+        "quality_score": q_quality_score,
+        "lang_guess": q_lang_guess,
+        "fingerprint": q_fingerprint,
+        "bigram_distinct": q_bigram_distinct,
+        "minhash_bands": q_minhash_bands,
+        "lsh_pairs": q_lsh_pairs,
+        "jaccard_near_dups": q_jaccard_near_dups,
+        "knn_bruteforce": q_knn_bruteforce,
+        "pipeline_documents": q_pipeline_documents,
+        # Spark-only (rows-only check; exactness via pytest goldens)
+        "extract_synth_spans": q_extract_synth_spans,
+        "simhash": q_simhash,
+        "knn_lsh": q_knn_lsh,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    stop_list = _sql_list(_STOP_ALL)
+    norm = (
+        "array_to_string(list_filter(regexp_split_to_array(lower(text), '\\s+'),"
+        " t -> t != ''), ' ')"
+    )
+    norm_keepcase = (
+        "array_to_string(list_filter(regexp_split_to_array(text, '\\s+'),"
+        " t -> t != ''), ' ')"
+    )
+    lang_scores = ", ".join(
+        f"sum(CASE WHEN lower(token) IN ({_sql_list(STOPWORDS[lang])}) THEN 1 ELSE 0 END) AS s_{lang}"
+        for lang in LANGS
+    )
+    order = sorted(LANGS)
+    guess_case = "CASE " + " ".join(
+        "WHEN "
+        + " AND ".join(f"s_{l} >= s_{o}" for o in order if o != l)
+        + f" THEN '{l}'"
+        for l in order[:-1]
+    ) + f" ELSE '{order[-1]}' END"
+
+    return {
+        "scan_project": "SELECT doc_id, lang, source, n_chars FROM documents",
+        "filter_valid": (
+            "SELECT doc_id, lang, n_chars FROM documents WHERE text IS NOT NULL"
+            " AND n_chars BETWEEN 100 AND 400 AND lang <> 'zh'"
+        ),
+        "route_tier": f"SELECT doc_id, {_ROUTE_SQL} AS tier FROM documents",
+        "split_fast": (
+            f"SELECT doc_id, n_chars FROM documents WHERE ({_ROUTE_SQL}) = 'fast'"
+        ),
+        "split_deep": (
+            f"SELECT doc_id, n_chars FROM documents WHERE ({_ROUTE_SQL}) = 'deep'"
+        ),
+        "union_tiers": (
+            f"SELECT doc_id, tier, n_chars FROM (SELECT doc_id, {_ROUTE_SQL} AS tier,"
+            " n_chars FROM documents) t WHERE tier = 'fast'"
+            f" UNION ALL SELECT doc_id, tier, n_chars FROM (SELECT doc_id,"
+            f" {_ROUTE_SQL} AS tier, n_chars FROM documents) t WHERE tier = 'deep'"
+        ),
+        "explode_tokens": f"{_TOK_CTE} SELECT doc_id, pos, token FROM tok",
+        "reading_order": (
+            f"{_TOK_CTE} SELECT doc_id, token, CAST(row_number() OVER"
+            " (PARTITION BY doc_id ORDER BY pos) AS INT) AS rn FROM tok"
+        ),
+        "doc_token_stats": (
+            f"{_TOK_CTE} SELECT doc_id, count(*) AS n_tokens,"
+            " count(DISTINCT token) AS n_distinct,"
+            " max(length(token)) AS max_tok_len FROM tok GROUP BY doc_id"
+        ),
+        "token_kind_counts": (
+            f"{_TOK_CTE} SELECT doc_id, CASE WHEN lower(token) IN ({stop_list})"
+            " THEN 'stop' WHEN regexp_matches(token, '^[0-9]+$') THEN 'num'"
+            " ELSE 'word' END AS kind, count(*) AS n FROM tok GROUP BY 1, 2"
+        ),
+        "topk_largest": (
+            "SELECT doc_id, n_chars FROM documents"
+            " ORDER BY n_chars DESC, doc_id ASC LIMIT 100"
+        ),
+        "source_stats_join": (
+            "SELECT d.doc_id, d.source, s.src_docs, s.src_chars FROM documents d"
+            " JOIN (SELECT source, CAST(sum(n_chars) AS BIGINT) AS src_chars,"
+            " count(*) AS src_docs"
+            " FROM documents GROUP BY source) s USING (source)"
+        ),
+        "anti_join_resume": (
+            "SELECT doc_id, n_chars FROM documents WHERE doc_id NOT IN"
+            " (SELECT doc_id FROM documents WHERE doc_id % 10 < 3)"
+        ),
+        "dedup_exact": (
+            f"SELECT md5({norm}) AS fp, min(doc_id) AS keeper, count(*) AS n_docs"
+            " FROM documents GROUP BY 1"
+        ),
+        "dedup_rank": (
+            f"SELECT doc_id, fp FROM (SELECT doc_id, md5({norm}) AS fp,"
+            " row_number() OVER (PARTITION BY md5(" + norm + ") ORDER BY doc_id)"
+            " AS rn FROM documents) t WHERE rn = 1"
+        ),
+        "distinct_lang_source": "SELECT DISTINCT lang, source FROM documents",
+        "string_features": (
+            "SELECT doc_id, length(text) AS n_chars_m,"
+            " CAST(length(regexp_extract_all(text,"
+            " '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_bpe,"
+            " CAST(length(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct"
+            " FROM documents"
+        ),
+        "quality_score": (
+            f"{_TOK_CTE} SELECT doc_id, count(*) AS n_tokens,"
+            " CAST(sum(length(token)) * 100 // count(*) AS BIGINT)"
+            " AS avg_tok_len_x100,"
+            f" CAST(sum(CASE WHEN lower(token) IN ({stop_list}) THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_stop FROM tok GROUP BY doc_id"
+        ),
+        "lang_guess": (
+            f"{_TOK_CTE}, scores AS (SELECT doc_id, {lang_scores} FROM tok"
+            " GROUP BY doc_id)"
+            f" SELECT d.doc_id, d.lang, {guess_case} AS guessed"
+            " FROM documents d JOIN scores s USING (doc_id)"
+        ),
+        "fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
+        "bigram_distinct": (
+            f"{_TOK_CTE}, bg AS (SELECT doc_id, token || ' ' ||"
+            " lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bg FROM tok)"
+            " SELECT doc_id, count(DISTINCT bg) AS n_bigrams FROM bg"
+            " WHERE bg IS NOT NULL GROUP BY doc_id"
+        ),
+        "minhash_bands": _minhash_sql(),
+        "lsh_pairs": _lsh_pairs_sql(),
+        "jaccard_near_dups": _jaccard_sql(),
+        "knn_bruteforce": _knn_sql(),
+        "pipeline_documents": (
+            f"{_TOK_CTE}, agg AS (SELECT doc_id, count(*) AS n_tok,"
+            f" sum(CASE WHEN lower(token) IN ({stop_list}) THEN 1 ELSE 0 END)"
+            " AS n_stop FROM tok GROUP BY doc_id),"
+            f" base AS (SELECT d.doc_id, {norm_keepcase} AS norm, a.n_tok, a.n_stop"
+            " FROM documents d JOIN agg a USING (doc_id))"
+            " SELECT printf('d%09d', doc_id) AS doc_id, 'fast' AS tier,"
+            " 1 AS pages,"
+            " CASE WHEN length(norm) >= 25 AND n_stop * 10 >= n_tok THEN norm"
+            " ELSE '' END AS markdown,"
+            " CASE WHEN length(norm) >= 25 AND n_stop * 10 >= n_tok THEN 1"
+            " ELSE 0 END AS n_spans"
+            " FROM base"
+        ),
+    }
+
+
+def _minhash_sql(n_bands: int = 4) -> str:
+    return f"""
+WITH tok AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE token <> ''),
+lt AS (SELECT doc_id, pos, lower(token) AS t FROM tok),
+sh AS (
+  SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS sh
+  FROM lt WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh2 AS (SELECT doc_id, sh FROM sh WHERE sh IS NOT NULL),
+b AS (
+  SELECT doc_id, band, sh FROM sh2
+  CROSS JOIN (SELECT unnest(range({n_bands})) AS band) bands
+)
+SELECT doc_id AS key, CAST(band AS INT) AS band,
+       min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS min_hash
+FROM b GROUP BY doc_id, band
+"""
+
+
+def _lsh_pairs_sql(max_bucket: int = 50) -> str:
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+sized AS (
+  SELECT band, min_hash FROM sig GROUP BY band, min_hash
+  HAVING count(*) <= {max_bucket}
+),
+pruned AS (SELECT sig.* FROM sig JOIN sized USING (band, min_hash))
+SELECT DISTINCT a.key AS a, b.key AS b
+FROM pruned a JOIN pruned b USING (band, min_hash)
+WHERE a.key < b.key
+"""
+
+
+def _jaccard_sql() -> str:
+    return f"""
+WITH pairs AS ({_lsh_pairs_sql()}),
+tok AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE token <> ''),
+ts AS (SELECT DISTINCT doc_id, lower(token) AS t FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p JOIN ts ta ON ta.doc_id = p.a JOIN ts tb
+    ON tb.doc_id = p.b AND tb.t = ta.t
+  GROUP BY p.a, p.b
+)
+SELECT p.a, p.b,
+       COALESCE(i.i, 0) * 1000 // (sa.n + sb.n - COALESCE(i.i, 0)) AS jaccard_x1000
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+
+def _knn_sql(k: int = 10) -> str:
+    return f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM dims GROUP BY vec_id),
+dots AS (
+  SELECT q.vec_id AS query, c.vec_id AS candidate, sum(q.v * c.v) AS dp
+  FROM dims q JOIN dims c ON q.d = c.d AND q.vec_id <> c.vec_id
+  WHERE q.vec_id < 5
+  GROUP BY q.vec_id, c.vec_id
+),
+sims AS (
+  SELECT d.query, d.candidate,
+         round(d.dp / (nq.nrm * nc.nrm), 6) AS sim
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query
+  JOIN norms nc ON nc.vec_id = d.candidate
+)
+SELECT query, candidate, CAST(rank AS INT) AS rank FROM (
+  SELECT query, candidate,
+         row_number() OVER (PARTITION BY query ORDER BY sim DESC, candidate ASC)
+         AS rank
+  FROM sims
+) WHERE rank <= {k}
+"""

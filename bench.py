@@ -1,0 +1,149 @@
+#!/usr/bin/env python
+"""Headline benchmark. Prints ONE JSON line:
+
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": ...,
+     "extraction": {...docs/sec...}, "scaling": {...if measured...}}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS  (default 32).
+
+The headline is the end-to-end two-tier extraction cascade over a
+deterministic synthetic interleaved corpus (the engine's real
+workload; driver tables carry no span payloads). Setup work (corpus
+materialization) is excluded from timings. Scaling-efficiency numbers
+(N -> 4N cores, fresh JVMs) are produced by jobs/scaling_bench.py and
+merged in from BENCH/scaling.json when present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+BENCH_DOCS = 100_000
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from two_tier_document_parser_spark.pipeline import (
+        enable_worker_preload,
+        extract,
+        session_tuning,
+        ship_package,
+    )
+    from two_tier_document_parser_spark.presplit import extract_with_presplit
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    enable_worker_preload()
+    spark = session_tuning(
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("ttdp-bench")
+        .config("spark.sql.shuffle.partitions", str(2 * cpus))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "24g")
+    ).getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    ship_package(spark)
+
+    # ---- setup (untimed): materialize the synthetic corpus ----
+    corpus = os.path.join(tempfile.gettempdir(), f"ttdp_bench_{BENCH_DOCS}")
+    if not os.path.exists(os.path.join(corpus, "_SUCCESS")):
+        synth_spark(spark, BENCH_DOCS, partitions=4 * cpus).write.mode(
+            "overwrite"
+        ).parquet(corpus)
+    raw = spark.read.parquet(corpus)
+    raw.count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, object] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        res = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return res
+
+    # 1. headline: full two-tier cascade, fused single-pass
+    n_docs = BENCH_DOCS
+    agg = timed(
+        "extract_fused",
+        lambda: extract(spark, raw, mode="fused")
+        .select(F.count(F.lit(1)).alias("n"), F.sum(F.size("spans")).alias("s"))
+        .collect()[0],
+    )
+    extras["extraction"] = {
+        "docs": int(agg["n"]),
+        "spans_out": int(agg["s"]),
+        "docs_per_sec": round(n_docs / timings["extract_fused"], 1),
+    }
+
+    # 2. skew path: giant docs pre-split by page + reassembled
+    timed(
+        "extract_presplit",
+        lambda: extract_with_presplit(spark, raw, mode="fused")
+        .select(F.count(F.lit(1)))
+        .collect(),
+    )
+
+    # 3. classify-then-split (north-rule shape) with salting
+    timed(
+        "extract_split_salted",
+        lambda: extract(
+            spark, raw, mode="split", salt=2 * cpus, n_partitions=2 * cpus
+        )
+        .select(F.count(F.lit(1)))
+        .collect(),
+    )
+
+    # 4-7. driver-table operators (same code the correctness gate runs)
+    qs = entrymod.queries()
+    for name in (
+        "pipeline_documents",
+        "jaccard_near_dups",
+        "knn_bruteforce",
+        "doc_token_stats",
+    ):
+        timed(name, lambda n=name: qs[n](spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 2)
+    scaling_file = Path(__file__).parent / "BENCH" / "scaling.json"
+    scaling = (
+        json.loads(scaling_file.read_text()) if scaling_file.exists() else None
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": (
+                    "two-tier extraction + operator suite wall time "
+                    f"({BENCH_DOCS} synthetic interleaved docs + sf tables)"
+                ),
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").split("/")[-1],
+                "cpus": cpus,
+                **extras,
+                **({"scaling": scaling} if scaling else {}),
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

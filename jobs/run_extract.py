@@ -31,20 +31,30 @@ def main() -> int:
     src.add_argument("--synth", type=int, help="generate N synthetic docs instead")
     ap.add_argument("--output", required=True, help="documents_out parquet path")
     ap.add_argument("--master", default=None, help="spark master (default: env)")
-    ap.add_argument("--salt", type=int, default=16, help="doc_id salt buckets (0=off)")
+    ap.add_argument("--mode", default="fused", choices=["fused", "split"])
+    ap.add_argument("--salt", type=int, default=0, help="doc_id salt buckets (0=off)")
     ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument(
+        "--presplit",
+        type=int,
+        default=0,
+        help="page pre-split threshold in spans (0=off)",
+    )
     ap.add_argument("--seed", type=int, default=42)
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
     from two_tier_document_parser_spark.pipeline import (
+        enable_worker_preload,
         extract,
         session_tuning,
         ship_package,
     )
+    from two_tier_document_parser_spark.presplit import extract_with_presplit
     from two_tier_document_parser_spark.synth import synth_spark
 
+    enable_worker_preload()
     builder = SparkSession.builder.appName("ttdp-extract")
     if args.master:
         builder = builder.master(args.master)
@@ -58,12 +68,13 @@ def main() -> int:
     else:
         raw = synth_spark(spark, args.synth, args.seed, partitions=args.partitions)
 
-    out = extract(
-        spark,
-        raw,
-        salt=args.salt or None,
-        n_partitions=args.partitions,
+    kw = dict(
+        mode=args.mode, salt=args.salt or None, n_partitions=args.partitions
     )
+    if args.presplit:
+        out = extract_with_presplit(spark, raw, threshold=args.presplit, **kw)
+    else:
+        out = extract(spark, raw, **kw)
     out.write.mode("overwrite").parquet(args.output)
 
     res = spark.read.parquet(args.output)

@@ -1,0 +1,189 @@
+"""Deduplication operators for training-data pipelines.
+
+- exact: hash-groupBy on a content fingerprint (one shuffle on the
+  fingerprint; at 100 TB bucket the table by fingerprint to make this
+  shuffle-free).
+- MinHash + LSH: token shingles -> per-band min of a keyed hash ->
+  band-bucket self-join for candidate pairs. The per-band signature
+  uses lexicographic MIN over md5(band:shingle) hex strings so the
+  DuckDB oracle can reproduce it exactly (no platform-specific hash).
+- n-gram Jaccard: verification of candidate pairs with an integer
+  score (x1000, integer division — floats stay out of the invariant).
+- SimHash: 64-bit sign-aggregated token hashes, vectorized pandas UDF
+  (Arrow batches; no SQL equivalent -> rows-only check).
+
+Scale notes: minhash signatures are tiny (doc_id, band, 32-char hex);
+the LSH self-join shuffles only signatures, never documents. Skewed
+bands (a viral boilerplate shingle) are the classic hazard — cap
+bucket sizes before pairing (`max_bucket`) exactly like production
+LSH dedup does to avoid O(n^2) pair blowup.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import fingerprint, tokens
+
+N_BANDS = 4
+SHINGLE_K = 3
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """One keeper row per distinct normalized content: (fingerprint,
+    keeper=min key, n_dups)."""
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(key_col).alias("keeper"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def shingles(col: Column, k: int = SHINGLE_K) -> Column:
+    """k-token shingles joined with single spaces (empty array when the
+    doc has fewer than k tokens)."""
+    toks = tokens(F.lower(col))
+    n = F.size(toks)
+    return F.when(n >= k, F.transform(
+        F.sequence(F.lit(0), n - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_bands(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """(key, band, min_hash): per-band lexicographic min over
+    md5('<band>:'||shingle). Equivalent ANSI SQL exists (oracle)."""
+    sh = df.select(
+        F.col(key_col).alias("key"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+    bands = sh.select(
+        "key",
+        F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
+        "sh",
+    ).withColumn("h", F.md5(F.concat_ws(":", F.col("band"), F.col("sh"))))
+    return bands.groupBy("key", "band").agg(F.min("h").alias("min_hash"))
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, max_bucket: int = 50
+) -> DataFrame:
+    """Self-join band signatures -> distinct candidate pairs (a < b).
+    Buckets larger than `max_bucket` are dropped (boilerplate-shingle
+    skew guard — standard practice for web-scale LSH dedup)."""
+    bucket_sizes = sig.groupBy("band", "min_hash").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    pruned = sig.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket), ["band", "min_hash"]
+    ).drop("bn")
+    a = pruned.select(
+        F.col("band"), F.col("min_hash"), F.col("key").alias("a")
+    )
+    b = pruned.select(
+        F.col("band"), F.col("min_hash"), F.col("key").alias("b")
+    )
+    return (
+        a.join(b, ["band", "min_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Integer n-gram Jaccard (x1000, integer division) for candidate
+    pairs: |A∩B|*1000 div |A∪B| over distinct token sets."""
+    toks = df.select(
+        F.col(key_col).alias("key"),
+        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("ts"),
+    )
+    return (
+        pairs.join(toks.withColumnRenamed("key", "a").withColumnRenamed("ts", "ta"), "a")
+        .join(toks.withColumnRenamed("key", "b").withColumnRenamed("ts", "tb"), "b")
+        .select(
+            "a",
+            "b",
+            (
+                F.size(F.array_intersect("ta", "tb")).cast("long") * 1000
+            ).alias("inter_x1000"),
+            F.size(F.array_union("ta", "tb")).cast("long").alias("uni"),
+        )
+        .select(
+            "a",
+            "b",
+            F.expr("inter_x1000 div uni").alias("jaccard_x1000"),
+        )
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, as a vectorized pandas
+    UDF (Arrow batches). Per token: 64 bits of md5; per document: sign
+    of the per-bit +1/-1 sums. No ANSI-SQL equivalent (bit surgery) ->
+    rows-only correctness check; unit-tested against a scalar
+    reimplementation instead."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: signature annotations must be real types, not strings —
+    # `from __future__ import annotations` would break pyspark's
+    # type-hint-based UDF inference, hence the explicit eval-free defs.
+    def _simhash_impl(texts):
+        import hashlib
+
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = (t or "").lower().split()
+            if not toks:
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            shifts = np.arange(64, dtype=np.uint64)
+            for tok in toks:
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.md5(tok.encode("utf-8")).digest()[:8], "big"
+                    )
+                )
+                bits = ((h >> shifts) & np.uint64(1)).astype(np.int64)
+                acc += bits * 2 - 1
+            sig = np.uint64(0)
+            for b in range(64):
+                if acc[b] > 0:
+                    sig |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sig.astype(np.int64))
+        return pd.Series(out)
+
+    _simhash_impl.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _simhash = pandas_udf(_simhash_impl, "long")
+
+    return df.select(
+        F.col(key_col).alias("key"), _simhash(F.col(text_col)).alias("simhash")
+    )
+
+
+def dedup_rank(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
+    """Window-based exact dedup keeping the smallest key per
+    fingerprint (the 'which row do we keep' view of exact_dedup)."""
+    w = Window.partitionBy("fp").orderBy(F.col(key_col))
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(key_col), F.col("fp"))
+    )

@@ -1,0 +1,84 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary
+columns with typed metadata.
+
+The reference's accurate tier crops page images and returns base64
+PNGs (accurate/service.py:135-139,172-186). At 100 TB we never move
+pixels through the driver: payloads live in a `binary` column (or an
+object-store pointer), metadata in typed columns, and decode /
+feature-extract runs as Arrow-batched mapInPandas.
+
+The actual codecs (PIL/ffmpeg) are NOT installed in this container —
+the decode step is a clearly-marked deterministic stub
+(`_decode_stub`) so the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) is real and tested while the pixel math
+is swappable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "doc_id string, media_ref string, kind string, payload binary"
+)
+FEATURE_SCHEMA = (
+    "doc_id string, media_ref string, kind string, n_bytes long, "
+    "sha256 string, width int, height int, feat_ok boolean"
+)
+
+
+def media_side_table(documents_out: DataFrame) -> DataFrame:
+    """Artifact side table keyed (doc_id, artifact id): one row per
+    image/formula/table span of the extraction output, payload stubbed
+    as the utf-8 bytes of the source ref (a real deployment would join
+    an asset store here)."""
+    s = F.explode("spans").alias("s")
+    return (
+        documents_out.select("doc_id", s)
+        .filter(F.col("s.kind").isin("image", "table", "formula"))
+        .select(
+            "doc_id",
+            F.col("s.media_ref").alias("media_ref"),
+            F.col("s.kind").alias("kind"),
+            F.encode(F.col("s.text"), "utf-8").alias("payload"),
+        )
+    )
+
+
+def _decode_stub(payload: bytes) -> tuple[int, int]:
+    """STUB: deterministic fake decode. A real deployment replaces
+    this with PIL/libvips/ffmpeg frame sampling; everything around it
+    (Arrow batching, schema, partitioning) is production-shaped.
+    Returns fake (width, height) derived from the payload hash."""
+    h = hashlib.sha256(payload or b"").digest()
+    return 16 + h[0] % 64, 16 + h[1] % 64
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over the media side table."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            payloads = b["payload"]
+            wh = [_decode_stub(p if p is not None else b"") for p in payloads]
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_ref": b["media_ref"],
+                    "kind": b["kind"],
+                    "n_bytes": payloads.map(lambda p: len(p or b"")).astype("int64"),
+                    "sha256": payloads.map(
+                        lambda p: hashlib.sha256(p or b"").hexdigest()
+                    ),
+                    "width": [w for w, _ in wh],
+                    "height": [h for _, h in wh],
+                    "feat_ok": True,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)

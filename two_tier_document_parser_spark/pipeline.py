@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from .routing import with_tier
+from .schemas import OUT_SCHEMA
 from .tier1 import tier1_map
 from .tier2 import tier2_map
 
@@ -42,6 +43,9 @@ def ship_package(spark: SparkSession) -> str:
     import tempfile
     import zipfile
 
+    sc = spark.sparkContext
+    if getattr(sc, "_ttdp_shipped", False):
+        return ""
     pkg_dir = os.path.dirname(os.path.abspath(__file__))
     pkg_name = os.path.basename(pkg_dir)
     zpath = os.path.join(
@@ -56,16 +60,28 @@ def ship_package(spark: SparkSession) -> str:
                         pkg_name, os.path.relpath(full, pkg_dir)
                     )
                     zf.write(full, rel)
-    spark.sparkContext.addPyFile(zpath)
+    sc.addPyFile(zpath)
+    sc._ttdp_shipped = True
     return zpath
 
 
 def session_tuning(builder):
-    """Recommended conf for the extraction workload."""
+    """Recommended conf for the extraction workload.
+
+    columnarReaderBatchSize matters enormously for this table shape:
+    the vectorized parquet reader buffers N rows per columnar batch,
+    and with Zipf-skewed span arrays (giant docs of ~5k spans) the
+    default 4096 rows can transiently allocate hundreds of MB per
+    concurrent reader — at 16-32 concurrent tasks that is a GC death
+    spiral (observed: 3x wall-time inversion when scaling 4->16
+    threads, OutOfMemoryError in WritableColumnVector). 256 rows keeps
+    per-reader buffers bounded regardless of document skew, the same
+    reasoning as the Arrow batch cap (SURVEY §7.7.5)."""
     return (
         builder.config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.columnarReaderBatchSize", "256")
     )
 
 
@@ -103,15 +119,140 @@ def with_salt(df: DataFrame, salt: int) -> DataFrame:
     return df.withColumn("salt", F.pmod(F.xxhash64("doc_id"), F.lit(salt)))
 
 
+def fused_batches(batches):
+    """Single-pass kernel: route, validate, and extract inside one
+    Arrow pass. The routing function is the same pure
+    (doc_class, spans) -> tier rule as routing.with_tier (thresholds
+    from spec.ROUTING_MODEL — the broadcast model), computed with
+    Arrow C++ kernels instead of JVM higher-order functions: HOF
+    lambdas over nested arrays allocate per-row ArrayData and at 16-32
+    concurrent tasks the JVM allocation rate becomes a GC bottleneck
+    (measured: routing-only pass inverts 3.5s@4 -> 12.6s@32 threads).
+    Invalid docs (null id / no spans) become tier='error' rows here —
+    no separate quarantine scan."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from .spec import MEDIA_KINDS, ROUTING_DEFAULT, ROUTING_MODEL
+    from .tier1 import rebatch_by_spans, tier1_batches
+    from .tier2 import tier2_batches
+
+    media = sorted(MEDIA_KINDS)
+
+    for batch in rebatch_by_spans(batches):
+        n = batch.num_rows
+        lst = batch.column("spans")
+        counts = pc.list_value_length(lst).to_numpy(zero_copy_only=False)
+        counts = np.nan_to_num(counts.astype(np.float64)).astype(np.int64)
+        kind = lst.flatten().field("kind")
+        is_box = pc.equal(kind, "box").to_numpy(zero_copy_only=False)
+        is_media = pc.is_in(kind, value_set=pa.array(media)).to_numpy(
+            zero_copy_only=False
+        )
+        doc_of = np.repeat(np.arange(n), counts)
+        n_box = np.zeros(n, np.int64)
+        n_media = np.zeros(n, np.int64)
+        if len(doc_of):
+            np.add.at(n_box, doc_of, is_box)
+            np.add.at(n_media, doc_of, is_media)
+        classes = batch.column("doc_class").to_pylist()
+        bt = np.fromiter(
+            (ROUTING_MODEL.get(c, ROUTING_DEFAULT)[0] for c in classes),
+            dtype=np.float64,
+            count=n,
+        )
+        mt = np.fromiter(
+            (ROUTING_MODEL.get(c, ROUTING_DEFAULT)[1] for c in classes),
+            dtype=np.int64,
+            count=n,
+        )
+        bad = (counts == 0) | pc.is_null(batch.column("doc_id")).to_numpy(
+            zero_copy_only=False
+        )
+        deep = ~bad & (
+            (n_box / np.maximum(counts, 1) > bt) | (n_media >= mt)
+        )
+        fast = ~bad & ~deep
+
+        sub = batch.select(["doc_id", "spans"])
+        if fast.any():
+            yield from tier1_batches(iter([sub.filter(pa.array(fast))]))
+        if deep.any():
+            yield from tier2_batches(iter([sub.filter(pa.array(deep))]))
+        if bad.any():
+            nbad = int(bad.sum())
+            ids = pc.fill_null(
+                batch.column("doc_id").filter(pa.array(bad)), ""
+            )
+            empty_spans = pa.ListArray.from_arrays(
+                pa.array(np.zeros(nbad + 1, np.int32), type=pa.int32()),
+                pa.StructArray.from_arrays(
+                    [pa.array([], type=pa.string())] * 3
+                    + [pa.array([], type=pa.int32())],
+                    names=["kind", "text", "media_ref", "order"],
+                ),
+            )
+            zeros32 = pa.array(np.zeros(nbad, np.int32), type=pa.int32())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids,
+                    pa.array(["error"] * nbad, type=pa.string()),
+                    zeros32,
+                    empty_spans,
+                    pa.array([""] * nbad, type=pa.string()),
+                    zeros32,
+                    zeros32,
+                    zeros32,
+                    pa.array([[]] * nbad, type=pa.list_(pa.int32())),
+                    pa.array(np.zeros(nbad, np.int64), type=pa.int64()),
+                    pa.array(["invalid document"] * nbad, type=pa.string()),
+                ],
+                names=[f.name for f in OUT_SCHEMA.fields],
+            )
+
+
+def fused_map(raw: DataFrame) -> DataFrame:
+    """One scan, one Arrow pass, zero shuffles (unless salted
+    upstream): the throughput path for the full cascade."""
+    return raw.select("doc_id", "doc_class", "spans").mapInArrow(
+        fused_batches, OUT_SCHEMA
+    )
+
+
 def extract(
     spark: SparkSession,
     raw: DataFrame,
     *,
-    persist: bool = True,
+    mode: str = "split",
+    persist: bool = False,
     salt: int | None = None,
     n_partitions: int | None = None,
 ) -> DataFrame:
-    """documents_raw -> documents_out (FIXTURES.md §2)."""
+    """documents_raw -> documents_out (FIXTURES.md §2).
+
+    mode="split": DataFrame-level classify-then-split (north-rule
+    shape): two filters on the routed frame, one mapInArrow per tier,
+    unionByName. With `salt`/`n_partitions` the branches share the
+    repartition exchange (ReusedExchange), so the scan still runs
+    once; `persist=True` additionally caches the routed frame.
+
+    mode="fused": same routing rule computed Arrow-side inside one
+    kernel pass (one scan, no union, errors in-band) — the throughput
+    path; bit-identical output on valid docs (tested).
+    """
+    if mode == "fused":
+        src = raw
+        if salt:
+            src = with_salt(src, salt).repartition(
+                n_partitions or spark.sparkContext.defaultParallelism,
+                "doc_id",
+                "salt",
+            ).drop("salt")
+        elif n_partitions:
+            src = src.repartition(n_partitions, "doc_id")
+        return fused_map(src)
+
     ok, bad = validate_split(raw)
     routed = with_tier(ok, spark)
     if salt:
@@ -126,10 +267,25 @@ def extract(
     if persist:
         routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
 
-    fast = tier1_map(routed.filter(F.col("tier") == "fast"))
-    deep = tier2_map(routed.filter(F.col("tier") == "deep"))
     empty = _error_rows(
         routed.filter(F.col("tier") == "error"), "empty document"
     )
     quarantined = _error_rows(bad, "validation failed")
-    return fast.unionByName(deep).unionByName(empty).unionByName(quarantined)
+    errors = empty.unionByName(quarantined)
+
+    fast = tier1_map(routed.filter(F.col("tier") == "fast"))
+    deep = tier2_map(routed.filter(F.col("tier") == "deep"))
+    return fast.unionByName(deep).unionByName(errors)
+
+
+def enable_worker_preload() -> None:
+    """Put the preload dir (sitecustomize.py importing numpy/pandas/
+    pyarrow) on PYTHONPATH so the pyspark worker daemon pre-imports
+    them once and forked workers inherit. Must be called BEFORE the
+    SparkSession (JVM) is created."""
+    import os
+
+    pre = os.path.join(os.path.dirname(os.path.abspath(__file__)), "preload")
+    cur = os.environ.get("PYTHONPATH", "")
+    if pre not in cur.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pre + (os.pathsep + cur if cur else "")

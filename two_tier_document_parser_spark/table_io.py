@@ -1,0 +1,113 @@
+"""Pluggable table layer: Iceberg when available, parquet+manifest
+fallback (SURVEY §7.6).
+
+The north rule targets Iceberg tables; this sandbox has no
+iceberg-spark-runtime jar, so `IcebergIO` activates only when the
+catalog is configured and otherwise `ParquetManifestIO` emulates the
+property the pipeline actually relies on — atomic, all-or-nothing
+commits — with a staging-directory write + manifest append:
+
+    <table>/runs/<run_id>/...parquet   (data, written to staging first)
+    <table>/_manifest.json             (list of committed run_ids)
+
+A run is visible iff its id is in the manifest; the manifest is
+replaced atomically (write tmp + os.replace), so readers never see a
+half-written run — the same contract as an Iceberg snapshot commit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Snapshot  # noqa: SLF001
+        return True
+    except Exception:
+        return False
+
+
+class IcebergIO:
+    """Real Iceberg path: snapshot-atomic appends, resume from the
+    last committed snapshot. Requires iceberg-spark-runtime on the
+    classpath and a configured catalog."""
+
+    def __init__(self, spark: SparkSession, table: str) -> None:
+        self.spark = spark
+        self.table = table
+
+    def append(self, df: DataFrame, run_id: str) -> None:
+        df.writeTo(self.table).append()
+
+    def read(self) -> DataFrame:
+        return self.spark.read.format("iceberg").load(self.table)
+
+    def committed_runs(self) -> list[str]:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self.table}.snapshots"
+        ).collect()
+        return [str(r[0]) for r in rows]
+
+
+class ParquetManifestIO:
+    """Parquet emulation of snapshot commits."""
+
+    def __init__(self, spark: SparkSession, table_path: str) -> None:
+        self.spark = spark
+        self.path = table_path
+        os.makedirs(table_path, exist_ok=True)
+
+    @property
+    def _manifest(self) -> str:
+        return os.path.join(self.path, "_manifest.json")
+
+    def committed_runs(self) -> list[str]:
+        if not os.path.exists(self._manifest):
+            return []
+        return json.loads(open(self._manifest).read())["runs"]
+
+    def append(self, df: DataFrame, run_id: str | None = None) -> str:
+        run_id = run_id or uuid.uuid4().hex[:12]
+        staging = os.path.join(self.path, f"_staging_{run_id}")
+        final = os.path.join(self.path, "runs", run_id)
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        os.replace(staging, final)  # atomic on one filesystem
+        runs = self.committed_runs() + [run_id]
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"runs": runs}, f)
+        os.replace(tmp, self._manifest)  # atomic commit point
+        return run_id
+
+    def read(self) -> DataFrame | None:
+        runs = self.committed_runs()
+        if not runs:
+            return None
+        paths = [os.path.join(self.path, "runs", r) for r in runs]
+        return self.spark.read.parquet(*paths)
+
+    def drop_uncommitted(self) -> None:
+        """Crash cleanup: staging dirs not in the manifest are dead."""
+        for name in os.listdir(self.path):
+            if name.startswith("_staging_"):
+                shutil.rmtree(os.path.join(self.path, name), ignore_errors=True)
+
+
+def open_table(spark: SparkSession, target: str):
+    """`iceberg:<catalog.table>` -> IcebergIO (if runtime present),
+    anything else -> ParquetManifestIO on that path."""
+    if target.startswith("iceberg:"):
+        if not iceberg_available(spark):
+            raise RuntimeError(
+                "iceberg-spark-runtime not on the classpath; use a path "
+                "target for the parquet+manifest fallback"
+            )
+        return IcebergIO(spark, target[len("iceberg:"):])
+    return ParquetManifestIO(spark, target)

@@ -29,7 +29,7 @@ import pyarrow.compute as pc
 from .layout import xycut
 from .markdown_ser import join_page, join_pages, render_block, table_markdown
 from .schemas import OUT_SCHEMA
-from .tier1 import _flatten_spans
+from .tier1 import _flatten_spans, rebatch_by_spans
 
 _VOCAB = [
     "text",
@@ -174,7 +174,7 @@ def _process_page(kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter) -> N
 
 
 def tier2_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-    for batch in batches:
+    for batch in rebatch_by_spans(batches):
         t0 = time.time()
         n_docs = batch.num_rows
         if n_docs == 0:
