@@ -301,6 +301,69 @@ def q_pipeline_documents(spark, sf_dir):
     )
 
 
+def q_sessionize(spark, sf_dir):
+    from two_tier_document_parser_spark.events import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_event_hour_rollup(spark, sf_dir):
+    from two_tier_document_parser_spark.events import hourly_rollup
+
+    return hourly_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
+def q_rollup_lang_source(spark, sf_dir):
+    return (
+        _docs(spark, sf_dir)
+        .rollup("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    from pyspark.sql import Window
+
+    t = _tokens_df(spark, sf_dir).select(
+        "doc_id", F.lower(F.col("token")).alias("term")
+    )
+    tf = t.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("term")
+    )
+    return (
+        tf.join(dfreq, "term")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "rnk")
+    )
+
+
+def q_emb_near_dups(spark, sf_dir):
+    from two_tier_document_parser_spark.similarity import near_dup_pairs
+
+    return near_dup_pairs(_emb(spark, sf_dir), threshold_x100=44)
+
+
+def q_dedup_components(spark, sf_dir):
+    from two_tier_document_parser_spark.dedup import (
+        connected_components,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    d = _docs(spark, sf_dir)
+    near = jaccard_pairs(d, lsh_candidate_pairs(minhash_bands(d))).filter(
+        F.col("jaccard_x1000") >= 500
+    )
+    return connected_components(near.select("a", "b"))
+
+
 # --------------------------------------------------------------------------
 # Spark-only queries (rows-only driver check; exactness via pytest)
 # --------------------------------------------------------------------------
@@ -335,6 +398,25 @@ def q_knn_lsh(spark, sf_dir):
         F.col("vec_id").alias("query"), F.col("embedding").alias("qvec")
     )
     return lsh_topk(e, queries, k=10)
+
+
+def q_emb_near_dups_lsh(spark, sf_dir):
+    from two_tier_document_parser_spark.similarity import lsh_near_dup_pairs
+
+    return lsh_near_dup_pairs(_emb(spark, sf_dir), threshold_x100=44)
+
+
+def q_knn_ivf(spark, sf_dir):
+    from two_tier_document_parser_spark.similarity import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query"), F.col("embedding").alias("qvec")
+    )
+    # 8 cells / 3 probes for the 500-vector driver table (cell count
+    # scales with sqrt(N) in production IVF; 16+ cells over 500 docs
+    # leaves too few candidates per probe)
+    return ivf_topk(e, queries, k=10, n_cells=8, n_probe=3)
 
 
 def q_media_features(spark, sf_dir):
@@ -398,11 +480,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_near_dups": q_jaccard_near_dups,
         "knn_bruteforce": q_knn_bruteforce,
         "pipeline_documents": q_pipeline_documents,
+        "sessionize": q_sessionize,
+        "event_hour_rollup": q_event_hour_rollup,
+        "rollup_lang_source": q_rollup_lang_source,
+        "tfidf_top_terms": q_tfidf_top_terms,
+        "emb_near_dups": q_emb_near_dups,
+        "dedup_components": q_dedup_components,
         # Spark-only (rows-only check; exactness via pytest goldens)
         "extract_synth_spans": q_extract_synth_spans,
         "simhash": q_simhash,
         "knn_lsh": q_knn_lsh,
         "media_features": q_media_features,
+        "emb_near_dups_lsh": q_emb_near_dups_lsh,
+        "knn_ivf": q_knn_ivf,
     }
 
 
@@ -531,7 +621,100 @@ def oracle_sql() -> dict[str, str]:
             " ELSE 0 END AS n_spans"
             " FROM base"
         ),
+        "sessionize": _sessionize_sql(),
+        "event_hour_rollup": (
+            "SELECT event_type,"
+            " CAST(floor(floor(epoch(ts)) / 3600) AS BIGINT) AS hour_epoch,"
+            " count(*) AS n,"
+            " CAST(floor(min(value) * 1000) AS BIGINT) AS min_v_x1000,"
+            " CAST(floor(max(value) * 1000) AS BIGINT) AS max_v_x1000"
+            " FROM events GROUP BY 1, 2"
+        ),
+        "rollup_lang_source": (
+            "SELECT lang, source, count(*) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars"
+            " FROM documents GROUP BY ROLLUP (lang, source)"
+        ),
+        "tfidf_top_terms": (
+            f"{_TOK_CTE},"
+            " lt AS (SELECT doc_id, lower(token) AS term FROM tok),"
+            " tf AS (SELECT doc_id, term, count(*) AS tf FROM lt GROUP BY 1, 2),"
+            " dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term)"
+            " SELECT doc_id, term, tf, df, CAST(rnk AS INT) AS rnk FROM ("
+            "   SELECT t.doc_id, t.term, t.tf, d.df, row_number() OVER ("
+            "     PARTITION BY t.doc_id ORDER BY t.tf DESC, d.df ASC, t.term ASC"
+            "   ) AS rnk FROM tf t JOIN dfreq d USING (term)"
+            " ) WHERE rnk <= 3"
+        ),
+        "emb_near_dups": _emb_near_dups_sql(),
+        "dedup_components": _components_sql(),
     }
+
+
+def _sessionize_sql(gap_s: int = 1800) -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+  FROM events
+),
+fl AS (
+  SELECT user_id, event_id, epoch,
+         CASE WHEN epoch - lag(epoch) OVER
+           (PARTITION BY user_id ORDER BY epoch, event_id) > {gap_s}
+         THEN 1 ELSE 0 END AS new_sess
+  FROM ev
+),
+sx AS (
+  SELECT user_id, epoch,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY epoch, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+  FROM fl
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       count(*) AS n_events, min(epoch) AS start_epoch,
+       max(epoch) AS end_epoch
+FROM sx GROUP BY user_id, session_idx
+"""
+
+
+def _emb_near_dups_sql(threshold_x100: int = 44) -> str:
+    return f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM dims GROUP BY vec_id),
+dots AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dp
+  FROM dims x JOIN dims y ON x.d = y.d AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.a, d.b
+FROM dots d
+JOIN norms na ON na.vec_id = d.a
+JOIN norms nb ON nb.vec_id = d.b
+WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= {threshold_x100} / 100.0
+"""
+
+
+def _components_sql(threshold_x1000: int = 500) -> str:
+    return f"""
+WITH RECURSIVE
+jac AS (SELECT * FROM ({_jaccard_sql()}) j),
+e AS (
+  SELECT a AS src, b AS dst FROM jac WHERE jaccard_x1000 >= {threshold_x1000}
+  UNION
+  SELECT b AS src, a AS dst FROM jac WHERE jaccard_x1000 >= {threshold_x1000}
+),
+v AS (SELECT DISTINCT src AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+)
+SELECT id AS doc_id, min(r) AS comp FROM reach GROUP BY id
+"""
 
 
 def _minhash_sql(n_bands: int = 4) -> str:

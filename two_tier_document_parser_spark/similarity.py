@@ -106,6 +106,193 @@ def srp_signature(vec: Column, n_planes: int = N_PLANES, table: int = 0) -> Colu
     )
 
 
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold_x100: int = 44,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, exact: all (a < b) with
+    round(cosine, 6) >= threshold. O(N^2) — the correctness baseline
+    and the rerank kernel; at corpus scale generate candidates with
+    `lsh_near_dup_pairs` instead. Only integer ids cross the oracle
+    comparison; the rounded compare makes the threshold decision
+    reproducible between Spark's left-to-right double fold and the
+    oracle's unordered SUM."""
+    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
+    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .filter(
+            F.round(cosine(F.col("avec"), F.col("bvec")), 6)
+            >= F.lit(threshold_x100) / 100.0
+        )
+        .select("a", "b")
+    )
+
+
+def lsh_near_dup_pairs(
+    emb: DataFrame,
+    threshold_x100: int = 44,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Near-dup pairs at scale: SRP-LSH bucket self-join for candidate
+    generation (multi-table OR-construction), exact cosine verify.
+    Replaces the O(N^2) cross join with n_tables equi-joins on
+    (table, sig) that shuffle only (id, sig) pairs; the verify join
+    rehydrates vectors for the surviving candidates only."""
+    tables = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
+    sigs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), tables)
+    expr = F.lit(None).cast("int")
+    for t in range(n_tables):
+        expr = F.when(
+            F.col("tbl") == t, srp_signature(F.col("v"), n_planes, table=t)
+        ).otherwise(expr)
+    sigs = sigs.withColumn("sig", expr).select("id", "tbl", "sig")
+    cand = (
+        sigs.alias("x")
+        .join(sigs.alias("y"), ["tbl", "sig"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
+    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .filter(
+            F.round(cosine(F.col("avec"), F.col("bvec")), 6)
+            >= F.lit(threshold_x100) / 100.0
+        )
+        .select("a", "b")
+    )
+
+
+def _centroids(
+    emb: DataFrame, n_cells: int, n_iter: int, vec_col: str, id_col: str
+):
+    """Deterministic IVF coarse quantizer: seed cells with the
+    n_cells vectors of smallest xxhash64(id) (a seeded sample with no
+    RNG state), then a fixed number of Lloyd refinements. The model is
+    tiny (n_cells x dim) — it lives on the driver and broadcasts, the
+    data never leaves executors."""
+    import numpy as np
+
+    seed_rows = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("h", F.xxhash64(F.col("id")))
+        .orderBy("h", "id")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
+    if n_iter > 0:
+        sc = emb.sparkSession.sparkContext
+        for _ in range(n_iter):
+            bc = sc.broadcast(cents)
+
+            def part_stats(rows, _bc=bc):
+                import numpy as _np
+
+                c = _bc.value
+                sums = _np.zeros_like(c)
+                counts = _np.zeros(len(c), dtype=_np.int64)
+                for r in rows:
+                    x = _np.asarray(r["v"], dtype=_np.float64)
+                    cell = int(_np.argmin(((c - x) ** 2).sum(axis=1)))
+                    sums[cell] += x
+                    counts[cell] += 1
+                yield sums, counts
+
+            agg = (
+                emb.select(F.col(vec_col).alias("v"))
+                .rdd.mapPartitions(part_stats)
+                .reduce(lambda p, q: (p[0] + q[0], p[1] + q[1]))
+            )
+            sums, counts = agg
+            nz = counts > 0
+            cents[nz] = sums[nz] / counts[nz, None]
+            bc.destroy()
+    return cents
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 3,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF ANN: deterministic k-means coarse quantizer (seeded init +
+    fixed Lloyd iterations), candidates assigned to their nearest cell,
+    queries probe the n_probe nearest cells, exact cosine rerank within
+    the probed cells. The scale path when SRP buckets are too coarse:
+    the expensive join is an equi-join on `cell` touching
+    ~n_probe/n_cells of the data per query. Rows-only driver check
+    (iterative centroid training has no ANSI-SQL form); recall vs
+    brute force is pytest-gated."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    cents = _centroids(emb, n_cells, n_iter, vec_col, id_col)
+    bc = emb.sparkSession.sparkContext.broadcast(cents)
+
+    def _cells_impl(vecs, n):
+        import numpy as _np
+
+        c = bc.value
+        out = []
+        for v in vecs:
+            x = _np.asarray(v, dtype=_np.float64)
+            d = ((c - x) ** 2).sum(axis=1)
+            out.append(_np.argsort(d, kind="stable")[:n].astype("int32").tolist())
+        return pd.Series(out)
+
+    def _top1_impl(vecs):
+        return _cells_impl(vecs, 1).map(lambda a: a[0])
+
+    def _topp_impl(vecs):
+        return _cells_impl(vecs, n_probe)
+
+    _top1_impl.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    _topp_impl.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    top1 = pandas_udf(_top1_impl, "int")
+    topp = pandas_udf(_topp_impl, "array<int>")
+
+    cand = emb.select(
+        F.col(id_col).alias("candidate"),
+        F.col(vec_col).alias("cvec"),
+        top1(F.col(vec_col)).alias("cell"),
+    )
+    q = queries.select(
+        "query", "qvec", F.explode(topp(F.col("qvec"))).alias("cell")
+    )
+    joined = (
+        q.join(cand, "cell")
+        .filter(F.col("query") != F.col("candidate"))
+        .dropDuplicates(["query", "candidate"])
+    )
+    sims = joined.select(
+        "query",
+        "candidate",
+        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query").orderBy(F.desc("sim"), F.asc("candidate"))
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query", "candidate", "rank")
+    )
+
+
 def lsh_topk(
     emb: DataFrame,
     queries: DataFrame,

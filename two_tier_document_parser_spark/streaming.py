@@ -1,0 +1,153 @@
+"""Structured Streaming surface.
+
+The reference is request/response (one HTTP call per document) —
+streaming ingest is its natural cluster-scale analogue: documents
+land in a table/directory continuously and the same extraction
+cascade runs incrementally. The fused mapInArrow kernel is stateless,
+so it lifts to readStream unchanged; exactly-once comes from the
+file-sink commit log + checkpointLocation instead of our batch
+manifest (table_io), and `Trigger.AvailableNow` gives the batch-job
+semantics ("process everything present, then stop") used by the
+equivalence test.
+
+Windowed event rollups carry watermarks so state is bounded: late
+events beyond the watermark are dropped rather than growing state
+forever — mandatory at 10^12-event scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .pipeline import fused_map
+from .schemas import RAW_SCHEMA
+
+
+def read_document_stream(spark: SparkSession, input_path: str) -> DataFrame:
+    """File-source stream over the documents_raw layout (one parquet
+    file appearing = one micro-batch unit). maxFilesPerTrigger bounds
+    micro-batch size so a backlog burst cannot OOM executors."""
+    return (
+        spark.readStream.schema(RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+
+
+def stream_extract(raw_stream: DataFrame) -> DataFrame:
+    """The two-tier cascade on a stream: identical kernel, identical
+    output schema; stateless, so no watermark is needed."""
+    return fused_map(raw_stream)
+
+
+def run_stream_extract(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint: str,
+) -> None:
+    """Drain everything currently in input_path through the cascade
+    into a parquet sink with exactly-once file-sink semantics, then
+    stop (Trigger.AvailableNow). Restart with the same checkpoint to
+    resume after failure without reprocessing committed batches."""
+    q = (
+        stream_extract(read_document_stream(spark, input_path))
+        .writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling-window counts per event_type with a watermark bounding
+    state. Works on both a stream (incremental, late data beyond the
+    watermark dropped) and a batch frame (watermark is a no-op) — the
+    equivalence the streaming test asserts."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("w_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap-based sessions via the built-in `session_window` — the
+    streaming-native counterpart of events.sessionize (which is the
+    batch window-function formulation; note the boundary nuance: a gap
+    of exactly 30 minutes extends a session_window but starts a new
+    session in the lag-based form, so the two agree only up to that
+    open/closed boundary). State is bounded by the watermark."""
+    return (
+        events.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("start_epoch"),
+            "n_events",
+        )
+    )
+
+
+def run_stream_session_counts(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Drain the events table through session_window aggregation into
+    a memory sink (complete mode — session windows support append and
+    complete, not update: a late event can merge two sessions, which
+    cannot be expressed as a keyed update), AvailableNow."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    q = (
+        session_window_counts(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_event_counts(
+    spark: SparkSession,
+    events_path: str,
+    query_name: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Stream the events table through the windowed rollup into an
+    in-memory sink (complete mode), AvailableNow. Returns the final
+    result frame `SELECT * FROM <query_name>`."""
+    schema = spark.read.parquet(events_path).schema
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.sql(f"SELECT * FROM {query_name}")
