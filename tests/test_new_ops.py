@@ -183,6 +183,82 @@ def test_stream_session_windows_equal_batch(spark, tmp_path):
     assert stream == batch
 
 
+def test_stream_first_seen_dedup_across_restarts(spark, tmp_path):
+    """Stateful streaming dedup: the keeper for a fingerprint is
+    emitted once; duplicates arriving in a LATER run (same checkpoint)
+    are suppressed because the state store is restored on restart."""
+    from two_tier_document_parser_spark.streaming import run_stream_first_seen
+
+    in_dir = tmp_path / "docs"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ck")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(
+            1
+        ).write.parquet(str(in_dir / name))
+
+    # batch 1: d1/d2 are exact dups (same normalized text), d3 unique
+    write_batch("b1", [("d1", "hello  world"), ("d2", "hello world"), ("d3", "other text")])
+    got1 = run_stream_first_seen(
+        spark, str(in_dir) + "/*", str(tmp_path / "out1"), ckpt
+    ).collect()
+    kept1 = {r["doc_id"] for r in got1}
+    assert kept1 == {"d1", "d3"}  # min doc_id wins within a batch
+
+    # batch 2 (restart, same checkpoint): d4 dups d1 -> suppressed;
+    # d5 is new -> emitted
+    write_batch("b2", [("d4", "hello world"), ("d5", "brand new")])
+    got2 = run_stream_first_seen(
+        spark, str(in_dir) + "/*", str(tmp_path / "out2"), ckpt
+    ).collect()
+    kept2 = {r["doc_id"] for r in got2}
+    assert kept2 == {"d5"}
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(tmp_path):
+    """The north-rule ship path: `spark-submit --py-files engine.zip
+    jobs/run_extract.py` from a CWD outside the repo, end to end."""
+    import json
+    import os
+    import subprocess
+    import zipfile
+
+    repo = Path(__file__).resolve().parents[1]
+    pkg = repo / "two_tier_document_parser_spark"
+    zpath = tmp_path / "engine.zip"
+    with zipfile.ZipFile(zpath, "w") as zf:
+        for f in pkg.rglob("*.py"):
+            zf.write(f, Path("two_tier_document_parser_spark") / f.relative_to(pkg))
+    out_dir = tmp_path / "out"
+    proc = subprocess.run(
+        [
+            "spark-submit",
+            "--master",
+            "local[4]",
+            "--py-files",
+            str(zpath),
+            str(repo / "jobs" / "run_extract.py"),
+            "--synth",
+            "500",
+            "--output",
+            str(out_dir),
+        ],
+        cwd=str(tmp_path),
+        capture_output=True,
+        text=True,
+        env={**os.environ, "PYTHONPATH": ""},
+        timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["docs"] == 500
+    assert set(res["by_tier"]) <= {"fast", "deep", "error"}
+    assert sum(res["by_tier"].values()) == 500
+
+
 def test_sessionize_gap_semantics(spark):
     """Hand-built timeline: gap strictly greater than 30 min starts a
     new session; a gap of exactly 30 min does not."""

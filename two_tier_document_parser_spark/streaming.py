@@ -82,6 +82,88 @@ def windowed_event_counts(
     )
 
 
+def stream_first_seen(docs: DataFrame) -> DataFrame:
+    """Custom stateful operator: streaming exact dedup. Keyed state
+    per content fingerprint (`fp`); the first document seen for a
+    fingerprint is emitted as the keeper, every later arrival —
+    including in later micro-batches and after a checkpoint restart —
+    is suppressed. This is the streaming form of dedup.exact_dedup:
+    state lives in the state store, so the 'seen' set survives
+    failures and scales out by key hash, never through the driver.
+
+    Input stream needs (fp: string, doc_id: string) columns; returns
+    (fp, doc_id) keeper rows. Update output mode.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def first_seen(key, pdf_iter, state):
+        if state.exists:
+            for _ in pdf_iter:
+                pass
+            yield pd.DataFrame(
+                {"fp": pd.Series([], dtype=object),
+                 "doc_id": pd.Series([], dtype=object)}
+            )
+            return
+        keeper = None
+        for pdf in pdf_iter:
+            if len(pdf):
+                m = pdf["doc_id"].min()
+                keeper = m if keeper is None or m < keeper else keeper
+        state.update((True,))
+        yield pd.DataFrame({"fp": [key[0]], "doc_id": [keeper]})
+
+    return docs.groupBy("fp").applyInPandasWithState(
+        first_seen,
+        outputStructType="fp string, doc_id string",
+        stateStructType="seen boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_first_seen(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Drain (doc_id, text) parquet files through fingerprint +
+    stream_first_seen, appending keeper rows to `output_dir` via
+    foreachBatch (the memory sink cannot recover from a checkpoint;
+    foreachBatch can), AvailableNow. Re-running with the same
+    checkpoint resumes the state store, so fingerprints already kept
+    in an earlier run stay suppressed."""
+    from .textstats import fingerprint
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(input_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            fingerprint(F.col("text")).alias("fp"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.filter(F.col("fp").isNotNull()).write.mode("append").parquet(
+            output_dir
+        )
+
+    q = (
+        stream_first_seen(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(output_dir)
+
+
 def session_window_counts(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:
