@@ -364,6 +364,77 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(near.select("a", "b"))
 
 
+# -- classic relational surface over the TPC-H-ish driver tables ----------
+# (engine breadth evidence: multi-way broadcast joins, semi joins,
+# grouped aggregation, deterministic top-k. Money doubles never cross
+# the invariant raw: floor(x*100) per row, then integer sums.)
+
+def _tbl(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def q_pricing_summary(spark, sf_dir):
+    li = _tbl(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= "1999-12-31 00:00:00"
+    )
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.floor("l_quantity").cast("long")).alias("sum_qty"),
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "sum_price_c"
+        ),
+    )
+
+
+def q_region_order_counts(spark, sf_dir):
+    """orders ⋈ customer ⋈ nation ⋈ region — the two tiny dims
+    broadcast; only the orders⋈customer hash join shuffles."""
+    o = _tbl(spark, sf_dir, "orders")
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    r = _tbl(spark, sf_dir, "region")
+    return (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("long")).alias(
+                "sum_price_c"
+            ),
+        )
+    )
+
+
+def q_top_customers(spark, sf_dir):
+    o = _tbl(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("n_orders"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
+def q_semi_customers(spark, sf_dir):
+    """Customers with at least one high-quantity line item:
+    left-semi through orders (EXISTS in the oracle)."""
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    big_orders = o.join(
+        li.select("l_orderkey").distinct(),
+        o["o_orderkey"] == li["l_orderkey"],
+        "left_semi",
+    )
+    return c.join(
+        big_orders.select("o_custkey").distinct(),
+        c["c_custkey"] == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_mktsegment")
+
+
 # --------------------------------------------------------------------------
 # Spark-only queries (rows-only driver check; exactness via pytest)
 # --------------------------------------------------------------------------
@@ -486,6 +557,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_top_terms": q_tfidf_top_terms,
         "emb_near_dups": q_emb_near_dups,
         "dedup_components": q_dedup_components,
+        "pricing_summary": q_pricing_summary,
+        "region_order_counts": q_region_order_counts,
+        "top_customers": q_top_customers,
+        "semi_customers": q_semi_customers,
         # Spark-only (rows-only check; exactness via pytest goldens)
         "extract_synth_spans": q_extract_synth_spans,
         "simhash": q_simhash,
@@ -648,6 +723,34 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_near_dups": _emb_near_dups_sql(),
         "dedup_components": _components_sql(),
+        "pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n_rows,"
+            " CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,"
+            " CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS sum_price_c"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-31 00:00:00'"
+            " GROUP BY 1, 2"
+        ),
+        "region_order_counts": (
+            "SELECT r.r_name AS region, count(*) AS n_orders,"
+            " CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)"
+            " AS sum_price_c"
+            " FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+            " JOIN nation n ON c.c_nationkey = n.n_nationkey"
+            " JOIN region r ON n.n_regionkey = r.r_regionkey"
+            " GROUP BY 1"
+        ),
+        "top_customers": (
+            "SELECT o_custkey, count(*) AS n_orders FROM orders"
+            " GROUP BY o_custkey ORDER BY n_orders DESC, o_custkey ASC LIMIT 20"
+        ),
+        "semi_customers": (
+            "SELECT c_custkey, c_mktsegment FROM customer c"
+            " WHERE EXISTS (SELECT 1 FROM orders o"
+            "   WHERE o.o_custkey = c.c_custkey AND EXISTS ("
+            "     SELECT 1 FROM lineitem l"
+            "     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49))"
+        ),
     }
 
 

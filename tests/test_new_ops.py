@@ -25,6 +25,10 @@ NEW_SQL = [
     "tfidf_top_terms",
     "emb_near_dups",
     "dedup_components",
+    "pricing_summary",
+    "region_order_counts",
+    "top_customers",
+    "semi_customers",
 ]
 
 
