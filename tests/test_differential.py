@@ -28,6 +28,77 @@ def _run_kernel(fn, docs):
     return out
 
 
+def _mk_adv_doc(spans_spec, doc_class):
+    return {
+        "doc_id": "adv0",
+        "doc_class": doc_class,
+        "n_pages": 1,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": "", "offset": i}
+            for i, (k, t) in enumerate(spans_spec)
+        ],
+    }
+
+
+def test_adversarial_spans_match_or_error():
+    """Hypothesis fuzz beyond the synth distribution: arbitrary span
+    sequences (all producer kinds, arbitrary unicode text, valid and
+    MALFORMED box payloads). Contract: the vectorized kernel output
+    equals the oracle whenever the oracle accepts the document, and a
+    document the oracle rejects becomes a quarantined tier='error' row
+    with zero spans — never an exception (poison-doc rule; reference
+    accurate/service.py:240-246)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    kinds = st.sampled_from(
+        [
+            "text", "heading", "list_item", "table_cell", "table_row_end",
+            "image", "formula", "link_text", "boilerplate", "page_break",
+            "box",
+        ]
+    )
+    free_text = st.text(max_size=24)
+    box_text = st.one_of(
+        st.tuples(
+            st.integers(0, 90), st.integers(0, 90),
+            st.integers(1, 20), st.integers(1, 20),
+            st.sampled_from(["text", "table", "figure", "formula"]),
+        ).map(lambda t: f"{t[0]},{t[1]},{t[0]+t[2]},{t[1]+t[3]},{t[4]}"),
+        free_text,  # malformed payloads exercise the error channel
+    )
+    span_spec = kinds.flatmap(
+        lambda k: st.tuples(st.just(k), box_text if k == "box" else free_text)
+    )
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(span_spec, min_size=1, max_size=30),
+        st.sampled_from(["html", "pdf", "scan", "mixed", "unknown"]),
+    )
+    def check(spans_spec, doc_class):
+        doc = _mk_adv_doc(spans_spec, doc_class)
+        tier = route_doc(doc)
+        fn = tier1_batches if tier == "fast" else tier2_batches
+        got = _run_kernel(fn, [doc])[doc["doc_id"]]
+        try:
+            exp = extract_doc(doc)
+        except Exception:
+            assert got["tier"] == "error", got
+            assert len(got["spans"]) == 0
+            return
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in got["spans"]
+        ] == [
+            (s["kind"], s["text"], s["media_ref"], s["order"])
+            for s in exp["spans"]
+        ]
+        assert got["markdown"] == exp["markdown"]
+
+    check()
+
+
 @pytest.mark.parametrize("seed", [7, 123, 999, 31337, 271828])
 def test_kernels_match_oracle_fresh_seeds(seed):
     docs = synth_docs(0, 120, seed)
