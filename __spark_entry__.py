@@ -471,6 +471,21 @@ def q_knn_lsh(spark, sf_dir):
     return lsh_topk(e, queries, k=10)
 
 
+def q_media_frames(spark, sf_dir):
+    from two_tier_document_parser_spark.multimodal import (
+        media_side_table,
+        resize_media,
+        sample_frames,
+    )
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    out = extract(spark, synth_spark(spark, 200, partitions=8))
+    media = resize_media(media_side_table(out))
+    return sample_frames(media.drop("width", "height"))
+
+
 def q_emb_near_dups_lsh(spark, sf_dir):
     from two_tier_document_parser_spark.similarity import lsh_near_dup_pairs
 
@@ -566,6 +581,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "knn_lsh": q_knn_lsh,
         "media_features": q_media_features,
+        "media_frames": q_media_frames,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "knn_ivf": q_knn_ivf,
     }

@@ -263,6 +263,38 @@ def test_spark_submit_py_files(tmp_path):
     assert sum(res["by_tier"].values()) == 500
 
 
+def test_resize_and_frame_sample(spark):
+    """Multimodal plumbing: resize preserves aspect ratio in integer
+    math; frame sampling reassembles to the original payload."""
+    from two_tier_document_parser_spark.multimodal import (
+        FRAME_CHUNK,
+        resize_media,
+        sample_frames,
+    )
+
+    rows = [
+        ("d1", "page_0_img_0", "image", b"x" * 20),
+        ("d1", "page_0_img_1", "image", b""),
+        ("d2", "page_1_table_0", "table", b"abcdefgh" * 3),
+    ]
+    media = spark.createDataFrame(
+        rows, "doc_id string, media_ref string, kind string, payload binary"
+    )
+    resized = resize_media(media, max_side=16).collect()
+    assert all(max(r["width"], r["height"]) <= 16 for r in resized)
+    assert all(min(r["width"], r["height"]) >= 1 for r in resized)
+
+    frames = sample_frames(media).collect()
+    by_ref = {}
+    for r in sorted(frames, key=lambda r: (r["media_ref"], r["frame_idx"])):
+        by_ref.setdefault(r["media_ref"], b"")
+        by_ref[r["media_ref"]] += bytes(r["frame"])
+    assert by_ref["page_0_img_0"] == b"x" * 20
+    assert by_ref["page_0_img_1"] == b""
+    assert by_ref["page_1_table_0"] == b"abcdefgh" * 3
+    assert max(len(bytes(r["frame"])) for r in frames) <= FRAME_CHUNK
+
+
 def test_sessionize_gap_semantics(spark):
     """Hand-built timeline: gap strictly greater than 30 min starts a
     new session; a gap of exactly 30 min does not."""

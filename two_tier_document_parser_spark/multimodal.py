@@ -59,6 +59,78 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 64, 16 + h[1] % 64
 
 
+RESIZED_SCHEMA = (
+    "doc_id string, media_ref string, kind string, payload binary, "
+    "width int, height int"
+)
+FRAME_SCHEMA = (
+    "doc_id string, media_ref string, frame_idx int, frame binary"
+)
+
+FRAME_CHUNK = 8
+
+
+def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
+    """Arrow-batched resize: scale the (stub-)decoded dimensions so the
+    longer side is `max_side`, preserving aspect ratio in integer math.
+    The pixel resample itself is the stub (payload passes through); a
+    real deployment swaps `_decode_stub`/the passthrough for
+    PIL.Image.thumbnail — the schema, batching, and scale arithmetic
+    are the production shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ws, hs = [], []
+            for p in b["payload"]:
+                w, h = _decode_stub(p if p is not None else b"")
+                s = max(w, h)
+                if s > max_side:
+                    w, h = max(1, w * max_side // s), max(1, h * max_side // s)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_ref": b["media_ref"],
+                    "kind": b["kind"],
+                    "payload": b["payload"],
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return media.mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(media: DataFrame, chunk: int = FRAME_CHUNK) -> DataFrame:
+    """1→N frame sampling: split each payload into `chunk`-byte frames
+    (doc_id, media_ref, frame_idx, frame) — the stub stand-in for
+    ffmpeg keyframe extraction. Demonstrates the fan-out mapInPandas
+    shape: output batches are emitted per input batch so a giant video
+    row cannot materialize all frames in one pandas frame."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            ids, refs, idxs, frames = [], [], [], []
+            for did, ref, p in zip(b["doc_id"], b["media_ref"], b["payload"]):
+                p = p or b""
+                for i in range(0, max(len(p), 1), chunk):
+                    ids.append(did)
+                    refs.append(ref)
+                    idxs.append(i // chunk)
+                    frames.append(p[i : i + chunk])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "media_ref": refs,
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame": frames,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def extract_media_features(media: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over the media side table."""
 
