@@ -41,6 +41,12 @@ def main() -> int:
         help="page pre-split threshold in spans (0=off)",
     )
     ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument(
+        "--checkpoint",
+        action="store_true",
+        help="resumable run: atomic manifest commits + per-partition "
+        "lineage to <output>_lineage; re-running skips committed docs",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -71,13 +77,32 @@ def main() -> int:
     kw = dict(
         mode=args.mode, salt=args.salt or None, n_partitions=args.partitions
     )
-    if args.presplit:
+    extra = {}
+    if args.checkpoint:
+        from pyspark.sql import functions as F
+
+        from two_tier_document_parser_spark.checkpoint import CheckpointedExtract
+
+        ck = CheckpointedExtract(spark, args.output)
+        run_id = ck.run(raw, **kw)
+        res = ck.result()
+        lineage = ck.metrics()
+        extra = {
+            "run_id": run_id,
+            "lineage_partitions": (
+                lineage.filter(F.col("run_id") == run_id).count()
+                if lineage is not None
+                else 0
+            ),
+        }
+    elif args.presplit:
         out = extract_with_presplit(spark, raw, threshold=args.presplit, **kw)
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
     else:
         out = extract(spark, raw, **kw)
-    out.write.mode("overwrite").parquet(args.output)
-
-    res = spark.read.parquet(args.output)
+        out.write.mode("overwrite").parquet(args.output)
+        res = spark.read.parquet(args.output)
     n_docs = res.count()
     by_tier = {r["tier"]: r["n"] for r in res.groupBy("tier").count().withColumnRenamed("count", "n").collect()}
     wall = time.time() - t0
@@ -89,6 +114,7 @@ def main() -> int:
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(n_docs / wall, 1),
                 "output": args.output,
+                **extra,
             }
         )
     )
