@@ -523,12 +523,20 @@ def q_media_features(spark, sf_dir):
 # --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The driver documents table (plain text) lifts to fast-tier text
+    spans only, so a deterministic synthetic slice (interleaved
+    text+media, seed 42) is unioned in to exercise the full cascade —
+    both tiers, all output span kinds — in one smoke plan."""
     from two_tier_document_parser_spark.adapter import documents_to_raw
     from two_tier_document_parser_spark.pipeline import extract, ship_package
+    from two_tier_document_parser_spark.synth import synth_spark
 
     ship_package(spark)
-    raw = documents_to_raw(_docs(spark, "/root/testdata/sf0.001"))
+    raw = documents_to_raw(_docs(spark, "/root/testdata/sf0.001")).unionByName(
+        synth_spark(spark, 300, partitions=4)
+    )
     out = extract(spark, raw, persist=False)
     s = F.explode("spans").alias("s")
     return (
