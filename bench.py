@@ -108,13 +108,17 @@ def main() -> int:
         .collect(),
     )
 
-    # 4-7. driver-table operators (same code the correctness gate runs)
+    # 4+. driver-table operators (same code the correctness gate runs)
     qs = entrymod.queries()
     for name in (
         "pipeline_documents",
         "jaccard_near_dups",
         "knn_bruteforce",
         "doc_token_stats",
+        "sessionize",
+        "pricing_summary",
+        "tfidf_top_terms",
+        "emb_near_dups_lsh",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count())
 

@@ -73,36 +73,71 @@ def brute_force_topk(
     )
 
 
-def srp_signature(vec: Column, n_planes: int = N_PLANES, table: int = 0) -> Column:
-    """Sign-random-projection signature: bit p = sign of dot(vec, h_p)
-    where h_p[d] = +1/-1 from xxhash64(table*1024+p, d). Deterministic,
-    no stored model, computable JVM-side. `table` selects an
-    independent hash table (OR-construction for recall)."""
-    base = table * 1024
+def _splitmix64(x):
+    """Deterministic 64-bit mix (splitmix64), vectorized uint64 numpy —
+    the hyperplane seed function. No RNG state: h[t,p,d] depends only
+    on the (table, plane, dim) indices, so every executor derives the
+    identical model with zero broadcast."""
+    import numpy as np
 
-    def plane_dot(pp: Column) -> Column:
-        p = pp + F.lit(base)
-        # iterate dims via transform over the vector with positional index
-        return F.aggregate(
-            F.zip_with(
-                vec,
-                F.sequence(F.lit(0), F.size(vec) - 1),
-                lambda x, d: x.cast("double")
-                * (F.pmod(F.xxhash64(p, d), F.lit(2)).cast("double") * 2.0 - 1.0),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    z = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= np.uint64(0xBF58476D1CE4E5B9)
+    z ^= z >> np.uint64(27)
+    z *= np.uint64(0x94D049BB133111EB)
+    z ^= z >> np.uint64(31)
+    return z
+
+
+def _hyperplanes(n_tables: int, n_planes: int, dim: int):
+    """±1 hyperplane matrix of shape (n_tables*n_planes, dim)."""
+    import numpy as np
+
+    t = np.arange(n_tables, dtype=np.uint64)[:, None, None]
+    p = np.arange(n_planes, dtype=np.uint64)[None, :, None]
+    d = np.arange(dim, dtype=np.uint64)[None, None, :]
+    h = _splitmix64(t * np.uint64(1_000_003) + p * np.uint64(8191) + d)
+    signs = ((h & np.uint64(1)).astype(np.float64) * 2.0 - 1.0)
+    return signs.reshape(n_tables * n_planes, dim)
+
+
+def srp_sig_rows(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int = N_PLANES,
+    n_tables: int = 1,
+) -> DataFrame:
+    """(id, tbl, sig) rows: all tables' sign-random-projection
+    signatures in ONE vectorized pandas-UDF pass (batch matrix multiply
+    against the deterministic hyperplane matrix). Replaces the former
+    JVM higher-order-function formulation, which nested
+    tables x planes x dims lambda expressions and collapsed codegen
+    (measured 46 s for 500x64 vectors vs ~1 s here — the same
+    HOF-allocation hazard as PLANS.md lesson 1)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    weights = np.power(2.0, np.arange(n_planes - 1, -1, -1)).astype(np.int64)
+
+    def _sigs_impl(vecs):
+        if not len(vecs):
+            return pd.Series([], dtype=object)
+        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        H = _hyperplanes(n_tables, n_planes, X.shape[1])
+        bits = (X @ H.T > 0).astype(np.int64).reshape(
+            len(vecs), n_tables, n_planes
         )
+        s = (bits * weights).sum(axis=2).astype("int32")
+        return pd.Series([row.tolist() for row in s])
 
-    # fold plane bits into an int as a base-2 number (shiftleft needs a
-    # literal shift, so use acc*2+bit instead)
-    return F.aggregate(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)),
-            lambda p: F.when(plane_dot(p) > 0, F.lit(1)).otherwise(F.lit(0)),
-        ),
-        F.lit(0),
-        lambda acc, x: acc * 2 + x,
+    _sigs_impl.__annotations__ = {"vecs": pd.Series, "return": pd.Series}
+    sigs = pandas_udf(_sigs_impl, "array<int>")
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sigs(F.col(vec_col))).alias("tbl", "sig"),
     )
 
 
@@ -145,14 +180,7 @@ def lsh_near_dup_pairs(
     Replaces the O(N^2) cross join with n_tables equi-joins on
     (table, sig) that shuffle only (id, sig) pairs; the verify join
     rehydrates vectors for the surviving candidates only."""
-    tables = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
-    sigs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), tables)
-    expr = F.lit(None).cast("int")
-    for t in range(n_tables):
-        expr = F.when(
-            F.col("tbl") == t, srp_signature(F.col("v"), n_planes, table=t)
-        ).otherwise(expr)
-    sigs = sigs.withColumn("sig", expr).select("id", "tbl", "sig")
+    sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables)
     cand = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["tbl", "sig"])
@@ -307,29 +335,25 @@ def lsh_topk(
     cosine rerank within the candidate set. At 10^9 vectors this
     replaces the O(Q*N) cross join with n_tables hash-partitioned
     equi-joins on (table, sig); recall tunes via n_planes/n_tables."""
-    tables = F.explode(F.sequence(F.lit(0), F.lit(n_tables - 1))).alias("tbl")
-
-    def with_sigs(df: DataFrame, idc: str, vecc: str) -> DataFrame:
-        out = df.select("*", tables)
-        # CASE over table id (each table has independent hyperplanes)
-        expr = F.lit(None).cast("int")
-        for t in range(n_tables):
-            expr = F.when(
-                F.col("tbl") == t, srp_signature(F.col(vecc), n_planes, table=t)
-            ).otherwise(expr)
-        return out.withColumn("sig", expr)
-
-    cand = with_sigs(
-        emb.select(F.col(id_col).alias("candidate"), F.col(vec_col).alias("cvec")),
-        "candidate",
-        "cvec",
-    ).select("candidate", "cvec", "tbl", "sig")
-    q = with_sigs(queries, "query", "qvec").select("query", "qvec", "tbl", "sig")
-    joined = (
-        q.join(cand, ["tbl", "sig"])
+    cand_sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables)
+    q_sigs = srp_sig_rows(queries, "query", "qvec", n_planes, n_tables)
+    pair_ids = (
+        q_sigs.select(F.col("id").alias("query"), "tbl", "sig")
+        .join(
+            cand_sigs.select(F.col("id").alias("candidate"), "tbl", "sig"),
+            ["tbl", "sig"],
+        )
         .filter(F.col("query") != F.col("candidate"))
-        .select("query", "qvec", "candidate", "cvec")
-        .dropDuplicates(["query", "candidate"])
+        .select("query", "candidate")
+        .distinct()
+    )
+    joined = pair_ids.join(
+        queries.select("query", "qvec"), "query"
+    ).join(
+        emb.select(
+            F.col(id_col).alias("candidate"), F.col(vec_col).alias("cvec")
+        ),
+        "candidate",
     )
     sims = joined.select(
         "query",
