@@ -295,6 +295,50 @@ def test_resize_and_frame_sample(spark):
     assert max(len(bytes(r["frame"])) for r in frames) <= FRAME_CHUNK
 
 
+def test_parse_document_reference_shape():
+    """Per-request facade: response dicts carry the reference's field
+    names (fast/models.py:8-11, accurate/models.py:8-52) and agree
+    with the per-doc cascade (artifact ids in first-seen order)."""
+    from oracle import extract_doc, route_doc
+    from two_tier_document_parser_spark.api import parse_document
+    from two_tier_document_parser_spark.synth import synth_docs
+
+    docs = synth_docs(0, 60, seed=7)
+    saw_deep = saw_fast = False
+    for d in docs:
+        resp = parse_document(d)
+        exp = extract_doc(d)
+        assert resp["markdown"] == exp["markdown"]
+        assert resp["metadata"]["pages"] == exp["pages"]
+        assert set(resp["metadata"]) >= {
+            "pages", "processing_time_ms", "parser", "version", "filename",
+        }
+        if route_doc(d) == "fast":
+            saw_fast = True
+            assert "images" not in resp
+        else:
+            saw_deep = True
+            assert [i["image_id"] for i in resp["images"]] == [
+                s["media_ref"] for s in exp["spans"] if s["kind"] == "image"
+            ]
+            assert [t["table_id"] for t in resp["tables"]] == [
+                s["media_ref"] for s in exp["spans"] if s["kind"] == "table"
+            ]
+            assert [f["latex"] for f in resp["formulas"]] == [
+                s["text"] for s in exp["spans"] if s["kind"] == "formula"
+            ]
+    assert saw_fast and saw_deep
+
+    # forced tiers mirror calling each service directly
+    deep_doc = next(d for d in docs if route_doc(d) == "deep")
+    assert "images" in parse_document(deep_doc, tier="accurate")
+    assert "images" not in parse_document(deep_doc, tier="fast")
+    # poison-safe error dict, never an exception
+    bad = {"doc_id": "x", "doc_class": "pdf", "n_pages": 1,
+           "spans": [{"kind": "box", "text": "garbage", "media_ref": "", "offset": 0}]}
+    assert "error" in parse_document(bad, tier="accurate")
+
+
 def test_sessionize_gap_semantics(spark):
     """Hand-built timeline: gap strictly greater than 30 min starts a
     new session; a gap of exactly 30 min does not."""

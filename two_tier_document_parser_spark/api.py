@@ -1,0 +1,119 @@
+"""Per-request compatibility facade.
+
+A user of the reference talks to two HTTP services and gets a
+`ParseResponse` back per document (reference fast/models.py:8-11,
+accurate/models.py:8-52). This module reproduces that request-level
+surface on top of the engine so switching is mechanical:
+
+    POST :8004/parse  (fast)      -> parse_document(doc, tier="fast")
+    POST :8005/parse  (accurate)  -> parse_document(doc, tier="accurate")
+    client auto-routing           -> parse_document(doc)  # tier="auto"
+    batch over a corpus           -> pipeline.extract(spark, raw_df)
+
+The response dict matches the reference's field names: `markdown`,
+`metadata{pages, processing_time_ms, parser, filename, ...}` for both
+tiers; the accurate tier adds `images` / `tables` / `formulas` lists
+with positional ids in first-seen DFS order exactly as
+accurate/service.py:172-216 assigns them (`page_{p}_img_{i}` etc.).
+`image_base64`/`bbox` carry None: pixels never pass through this
+engine (payloads live in the media side table, multimodal.py).
+
+Single-document calls go through the same per-doc cascade the golden
+fixtures pin (oracle == vectorized kernels, tested bit-for-bit), so
+`parse_document` is exact w.r.t. the engine's batch output.
+"""
+
+from __future__ import annotations
+
+import re
+import time
+
+from .spec import ENGINE_VERSION
+
+_REF_RE = re.compile(r"page_(\d+)_(img|table|formula)_(\d+)")
+
+
+def _artifacts(spans: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
+    images: list[dict] = []
+    tables: list[dict] = []
+    formulas: list[dict] = []
+    for s in spans:
+        m = _REF_RE.fullmatch(s.get("media_ref") or "")
+        if not m:
+            continue
+        page = int(m.group(1))
+        if s["kind"] == "image":
+            # reference ImageData (accurate/models.py:8-13)
+            images.append(
+                {
+                    "image_id": s["media_ref"],
+                    "image_base64": None,
+                    "page": page,
+                    "bbox": None,
+                }
+            )
+        elif s["kind"] == "table":
+            # reference TableData (accurate/models.py:16-21)
+            tables.append(
+                {
+                    "table_id": s["media_ref"],
+                    "markdown": s["text"],
+                    "page": page,
+                    "bbox": None,
+                }
+            )
+        elif s["kind"] == "formula":
+            # reference FormulaData (accurate/models.py:24-29)
+            formulas.append(
+                {
+                    "formula_id": s["media_ref"],
+                    "latex": s["text"],
+                    "page": page,
+                    "bbox": None,
+                }
+            )
+    return images, tables, formulas
+
+
+def parse_document(doc: dict, tier: str = "auto") -> dict:
+    """One documents_raw row -> a reference-shaped ParseResponse dict.
+
+    tier="auto" routes like the engine (broadcast-model thresholds);
+    "fast"/"accurate" force a tier like calling the respective service
+    directly. Errors come back as {"error": ...} (reference
+    accurate/service.py:240-246), never as an exception."""
+    from oracle import route_doc
+    from oracle.tier1 import tier1_extract
+    from oracle.tier2 import tier2_extract
+
+    t0 = time.time()
+    try:
+        routed = route_doc(doc) if tier == "auto" else (
+            "fast" if tier == "fast" else "deep"
+        )
+        out = tier1_extract(doc) if routed == "fast" else tier2_extract(doc)
+    except Exception as exc:  # poison-safe: mirror the error dict shape
+        return {"error": str(exc)}
+
+    ms = int((time.time() - t0) * 1000)
+    meta = {
+        "pages": out["pages"],
+        "processing_time_ms": ms,
+        "parser": "two_tier_document_parser_spark",
+        "version": ENGINE_VERSION,
+        "filename": doc.get("doc_id", ""),
+    }
+    resp: dict = {"markdown": out["markdown"], "metadata": meta}
+    if out.get("skipped_pages"):
+        # reference fast/service.py:88-91
+        meta["skipped_pages"] = list(out["skipped_pages"])
+        meta["warning"] = (
+            f"{len(out['skipped_pages'])} pages skipped due to parsing errors"
+        )
+    if routed != "fast":
+        images, tables, formulas = _artifacts(out["spans"])
+        resp.update(images=images, tables=tables, formulas=formulas)
+        meta["accuracy_tier"] = "high"
+        meta["backend"] = "deterministic"
+        meta["gpu_used"] = False
+    return resp

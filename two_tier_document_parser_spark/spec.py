@@ -21,6 +21,8 @@ Semantics trace back to the reference parser:
 
 from __future__ import annotations
 
+ENGINE_VERSION = "1.0"
+
 # ---------------------------------------------------------------------------
 # Input span vocabulary (producer side, FIXTURES.md §1)
 # ---------------------------------------------------------------------------
