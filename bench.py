@@ -79,6 +79,10 @@ def main() -> int:
         res = None
         walls = []
         for _ in range(reps):
+            # settle heap debt from the previous measurement: garbage
+            # left by a prior stage otherwise lands in THIS stage's GC
+            # pauses (measured 3x inflation on the presplit timing)
+            spark._jvm.System.gc()
             t0 = time.time()
             res = fn()
             walls.append(round(time.time() - t0, 3))
