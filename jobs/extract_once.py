@@ -3,6 +3,13 @@
 Prints one JSON line: {"docs", "spans_out", "wall_sec", "docs_per_sec",
 "master"} — wall time covers the extraction job only (scan -> route ->
 tier UDFs -> count), not session startup.
+
+An untimed warm-up pass (--warm, default 1) runs first: Python worker
+fork/import and first-stage codegen are a ~3-5 s constant that a
+10^12-doc job amortizes to zero, but which eats 20-30% of a short
+high-core measurement — leaving it in biases every N->4N scaling ratio
+downward. The timed pass also follows a System.gc() so warm-up garbage
+doesn't land in the measured stage's GC pauses.
 """
 
 from __future__ import annotations
@@ -24,6 +31,7 @@ def main() -> int:
     ap.add_argument("--salt", type=int, default=0)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--shuffle-partitions", type=int, default=64)
+    ap.add_argument("--warm", type=int, default=1, help="untimed warm-up passes")
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -50,14 +58,13 @@ def main() -> int:
     raw = spark.read.parquet(args.input)
     raw.count()  # warm the scan metadata; excluded from timing
 
+    kw = dict(mode=args.mode, salt=args.salt or None, n_partitions=args.partitions)
+    for _ in range(args.warm):
+        extract(spark, raw, **kw).select(F.count(F.lit(1))).collect()
+    spark._jvm.System.gc()
+
     t0 = time.time()
-    out = extract(
-        spark,
-        raw,
-        mode=args.mode,
-        salt=args.salt or None,
-        n_partitions=args.partitions,
-    )
+    out = extract(spark, raw, **kw)
     agg = out.select(
         F.count(F.lit(1)).alias("docs"), F.sum(F.size("spans")).alias("spans")
     ).collect()[0]
