@@ -474,7 +474,6 @@ def q_knn_lsh(spark, sf_dir):
 def q_media_frames(spark, sf_dir):
     from two_tier_document_parser_spark.multimodal import (
         media_side_table,
-        resize_media,
         sample_frames,
     )
     from two_tier_document_parser_spark.pipeline import extract, ship_package
@@ -482,8 +481,7 @@ def q_media_frames(spark, sf_dir):
 
     ship_package(spark)
     out = extract(spark, synth_spark(spark, 200, partitions=8))
-    media = resize_media(media_side_table(out))
-    return sample_frames(media.drop("width", "height"))
+    return sample_frames(media_side_table(out))
 
 
 def q_emb_near_dups_lsh(spark, sf_dir):
@@ -534,8 +532,13 @@ def entry(spark: SparkSession) -> DataFrame:
     from two_tier_document_parser_spark.synth import synth_spark
 
     ship_package(spark)
+    # synth ids are prefixed: make_doc also emits d%09d ids, which
+    # would collide with the adapter's formatting of driver doc_ids
+    synth = synth_spark(spark, 300, partitions=4).withColumn(
+        "doc_id", F.concat(F.lit("synth-"), F.col("doc_id"))
+    )
     raw = documents_to_raw(_docs(spark, "/root/testdata/sf0.001")).unionByName(
-        synth_spark(spark, 300, partitions=4)
+        synth
     )
     out = extract(spark, raw, persist=False)
     s = F.explode("spans").alias("s")

@@ -84,7 +84,7 @@ def main() -> int:
         from two_tier_document_parser_spark.checkpoint import CheckpointedExtract
 
         ck = CheckpointedExtract(spark, args.output)
-        run_id = ck.run(raw, **kw)
+        run_id = ck.run(raw, presplit=args.presplit, **kw)
         res = ck.result()
         lineage = ck.metrics()
         extra = {

@@ -18,9 +18,10 @@ accurate/service.py:172-216 assigns them (`page_{p}_img_{i}` etc.).
 `image_base64`/`bbox` carry None: pixels never pass through this
 engine (payloads live in the media side table, multimodal.py).
 
-Single-document calls go through the same per-doc cascade the golden
-fixtures pin (oracle == vectorized kernels, tested bit-for-bit), so
-`parse_document` is exact w.r.t. the engine's batch output.
+Single-document calls run the engine's OWN Arrow kernels on a one-row
+batch (tier1_batches / tier2_batches — no Spark session, no external
+packages), so `parse_document` is bit-identical to the engine's batch
+output by construction and the facade deploys with engine.zip alone.
 """
 
 from __future__ import annotations
@@ -28,7 +29,7 @@ from __future__ import annotations
 import re
 import time
 
-from .spec import ENGINE_VERSION
+from .spec import ENGINE_VERSION, MEDIA_KINDS, ROUTING_DEFAULT, ROUTING_MODEL
 
 _REF_RE = re.compile(r"page_(\d+)_(img|table|formula)_(\d+)")
 
@@ -75,25 +76,58 @@ def _artifacts(spans: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
     return images, tables, formulas
 
 
+def _route_one(doc: dict) -> str:
+    """The engine's routing rule (spec.ROUTING_MODEL thresholds — the
+    same pure function the Arrow fused kernel computes batch-side)."""
+    spans = doc.get("spans") or []
+    n = len(spans)
+    if n == 0:
+        return "error"
+    n_box = sum(1 for s in spans if s["kind"] == "box")
+    n_media = sum(1 for s in spans if s["kind"] in MEDIA_KINDS)
+    box_t, media_t = ROUTING_MODEL.get(doc.get("doc_class"), ROUTING_DEFAULT)
+    return "deep" if (n_box / n > box_t or n_media >= media_t) else "fast"
+
+
+def _run_kernel_one(doc: dict, routed: str) -> dict:
+    """One-row Arrow batch through the engine's own tier kernel."""
+    import pyarrow as pa
+
+    from .tier1 import tier1_batches
+    from .tier2 import tier2_batches
+
+    batch = pa.RecordBatch.from_pylist(
+        [{"doc_id": str(doc.get("doc_id", "")), "spans": doc["spans"]}]
+    )
+    fn = tier1_batches if routed == "fast" else tier2_batches
+    for ob in fn(iter([batch])):
+        rows = ob.to_pylist()
+        if rows:
+            return rows[0]
+    raise RuntimeError("kernel produced no output row")
+
+
 def parse_document(doc: dict, tier: str = "auto") -> dict:
     """One documents_raw row -> a reference-shaped ParseResponse dict.
 
     tier="auto" routes like the engine (broadcast-model thresholds);
     "fast"/"accurate" force a tier like calling the respective service
-    directly. Errors come back as {"error": ...} (reference
-    accurate/service.py:240-246), never as an exception."""
-    from oracle import route_doc
-    from oracle.tier1 import tier1_extract
-    from oracle.tier2 import tier2_extract
-
-    t0 = time.time()
-    try:
-        routed = route_doc(doc) if tier == "auto" else (
-            "fast" if tier == "fast" else "deep"
+    directly (anything else raises ValueError, mirroring the services'
+    request validation). Parse errors come back as {"error": ...}
+    (reference accurate/service.py:240-246), never as an exception."""
+    if tier not in ("auto", "fast", "accurate"):
+        raise ValueError(
+            f"tier must be 'auto', 'fast' or 'accurate', got {tier!r}"
         )
-        out = tier1_extract(doc) if routed == "fast" else tier2_extract(doc)
-    except Exception as exc:  # poison-safe: mirror the error dict shape
-        return {"error": str(exc)}
+    t0 = time.time()
+    routed = _route_one(doc) if tier == "auto" else (
+        "fast" if tier == "fast" else "deep"
+    )
+    if routed == "error":
+        return {"error": "invalid document: no spans"}
+    out = _run_kernel_one(doc, routed)
+    if out.get("error"):
+        return {"error": out["error"]}
 
     ms = int((time.time() - t0) * 1000)
     meta = {

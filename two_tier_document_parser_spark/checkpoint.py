@@ -55,8 +55,10 @@ class CheckpointedExtract:
         done = self.data.read()
         return done.select("doc_id") if done is not None else None
 
-    def run(self, raw: DataFrame, **extract_kw) -> str:
-        """Extract everything not yet committed; returns run_id."""
+    def run(self, raw: DataFrame, presplit: int = 0, **extract_kw) -> str:
+        """Extract everything not yet committed; returns run_id.
+        `presplit` > 0 routes through the giant-doc page pre-split at
+        that span threshold (same semantics as the plain job)."""
         self.data.drop_uncommitted()
         t0 = time.time()
         todo = raw
@@ -64,7 +66,14 @@ class CheckpointedExtract:
         if done is not None:
             todo = raw.join(done, "doc_id", "left_anti")
         run_id = uuid.uuid4().hex[:12]
-        out = extract(self.spark, todo, **extract_kw)
+        if presplit:
+            from .presplit import extract_with_presplit
+
+            out = extract_with_presplit(
+                self.spark, todo, threshold=presplit, **extract_kw
+            )
+        else:
+            out = extract(self.spark, todo, **extract_kw)
         self.data.append(out, run_id)
         written = self.spark.read.parquet(
             f"{self.data.path}/runs/{run_id}"

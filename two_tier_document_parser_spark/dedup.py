@@ -255,6 +255,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # correct-or-fail: silently returning partial labels would
+        # violate the keep-doc_id==comp dedup contract
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} "
+            "iterations (graph diameter too large — raise max_iter or "
+            "switch to large-star/small-star)"
+        )
     return labels.select(F.col("id").alias("doc_id"), "comp")
 
 

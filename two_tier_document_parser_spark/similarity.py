@@ -89,8 +89,14 @@ def _splitmix64(x):
     return z
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
 def _hyperplanes(n_tables: int, n_planes: int, dim: int):
-    """±1 hyperplane matrix of shape (n_tables*n_planes, dim)."""
+    """±1 hyperplane matrix of shape (n_tables*n_planes, dim).
+    lru_cache: rebuilt once per (shape) per Python worker, not per
+    Arrow batch."""
     import numpy as np
 
     t = np.arange(n_tables, dtype=np.uint64)[:, None, None]
@@ -180,7 +186,9 @@ def lsh_near_dup_pairs(
     Replaces the O(N^2) cross join with n_tables equi-joins on
     (table, sig) that shuffle only (id, sig) pairs; the verify join
     rehydrates vectors for the surviving candidates only."""
-    sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables)
+    # persist: both sides of the self-join read the signature pass —
+    # without it the pandas-UDF projection runs twice over the corpus
+    sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables).persist()
     cand = (
         sigs.alias("x")
         .join(sigs.alias("y"), ["tbl", "sig"])
