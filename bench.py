@@ -143,28 +143,44 @@ def main() -> int:
 
     total = round(sum(timings.values()), 2)
     scaling_file = Path(__file__).parent / "BENCH" / "scaling.json"
-    scaling = (
-        json.loads(scaling_file.read_text()) if scaling_file.exists() else None
-    )
+    # Summarize scaling to the N->4N efficiency pairs only: the full
+    # raw-reps blob lives in BENCH/scaling.json (and made the output
+    # line too large to machine-parse in round 1 -> BENCH_r01 had
+    # parsed=null).
+    scaling_summary = None
+    if scaling_file.exists():
+        sc = json.loads(scaling_file.read_text())
+        scaling_summary = {
+            "pairs": [
+                {k: p[k] for k in ("n", "4n", "efficiency")}
+                for p in sc.get("ladder_4m", sc).get("pairs", [])
+            ],
+            "throughput_docs_per_sec": sc.get("ladder_4m", sc).get(
+                "throughput_docs_per_sec"
+            ),
+            "detail": "BENCH/scaling.json",
+        }
 
-    print(
-        json.dumps(
-            {
-                "metric": (
-                    "two-tier extraction + operator suite wall time "
-                    f"({BENCH_DOCS} synthetic interleaved docs + sf tables)"
-                ),
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf_dir.rstrip("/").split("/")[-1],
-                "cpus": cpus,
-                **extras,
-                **({"scaling": scaling} if scaling else {}),
-            }
-        )
+    line = json.dumps(
+        {
+            "metric": (
+                "two-tier extraction + operator suite wall time "
+                f"({BENCH_DOCS} synthetic interleaved docs + sf tables)"
+            ),
+            "value": total,
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf_dir.rstrip("/").split("/")[-1],
+            "cpus": cpus,
+            **extras,
+            **({"scaling": scaling_summary} if scaling_summary else {}),
+        }
     )
     spark.stop()
+    # ONE machine-readable JSON line, last on stdout, after spark has
+    # shut down (so no JVM log lines can interleave after it)
+    sys.stdout.flush()
+    print(line)
     return 0
 
 

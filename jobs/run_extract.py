@@ -87,8 +87,12 @@ def main() -> int:
         run_id = ck.run(raw, presplit=args.presplit, **kw)
         res = ck.result()
         lineage = ck.metrics()
+        # throughput is for THIS run only (a resumed run must not claim
+        # docs committed by earlier runs); table-total reported separately
+        run_docs = spark.read.parquet(f"{args.output}/runs/{run_id}").count()
         extra = {
             "run_id": run_id,
+            "run_docs": run_docs,
             "lineage_partitions": (
                 lineage.filter(F.col("run_id") == run_id).count()
                 if lineage is not None
@@ -106,13 +110,14 @@ def main() -> int:
     n_docs = res.count()
     by_tier = {r["tier"]: r["n"] for r in res.groupBy("tier").count().withColumnRenamed("count", "n").collect()}
     wall = time.time() - t0
+    rate_docs = extra.get("run_docs", n_docs)
     print(
         json.dumps(
             {
                 "docs": n_docs,
                 "by_tier": by_tier,
                 "wall_sec": round(wall, 2),
-                "docs_per_sec": round(n_docs / wall, 1),
+                "docs_per_sec": round(rate_docs / wall, 1),
                 "output": args.output,
                 **extra,
             }

@@ -78,10 +78,14 @@ def _artifacts(spans: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
 
 def _route_one(doc: dict) -> str:
     """The engine's routing rule (spec.ROUTING_MODEL thresholds — the
-    same pure function the Arrow fused kernel computes batch-side)."""
+    same pure function the Arrow fused kernel computes batch-side).
+    Validation mirrors the batch router (routing.with_tier /
+    pipeline.validate_split) in full — null doc_id, empty spans,
+    n_pages < 1 — so the facade quarantines exactly the documents the
+    batch engine emits as tier='error'."""
     spans = doc.get("spans") or []
     n = len(spans)
-    if n == 0:
+    if n == 0 or doc.get("doc_id") is None or doc.get("n_pages", 1) < 1:
         return "error"
     n_box = sum(1 for s in spans if s["kind"] == "box")
     n_media = sum(1 for s in spans if s["kind"] in MEDIA_KINDS)
@@ -124,7 +128,7 @@ def parse_document(doc: dict, tier: str = "auto") -> dict:
         "fast" if tier == "fast" else "deep"
     )
     if routed == "error":
-        return {"error": "invalid document: no spans"}
+        return {"error": "invalid document"}
     out = _run_kernel_one(doc, routed)
     if out.get("error"):
         return {"error": out["error"]}
@@ -141,8 +145,9 @@ def parse_document(doc: dict, tier: str = "auto") -> dict:
     if out.get("skipped_pages"):
         # reference fast/service.py:88-91
         meta["skipped_pages"] = list(out["skipped_pages"])
+        # exact reference wording (fast/service.py:90)
         meta["warning"] = (
-            f"{len(out['skipped_pages'])} pages skipped due to parsing errors"
+            f"Skipped {len(out['skipped_pages'])} page(s) due to parsing errors"
         )
     if routed != "fast":
         images, tables, formulas = _artifacts(out["spans"])

@@ -125,6 +125,10 @@ def srp_sig_rows(
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
+    if not 0 < n_planes < 32:
+        # the packed signature is an int32 bucket id; >=32 planes would
+        # silently wrap and alias unrelated buckets together
+        raise ValueError(f"n_planes must be in [1, 31], got {n_planes}")
     weights = np.power(2.0, np.arange(n_planes - 1, -1, -1)).astype(np.int64)
 
     def _sigs_impl(vecs):
@@ -187,7 +191,11 @@ def lsh_near_dup_pairs(
     (table, sig) that shuffle only (id, sig) pairs; the verify join
     rehydrates vectors for the surviving candidates only."""
     # persist: both sides of the self-join read the signature pass —
-    # without it the pandas-UDF projection runs twice over the corpus
+    # without it the pandas-UDF projection runs twice over the corpus.
+    # The candidate set is materialized eagerly (localCheckpoint cuts
+    # the lineage back to the stored blocks) so the signature cache can
+    # be released HERE instead of leaking pinned partitions across
+    # repeated calls in a long-lived session (round-1 advice).
     sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables).persist()
     cand = (
         sigs.alias("x")
@@ -195,7 +203,9 @@ def lsh_near_dup_pairs(
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
         .distinct()
+        .localCheckpoint()
     )
+    sigs.unpersist()
     va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
     vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
     return (
