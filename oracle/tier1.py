@@ -146,7 +146,9 @@ def tier1_extract(doc: dict) -> dict:
         "tier": "fast",
         "pages": len(pages),
         "spans": [
-            {"kind": k, "text": t, "media_ref": m, "order": o}
+            # bbox []: the fast tier is a text-only linearization with
+            # no layout geometry (reference fast tier, README.md:39-48)
+            {"kind": k, "text": t, "media_ref": m, "order": o, "bbox": []}
             for k, t, m, o in out_spans
         ],
         "markdown": join_pages(page_parts),

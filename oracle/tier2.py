@@ -33,16 +33,23 @@ from .tier1 import split_pages
 
 
 class _Emitter:
-    """Accumulates output spans and per-document artifact counters."""
+    """Accumulates output spans and per-document artifact counters.
+
+    Every span carries the bbox of the layout region it was emitted
+    from ([x0, y0, x1, y1] ints), or [] for content outside any box
+    (implicit leading regions) — reference parity: artifacts carry the
+    block bbox (accurate/models.py:8-29, accurate/service.py:177-216).
+    """
 
     def __init__(self) -> None:
-        self.spans: list[tuple[str, str, str]] = []
+        self.spans: list[tuple[str, str, str, list[int]]] = []
         self.n_img = 0
         self.n_tab = 0
         self.n_form = 0
+        self.bbox: list[int] = []
 
     def emit(self, kind: str, text: str, media_ref: str = "") -> None:
-        self.spans.append((kind, text, media_ref))
+        self.spans.append((kind, text, media_ref, self.bbox))
 
     def emit_image(self, page: int, asset_ref: str) -> None:
         self.emit("image", asset_ref, f"page_{page}_img_{self.n_img}")
@@ -142,15 +149,17 @@ def tier2_extract(doc: dict) -> dict:
 
         start = len(em.spans)
         if leading:
+            em.bbox = []
             _process_text_region(leading, p, em)
         for i in xycut([r[0] for r in regions]):
-            _, rk, content = regions[i]
+            box, rk, content = regions[i]
+            em.bbox = list(box)
             if rk == "table":
                 _process_table_region(content, p, em)
             else:
                 _process_text_region(content, p, em)
         page_parts.append(
-            join_page([render_block(k, t, m) for k, t, m in em.spans[start:]])
+            join_page([render_block(k, t, m) for k, t, m, _ in em.spans[start:]])
         )
 
     return {
@@ -158,8 +167,8 @@ def tier2_extract(doc: dict) -> dict:
         "tier": "deep",
         "pages": len(pages),
         "spans": [
-            {"kind": k, "text": t, "media_ref": m, "order": o}
-            for o, (k, t, m) in enumerate(em.spans)
+            {"kind": k, "text": t, "media_ref": m, "order": o, "bbox": b}
+            for o, (k, t, m, b) in enumerate(em.spans)
         ],
         "markdown": join_pages(page_parts),
         "n_images": em.n_img,

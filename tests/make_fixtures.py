@@ -32,6 +32,16 @@ def spans_key(spans: list[dict]) -> str:
     return hashlib.sha256(canon.encode("utf-8")).hexdigest()
 
 
+def bbox_key(spans: list[dict]) -> str:
+    """Geometry hash, separate from the (kind, text, media_ref, order)
+    equality invariant: bboxes are exact ints but the north-rule
+    invariant deliberately excludes geometry (SURVEY §7.7.4)."""
+    canon = json.dumps(
+        [list(s["bbox"]) for s in spans], separators=(",", ":")
+    )
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()
+
+
 def md_key(md: str) -> str:
     return hashlib.sha256(md.encode("utf-8")).hexdigest()
 
@@ -57,11 +67,12 @@ def main() -> None:
             "n_formulas": out["n_formulas"],
             "skipped_pages": out["skipped_pages"],
             "spans_sha": spans_key(out["spans"]),
+            "bbox_sha": bbox_key(out["spans"]),
             "md_sha": md_key(out["markdown"]),
         }
         if idx < 40:
             sample[doc["doc_id"]] = [
-                [s["kind"], s["text"], s["media_ref"], s["order"]]
+                [s["kind"], s["text"], s["media_ref"], s["order"], s["bbox"]]
                 for s in out["spans"]
             ]
         # markdown snapshots: a diverse dozen small docs

@@ -26,6 +26,12 @@ def _check_against_golden(rows, expected_n=N_DOCS):
             separators=(",", ":"),
         )
         assert hashlib.sha256(canon.encode()).hexdigest() == g["spans_sha"], row.doc_id
+        bbox_canon = json.dumps(
+            [list(s.bbox) for s in row.spans], separators=(",", ":")
+        )
+        assert (
+            hashlib.sha256(bbox_canon.encode()).hexdigest() == g["bbox_sha"]
+        ), row.doc_id
         assert (
             hashlib.sha256(row.markdown.encode()).hexdigest() == g["md_sha"]
         ), row.doc_id

@@ -9,7 +9,7 @@ import json
 from conftest import FIXTURES
 from oracle import extract_doc, route_doc
 from two_tier_document_parser_spark.synth import synth_docs
-from make_fixtures import N_DOCS, SEED, md_key, spans_key
+from make_fixtures import N_DOCS, SEED, bbox_key, md_key, spans_key
 
 
 def test_oracle_matches_frozen_goldens():
@@ -33,10 +33,11 @@ def test_oracle_matches_frozen_goldens():
             g["n_images"], g["n_tables"], g["n_formulas"],
         )
         assert spans_key(out["spans"]) == g["spans_sha"], doc["doc_id"]
+        assert bbox_key(out["spans"]) == g["bbox_sha"], doc["doc_id"]
         assert md_key(out["markdown"]) == g["md_sha"], doc["doc_id"]
         if doc["doc_id"] in sample:
             assert [
-                [s["kind"], s["text"], s["media_ref"], s["order"]]
+                [s["kind"], s["text"], s["media_ref"], s["order"], s["bbox"]]
                 for s in out["spans"]
             ] == sample[doc["doc_id"]]
         if doc["doc_id"] in snap_ids:

@@ -178,6 +178,55 @@ def test_table_markdown_ragged_rows():
     assert table_markdown([]) == ""
 
 
+def test_bbox_geometry_on_output_spans():
+    """Every tier-2 span carries the bbox of its emitting layout
+    region ([x0,y0,x1,y1] ints); content outside any box and all
+    tier-1 output carry [] (reference: bbox on ImageData/TableData/
+    FormulaData, accurate/models.py:8-29, accurate/service.py:177)."""
+    doc = _doc(
+        [
+            ("text", "leading text before any region box here we go", ""),
+            ("box", "0,0,100,100,figure", ""),
+            ("image", "", "asset_1"),
+            ("box", "0,200,300,400,table", ""),
+            ("table_cell", "a", ""),
+            ("table_row_end", "", ""),
+            ("box", "0,500,300,600,formula", ""),
+            ("formula", "e=mc^2", ""),
+        ],
+        doc_class="pdfish",
+    )
+    out = tier2_extract(doc)
+    by_kind = {s["kind"]: s for s in out["spans"]}
+    assert by_kind["image"]["bbox"] == [0, 0, 100, 100]
+    assert by_kind["table"]["bbox"] == [0, 200, 300, 400]
+    assert by_kind["formula"]["bbox"] == [0, 500, 300, 600]
+    assert by_kind["text"]["bbox"] == []  # implicit leading region
+    # tier-1 output is text-only with no geometry
+    t1 = tier1_extract(_doc([("text", GOOD_TEXT, "")]))
+    assert all(s["bbox"] == [] for s in t1["spans"])
+
+
+def test_bbox_surfaces_in_api_artifacts():
+    """The facade's ImageData/TableData/FormulaData dicts expose bbox
+    (reference accurate/models.py:8-29) instead of None."""
+    from two_tier_document_parser_spark.api import parse_document
+
+    doc = _doc(
+        [
+            ("box", "10,20,110,220,figure", ""),
+            ("image", "", "asset_1"),
+            ("box", "10,300,500,400,table", ""),
+            ("table_cell", "a", ""),
+            ("table_row_end", "", ""),
+        ],
+        doc_class="pdfish",
+    )
+    resp = parse_document(doc, tier="accurate")
+    assert resp["images"][0]["bbox"] == [10, 20, 110, 220]
+    assert resp["tables"][0]["bbox"] == [10, 300, 500, 400]
+
+
 def test_reading_order_dense_per_doc():
     doc = _doc(
         [

@@ -43,6 +43,10 @@ def _artifacts(spans: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
         if not m:
             continue
         page = int(m.group(1))
+        # reference bbox is Optional[list] (accurate/models.py:12):
+        # [x0,y0,x1,y1] of the emitting layout region, None when the
+        # artifact had no geometry
+        bbox = list(s["bbox"]) if s.get("bbox") else None
         if s["kind"] == "image":
             # reference ImageData (accurate/models.py:8-13)
             images.append(
@@ -50,7 +54,7 @@ def _artifacts(spans: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
                     "image_id": s["media_ref"],
                     "image_base64": None,
                     "page": page,
-                    "bbox": None,
+                    "bbox": bbox,
                 }
             )
         elif s["kind"] == "table":
@@ -60,7 +64,7 @@ def _artifacts(spans: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
                     "table_id": s["media_ref"],
                     "markdown": s["text"],
                     "page": page,
-                    "bbox": None,
+                    "bbox": bbox,
                 }
             )
         elif s["kind"] == "formula":
@@ -70,7 +74,7 @@ def _artifacts(spans: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
                     "formula_id": s["media_ref"],
                     "latex": s["text"],
                     "page": page,
-                    "bbox": None,
+                    "bbox": bbox,
                 }
             )
     return images, tables, formulas

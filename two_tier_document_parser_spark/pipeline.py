@@ -103,7 +103,8 @@ def _error_rows(df: DataFrame, reason: str) -> DataFrame:
         F.lit("error").alias("tier"),
         F.lit(0).cast("int").alias("pages"),
         F.array().cast(
-            "array<struct<kind:string,text:string,media_ref:string,order:int>>"
+            "array<struct<kind:string,text:string,media_ref:string,"
+            "order:int,bbox:array<int>>>"
         ).alias("spans"),
         F.lit("").alias("markdown"),
         F.lit(0).cast("int").alias("n_images"),
@@ -189,8 +190,9 @@ def fused_batches(batches):
                 pa.array(np.zeros(nbad + 1, np.int32), type=pa.int32()),
                 pa.StructArray.from_arrays(
                     [pa.array([], type=pa.string())] * 3
-                    + [pa.array([], type=pa.int32())],
-                    names=["kind", "text", "media_ref", "order"],
+                    + [pa.array([], type=pa.int32()),
+                       pa.array([], type=pa.list_(pa.int32()))],
+                    names=["kind", "text", "media_ref", "order", "bbox"],
                 ),
             )
             zeros32 = pa.array(np.zeros(nbad, np.int32), type=pa.int32())

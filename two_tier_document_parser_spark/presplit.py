@@ -173,6 +173,7 @@ def _reassemble_group(pdf: pd.DataFrame) -> pd.DataFrame:
                     "text": s["text"],
                     "media_ref": ref,
                     "order": len(out_spans),
+                    "bbox": list(s["bbox"]),
                 }
             )
         if mapping:

@@ -41,6 +41,14 @@ SPAN_OUT = StructType(
         StructField("text", StringType(), False),
         StructField("media_ref", StringType(), False),
         StructField("order", IntegerType(), False),
+        # [x0, y0, x1, y1] in integer layout-grid units, [] when the
+        # span has no geometry (tier-1 output, regions without boxes).
+        # Reference parity: every ImageData/TableData/FormulaData
+        # carries bbox (accurate/models.py:8-29, populated at
+        # accurate/service.py:177-216); ints (not floats) keep the
+        # bbox OUT of the float-free equality invariant while still
+        # being exact (SURVEY §7.7.4).
+        StructField("bbox", ArrayType(IntegerType(), False), False),
     ]
 )
 

@@ -304,8 +304,15 @@ def tier1_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
                 pa.array(out_text, type=pa.string()),
                 pa.array([""] * n_out, type=pa.string()),
                 pa.array(order.astype(np.int32), type=pa.int32()),
+                # fast tier emits no geometry (text-only linearization):
+                # bbox = [] for every span, built as one zeroed offsets
+                # buffer (no per-span Python lists)
+                pa.ListArray.from_arrays(
+                    pa.array(np.zeros(n_out + 1, np.int32), type=pa.int32()),
+                    pa.array([], type=pa.int32()),
+                ),
             ],
-            names=["kind", "text", "media_ref", "order"],
+            names=["kind", "text", "media_ref", "order", "bbox"],
         )
         spans_col = pa.ListArray.from_arrays(
             pa.array(span_offsets, type=pa.int32()), span_struct

@@ -54,12 +54,17 @@ K_TEXT, K_HEAD, K_LIST, K_CELL, K_ROWEND, K_IMG, K_FORM, K_LINK, K_BOIL, K_PB, K
 
 
 class _DocEmitter:
-    __slots__ = ("kinds", "texts", "refs", "n_img", "n_tab", "n_form")
+    __slots__ = ("kinds", "texts", "refs", "bboxes", "bbox",
+                 "n_img", "n_tab", "n_form")
 
     def __init__(self) -> None:
         self.kinds: list[str] = []
         self.texts: list[str] = []
         self.refs: list[str] = []
+        # per-span [x0,y0,x1,y1] of the emitting region, [] outside
+        # boxes (reference bbox parity, accurate/models.py:8-29)
+        self.bboxes: list[list[int]] = []
+        self.bbox: list[int] = []
         self.n_img = 0
         self.n_tab = 0
         self.n_form = 0
@@ -68,6 +73,7 @@ class _DocEmitter:
         self.kinds.append(kind)
         self.texts.append(text)
         self.refs.append(ref)
+        self.bboxes.append(self.bbox)
 
     def image(self, page: int, asset: str) -> None:
         self.emit("image", asset, f"page_{page}_img_{self.n_img}")
@@ -150,10 +156,11 @@ def _table_region(kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter) -> N
 def _process_page(kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter) -> None:
     box_pos = [i for i in range(lo, hi) if kc[i] == K_BOX]
     start = len(em.kinds)
+    em.bbox = []
     if not box_pos:
         _text_region(kc, tx, rf, lo, hi, page, em)
     else:
-        if box_pos[0] > lo:  # implicit leading region
+        if box_pos[0] > lo:  # implicit leading region (no geometry)
             _text_region(kc, tx, rf, lo, box_pos[0], page, em)
         bboxes = []
         region_kind = []
@@ -166,6 +173,7 @@ def _process_page(kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter) -> N
             bounds.append((b + 1, end))
         for i in xycut(bboxes):
             blo, bhi = bounds[i]
+            em.bbox = list(bboxes[i])
             if region_kind[i] == "table":
                 _table_region(kc, tx, rf, blo, bhi, page, em)
             else:
@@ -192,6 +200,7 @@ def tier2_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
         out_kinds: list[str] = []
         out_texts: list[str] = []
         out_refs: list[str] = []
+        out_bboxes: list[list[int]] = []
         span_counts = np.zeros(n_docs, np.int64)
         pages_out = np.zeros(n_docs, np.int32)
         n_img = np.zeros(n_docs, np.int32)
@@ -237,6 +246,7 @@ def tier2_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
             out_kinds.extend(em.kinds)
             out_texts.extend(em.texts)
             out_refs.extend(em.refs)
+            out_bboxes.extend(em.bboxes)
             span_counts[d] = len(em.kinds)
             n_img[d] = em.n_img
             n_tab[d] = em.n_tab
@@ -254,8 +264,9 @@ def tier2_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
                 pa.array(out_texts, type=pa.string()),
                 pa.array(out_refs, type=pa.string()),
                 pa.array(order.astype(np.int32), type=pa.int32()),
+                pa.array(out_bboxes, type=pa.list_(pa.int32())),
             ],
-            names=["kind", "text", "media_ref", "order"],
+            names=["kind", "text", "media_ref", "order", "bbox"],
         )
         offsets = pa.array(
             np.concatenate([[0], np.cumsum(span_counts)]).astype(np.int32),
