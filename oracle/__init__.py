@@ -17,6 +17,21 @@ from .tier2 import tier2_extract
 def extract_doc(doc: dict) -> dict:
     """Full per-document cascade: route, then extract with the routed
     tier — the oracle equivalent of the engine's classify-then-split
-    (reference usage pattern: examples/demo_client.py:23-47)."""
+    (reference usage pattern: examples/demo_client.py:23-47). Invalid
+    or oversize documents come back as quarantine rows (tier='error'),
+    matching the engine's error channel."""
     tier = route_doc(doc)
+    if tier == "error":
+        return {
+            "doc_id": doc.get("doc_id") or "",
+            "tier": "error",
+            "pages": 0,
+            "spans": [],
+            "markdown": "",
+            "n_images": 0,
+            "n_tables": 0,
+            "n_formulas": 0,
+            "skipped_pages": [],
+            "error": "quarantined",
+        }
     return tier1_extract(doc) if tier == "fast" else tier2_extract(doc)

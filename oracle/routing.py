@@ -12,6 +12,8 @@ from two_tier_document_parser_spark.spec import (
     MEDIA_KINDS,
     ROUTING_DEFAULT,
     ROUTING_MODEL,
+    T1_MAX_SPANS,
+    T2_MAX_SPANS,
 )
 
 
@@ -24,7 +26,9 @@ def route_doc(doc: dict) -> str:
     n_media = sum(1 for s in spans if s["kind"] in MEDIA_KINDS)
     box_t, media_t = ROUTING_MODEL.get(doc["doc_class"], ROUTING_DEFAULT)
     # deep when layout boxes are present beyond the threshold fraction,
-    # or the doc is media-rich enough to need the deep artifact pass
+    # or the doc is media-rich enough to need the deep artifact pass;
+    # oversize for the routed tier -> quarantine (reference 413
+    # semantics, fast/app.py:71-73, accurate/app.py:125-127)
     if n_box / n > box_t or n_media >= media_t:
-        return "deep"
-    return "fast"
+        return "error" if n > T2_MAX_SPANS else "deep"
+    return "error" if n > T1_MAX_SPANS else "fast"

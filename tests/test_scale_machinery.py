@@ -154,6 +154,38 @@ def test_media_features_stub(spark):
         assert f.feat_ok and 16 <= f.width < 80 and len(f.sha256) == 64
 
 
+def test_fused_kernel_size_cap_quarantine():
+    """Oversize docs (reference 413 semantics) come out of the fused
+    kernel as tier='error' rows with the cap reason — in-band, no
+    exception, valid neighbours unaffected."""
+    import pyarrow as pa
+
+    from two_tier_document_parser_spark.pipeline import fused_batches
+    from two_tier_document_parser_spark.spec import (
+        T1_MAX_SPANS,
+        too_large_reason,
+    )
+
+    span = {"kind": "text", "text": "the data of the engine", "media_ref": "",
+            "offset": 0}
+    batch = pa.RecordBatch.from_pylist(
+        [
+            {"doc_id": "ok", "doc_class": "html", "spans": [span] * 5},
+            {"doc_id": "big", "doc_class": "html",
+             "spans": [span] * (T1_MAX_SPANS + 1)},
+        ]
+    )
+    rows = {
+        r["doc_id"]: r
+        for ob in fused_batches(iter([batch]))
+        for r in ob.to_pylist()
+    }
+    assert rows["ok"]["tier"] == "fast" and rows["ok"]["error"] == ""
+    assert rows["big"]["tier"] == "error"
+    assert rows["big"]["error"] == too_large_reason("fast")
+    assert rows["big"]["spans"] == []
+
+
 def test_tier_kernels_handle_empty_docs():
     """A zero-span page-doc (empty giant page) must not crash either
     kernel and must produce an empty one-page output row."""

@@ -227,6 +227,25 @@ def test_bbox_surfaces_in_api_artifacts():
     assert resp["tables"][0]["bbox"] == [10, 300, 500, 400]
 
 
+def test_size_cap_routes_to_quarantine():
+    """Reference 413 semantics (fast/app.py:71-73, accurate/app.py:
+    125-127): oversize docs quarantine with a distinct reason, never
+    parse, never raise."""
+    from oracle import extract_doc
+    from oracle.routing import route_doc
+    from two_tier_document_parser_spark.api import parse_document
+    from two_tier_document_parser_spark.spec import T1_MAX_SPANS
+
+    big = _doc([("text", "word " * 3, "")] * (T1_MAX_SPANS + 1))
+    assert route_doc(big) == "error"
+    assert extract_doc(big)["tier"] == "error"
+    resp = parse_document(big)  # facade mirrors the engine's routing
+    assert "error" in resp and "markdown" not in resp
+    # under the cap the same doc parses
+    ok = _doc([("text", GOOD_TEXT, "")])
+    assert route_doc(ok) == "fast"
+
+
 def test_reading_order_dense_per_doc():
     doc = _doc(
         [

@@ -87,6 +87,8 @@ def _route_one(doc: dict) -> str:
     pipeline.validate_split) in full — null doc_id, empty spans,
     n_pages < 1 — so the facade quarantines exactly the documents the
     batch engine emits as tier='error'."""
+    from .spec import T1_MAX_SPANS, T2_MAX_SPANS
+
     spans = doc.get("spans") or []
     n = len(spans)
     if n == 0 or doc.get("doc_id") is None or doc.get("n_pages", 1) < 1:
@@ -94,7 +96,10 @@ def _route_one(doc: dict) -> str:
     n_box = sum(1 for s in spans if s["kind"] == "box")
     n_media = sum(1 for s in spans if s["kind"] in MEDIA_KINDS)
     box_t, media_t = ROUTING_MODEL.get(doc.get("doc_class"), ROUTING_DEFAULT)
-    return "deep" if (n_box / n > box_t or n_media >= media_t) else "fast"
+    if n_box / n > box_t or n_media >= media_t:
+        # reference 413 semantics: oversize -> quarantined, never parsed
+        return "error" if n > T2_MAX_SPANS else "deep"
+    return "error" if n > T1_MAX_SPANS else "fast"
 
 
 def _run_kernel_one(doc: dict, routed: str) -> dict:

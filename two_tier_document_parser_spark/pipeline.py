@@ -88,16 +88,30 @@ def session_tuning(builder):
 def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """O2: route invalid rows to quarantine instead of raising
     (reference returns 400/413, fast/app.py:61-73; a 10^12-doc job
-    cannot afford exceptions)."""
+    cannot afford exceptions). Includes the absolute size cap — the
+    413 analogue (spec.T2_MAX_SPANS, the larger of the two tier caps;
+    the tier-specific fast cap applies after routing, with_tier)."""
+    from .spec import T2_MAX_SPANS
+
     valid_pred = (
         F.col("doc_id").isNotNull()
         & (F.size("spans") > 0)
+        & (F.size("spans") <= T2_MAX_SPANS)
         & (F.col("n_pages") >= 1)
     )
     return df.filter(valid_pred), df.filter(~valid_pred)
 
 
 def _error_rows(df: DataFrame, reason: str) -> DataFrame:
+    """Quarantine rows in the documents_out shape. The per-row
+    `quarantine_reason` (set by routing.with_tier: invalid vs
+    oversize) wins over the blanket `reason` when present."""
+    reason_col = (
+        F.when(F.col("quarantine_reason") != "", F.col("quarantine_reason"))
+        .otherwise(F.lit(reason))
+        if "quarantine_reason" in df.columns
+        else F.lit(reason)
+    )
     return df.select(
         F.coalesce(F.col("doc_id"), F.lit("")).alias("doc_id"),
         F.lit("error").alias("tier"),
@@ -112,7 +126,7 @@ def _error_rows(df: DataFrame, reason: str) -> DataFrame:
         F.lit(0).cast("int").alias("n_formulas"),
         F.array().cast("array<int>").alias("skipped_pages"),
         F.lit(0).cast("bigint").alias("processing_time_ms"),
-        F.lit(reason).alias("error"),
+        reason_col.alias("error"),
     )
 
 
@@ -135,7 +149,15 @@ def fused_batches(batches):
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    from .spec import MEDIA_KINDS, ROUTING_DEFAULT, ROUTING_MODEL
+    from .spec import (
+        MEDIA_KINDS,
+        REASON_INVALID,
+        ROUTING_DEFAULT,
+        ROUTING_MODEL,
+        T1_MAX_SPANS,
+        T2_MAX_SPANS,
+        too_large_reason,
+    )
     from .tier1 import rebatch_by_spans, tier1_batches
     from .tier2 import tier2_batches
 
@@ -168,13 +190,18 @@ def fused_batches(batches):
             dtype=np.int64,
             count=n,
         )
-        bad = (counts == 0) | pc.is_null(batch.column("doc_id")).to_numpy(
+        invalid = (counts == 0) | pc.is_null(batch.column("doc_id")).to_numpy(
             zero_copy_only=False
         )
-        deep = ~bad & (
+        deep_rule = ~invalid & (
             (n_box / np.maximum(counts, 1) > bt) | (n_media >= mt)
         )
-        fast = ~bad & ~deep
+        # per-tier size caps (reference 413 semantics) -> quarantine
+        too_deep = deep_rule & (counts > T2_MAX_SPANS)
+        too_fast = ~invalid & ~deep_rule & (counts > T1_MAX_SPANS)
+        deep = deep_rule & ~too_deep
+        fast = ~invalid & ~deep_rule & ~too_fast
+        bad = invalid | too_deep | too_fast
 
         sub = batch.select(["doc_id", "spans"])
         if fast.any():
@@ -183,6 +210,15 @@ def fused_batches(batches):
             yield from tier2_batches(iter([sub.filter(pa.array(deep))]))
         if bad.any():
             nbad = int(bad.sum())
+            reasons = np.where(
+                invalid[bad],
+                REASON_INVALID,
+                np.where(
+                    too_deep[bad],
+                    too_large_reason("deep"),
+                    too_large_reason("fast"),
+                ),
+            ).tolist()
             ids = pc.fill_null(
                 batch.column("doc_id").filter(pa.array(bad)), ""
             )
@@ -208,7 +244,7 @@ def fused_batches(batches):
                     zeros32,
                     pa.array([[]] * nbad, type=pa.list_(pa.int32())),
                     pa.array(np.zeros(nbad, np.int64), type=pa.int64()),
-                    pa.array(["invalid document"] * nbad, type=pa.string()),
+                    pa.array(reasons, type=pa.string()),
                 ],
                 names=[f.name for f in OUT_SCHEMA.fields],
             )

@@ -17,7 +17,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .spec import MEDIA_KINDS, ROUTING_DEFAULT, ROUTING_MODEL
+from .spec import (
+    MEDIA_KINDS,
+    REASON_INVALID,
+    ROUTING_DEFAULT,
+    ROUTING_MODEL,
+    T1_MAX_SPANS,
+    T2_MAX_SPANS,
+    too_large_reason,
+)
 
 
 def routing_model_df(spark: SparkSession) -> DataFrame:
@@ -45,10 +53,25 @@ def with_features(df: DataFrame) -> DataFrame:
 
 
 def with_tier(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Attach `tier`: broadcast-join the routing model, apply the rule,
-    drop the helper columns."""
+    """Attach `tier` and `quarantine_reason`: broadcast-join the
+    routing model, apply the rule, drop the helper columns.
+
+    Quarantine classes (reason is '' on valid rows):
+    - invalid (null doc_id / no spans / n_pages < 1) — the reference's
+      400 semantics (fast/app.py:61-62);
+    - oversize for its routed tier — the reference's 413 semantics
+      (100 MB fast / 500 MB accurate, fast/app.py:71-73,
+      accurate/app.py:125-127), in spans (spec.T1/T2_MAX_SPANS)."""
     model = F.broadcast(routing_model_df(spark))
     bt_def, mt_def = ROUTING_DEFAULT
+    invalid = (
+        F.col("doc_id").isNull()
+        | (F.col("n_spans") == 0)
+        | (F.col("n_pages") < 1)
+    )
+    deep_rule = (
+        F.col("n_box") / F.col("n_spans") > F.col("box_frac_t")
+    ) | (F.col("n_media") >= F.col("media_t"))
     routed = (
         with_features(df)
         .join(model, "doc_class", "left")
@@ -56,18 +79,24 @@ def with_tier(df: DataFrame, spark: SparkSession) -> DataFrame:
         .withColumn("media_t", F.coalesce("media_t", F.lit(int(mt_def))))
         .withColumn(
             "tier",
-            F.when(
-                F.col("doc_id").isNull()
-                | (F.col("n_spans") == 0)
-                | (F.col("n_pages") < 1),
-                F.lit("error"),
+            F.when(invalid, F.lit("error"))
+            .when(deep_rule & (F.col("n_spans") > T2_MAX_SPANS), F.lit("error"))
+            .when(deep_rule, F.lit("deep"))
+            .when(F.col("n_spans") > T1_MAX_SPANS, F.lit("error"))
+            .otherwise(F.lit("fast")),
+        )
+        .withColumn(
+            "quarantine_reason",
+            F.when(invalid, F.lit(REASON_INVALID))
+            .when(
+                deep_rule & (F.col("n_spans") > T2_MAX_SPANS),
+                F.lit(too_large_reason("deep")),
             )
             .when(
-                (F.col("n_box") / F.col("n_spans") > F.col("box_frac_t"))
-                | (F.col("n_media") >= F.col("media_t")),
-                F.lit("deep"),
+                ~deep_rule & (F.col("n_spans") > T1_MAX_SPANS),
+                F.lit(too_large_reason("fast")),
             )
-            .otherwise(F.lit("fast")),
+            .otherwise(F.lit("")),
         )
     )
     return routed.drop("n_spans", "n_box", "n_media", "box_frac_t", "media_t")

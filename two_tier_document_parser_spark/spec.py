@@ -95,6 +95,26 @@ ROUTING_DEFAULT = (0.03, 20)
 MEDIA_KINDS = frozenset({"image", "formula", "table_cell"})
 
 # ---------------------------------------------------------------------------
+# Size caps (reference 413 semantics: "File too large (max 100MB)" on
+# the fast service / 500 MB on accurate — fast/app.py:71-73,
+# accurate/app.py:125-127). The engine's size unit is spans (payload
+# bytes never reach the router in the span schema); the 1:5 ratio
+# mirrors the reference. Oversize documents are routed to quarantine
+# (tier='error') with a distinct reason — never an exception, a
+# 10^12-doc job cannot afford one. Docs beyond the cap that SHOULD be
+# processed go through the page pre-split path (presplit.py), whose
+# threshold sits far below these caps.
+# ---------------------------------------------------------------------------
+T1_MAX_SPANS = 100_000
+T2_MAX_SPANS = 500_000
+REASON_INVALID = "invalid document"
+
+
+def too_large_reason(tier: str) -> str:
+    cap = T1_MAX_SPANS if tier == "fast" else T2_MAX_SPANS
+    return f"document too large (max {cap} spans for {tier} tier)"
+
+# ---------------------------------------------------------------------------
 # Stopwords (used by the tier-1 stop-density heuristic — union across
 # languages — and by the synthetic corpus generator / language-id op)
 # ---------------------------------------------------------------------------
