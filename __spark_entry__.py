@@ -436,6 +436,57 @@ def q_semi_customers(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
+# media operators over the driver table (oracle-checked): the SAME
+# mapInPandas operators (extract_media_features / sample_frames) the
+# extraction-output media path uses, fed a deterministic media table
+# derived from `documents` so DuckDB can verify values exactly.
+# The extraction-derived variants stay pytest-gated
+# (test_scale_machinery.py::test_media_features_stub,
+# test_new_ops.py::test_resize_and_frame_sample).
+# --------------------------------------------------------------------------
+
+def _media_df(spark, sf_dir, hex_payload: bool = False):
+    """documents -> (doc_id, media_ref, kind, payload binary).
+    hex_payload=True stores the utf-8 bytes hex-encoded (pure ASCII),
+    which makes byte-slicing == char-slicing so the frame oracle is
+    SQL-expressible despite DuckDB 1.0 lacking blob substring."""
+    d = _docs(spark, sf_dir)
+    payload = (
+        F.encode(F.hex(F.encode("text", "utf-8")), "utf-8")
+        if hex_payload
+        else F.encode("text", "utf-8")
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.concat(F.lit("m_"), F.col("doc_id").cast("string")).alias("media_ref"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+        .alias("kind"),
+        payload.alias("payload"),
+    )
+
+
+def q_media_features(spark, sf_dir):
+    from two_tier_document_parser_spark.multimodal import extract_media_features
+
+    return extract_media_features(_media_df(spark, sf_dir))
+
+
+def q_media_frames(spark, sf_dir):
+    from two_tier_document_parser_spark.multimodal import sample_frames
+
+    frames = sample_frames(_media_df(spark, sf_dir, hex_payload=True))
+    # frames are ASCII hex slices; expose as string for the value hash
+    return frames.select(
+        "doc_id",
+        "media_ref",
+        "frame_idx",
+        F.decode("frame", "utf-8").alias("frame_s"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Spark-only queries (rows-only driver check; exactness via pytest)
 # --------------------------------------------------------------------------
 
@@ -462,32 +513,29 @@ def q_simhash(spark, sf_dir):
 
 
 def q_knn_lsh(spark, sf_dir):
+    """SRP-LSH ANN top-k. Parameters (4 planes x 24 tables,
+    OR-construction) give measured 100% top-10 coverage on this
+    corpus, so the exact-knn SQL is a true oracle: the driver verifies
+    the bucketed-equi-join plan produces the brute-force answer."""
     from two_tier_document_parser_spark.similarity import lsh_topk
 
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query"), F.col("embedding").alias("qvec")
     )
-    return lsh_topk(e, queries, k=10)
-
-
-def q_media_frames(spark, sf_dir):
-    from two_tier_document_parser_spark.multimodal import (
-        media_side_table,
-        sample_frames,
-    )
-    from two_tier_document_parser_spark.pipeline import extract, ship_package
-    from two_tier_document_parser_spark.synth import synth_spark
-
-    ship_package(spark)
-    out = extract(spark, synth_spark(spark, 200, partitions=8))
-    return sample_frames(media_side_table(out))
+    return lsh_topk(e, queries, k=10, n_planes=4, n_tables=24)
 
 
 def q_emb_near_dups_lsh(spark, sf_dir):
+    """SRP-LSH near-dup pairs + exact verify. At 4 planes x 24 tables
+    the candidate OR-union has measured 100% recall of the >=0.44
+    pairs on this corpus, so the exact cross-join SQL is a true
+    oracle for the bucketed plan."""
     from two_tier_document_parser_spark.similarity import lsh_near_dup_pairs
 
-    return lsh_near_dup_pairs(_emb(spark, sf_dir), threshold_x100=44)
+    return lsh_near_dup_pairs(
+        _emb(spark, sf_dir), threshold_x100=44, n_planes=4, n_tables=24
+    )
 
 
 def q_knn_ivf(spark, sf_dir):
@@ -501,19 +549,6 @@ def q_knn_ivf(spark, sf_dir):
     # scales with sqrt(N) in production IVF; 16+ cells over 500 docs
     # leaves too few candidates per probe)
     return ivf_topk(e, queries, k=10, n_cells=8, n_probe=3)
-
-
-def q_media_features(spark, sf_dir):
-    from two_tier_document_parser_spark.multimodal import (
-        extract_media_features,
-        media_side_table,
-    )
-    from two_tier_document_parser_spark.pipeline import extract, ship_package
-    from two_tier_document_parser_spark.synth import synth_spark
-
-    ship_package(spark)
-    out = extract(spark, synth_spark(spark, 200, partitions=8))
-    return extract_media_features(media_side_table(out))
 
 
 # --------------------------------------------------------------------------
@@ -587,13 +622,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_order_counts": q_region_order_counts,
         "top_customers": q_top_customers,
         "semi_customers": q_semi_customers,
-        # Spark-only (rows-only check; exactness via pytest goldens)
-        "extract_synth_spans": q_extract_synth_spans,
         "simhash": q_simhash,
-        "knn_lsh": q_knn_lsh,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
+        "knn_lsh": q_knn_lsh,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
+        # Spark-only (rows-only check; exactness via pytest goldens:
+        # extract_synth_spans = the tier kernels on the synthetic
+        # interleaved corpus; knn_ivf = iterative centroid training
+        # has no ANSI-SQL form - recall/determinism pytest-gated)
+        "extract_synth_spans": q_extract_synth_spans,
         "knn_ivf": q_knn_ivf,
     }
 
@@ -778,7 +816,96 @@ def oracle_sql() -> dict[str, str]:
             "     SELECT 1 FROM lineitem l"
             "     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49))"
         ),
+        "simhash": _simhash_sql(),
+        "media_features": _media_features_sql(),
+        "media_frames": _media_frames_sql(),
+        # LSH at full-recall parameters (see q_knn_lsh/q_emb_near_dups
+        # _lsh docstrings): the exact formulations ARE the oracles
+        "knn_lsh": _knn_sql(),
+        "emb_near_dups_lsh": _emb_near_dups_sql(),
     }
+
+
+def _simhash_sql() -> str:
+    """ANSI/DuckDB replica of dedup.simhash64: per token the top 8
+    md5 digest bytes as a big-endian uint64, per document the sign of
+    the per-bit ±1 sums, packed LSB-first and wrapped into a signed
+    BIGINT via HUGEINT two's-complement arithmetic."""
+    return r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\s+')) AS t
+  FROM documents
+),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(t), 1, 16))::UBIGINT AS h
+  FROM tok WHERE t <> ''
+),
+acc AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th CROSS JOIN (SELECT unnest(range(64)) AS b) bb
+  GROUP BY doc_id, b
+),
+packed AS (
+  SELECT doc_id,
+         sum(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0 END) AS u
+  FROM acc GROUP BY doc_id
+)
+SELECT doc_id AS key,
+       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                 THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
+       AS simhash
+FROM packed
+"""
+
+
+_MEDIA_KIND_SQL = (
+    "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'"
+    " ELSE 'video' END"
+)
+
+
+def _media_features_sql() -> str:
+    """Replica of multimodal.extract_media_features over the
+    documents-derived media table: sha256 over the utf-8 payload,
+    width/height from the first two digest bytes (the deterministic
+    decode stub), byte length via octet_length(encode(...))."""
+    return f"""
+SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+       'm_' || CAST(doc_id AS VARCHAR) AS media_ref,
+       {_MEDIA_KIND_SQL} AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS sha256,
+       CAST(16 + ('0x' || substr(sha256(text), 1, 2))::INT % 64 AS INT)
+         AS width,
+       CAST(16 + ('0x' || substr(sha256(text), 3, 2))::INT % 64 AS INT)
+         AS height,
+       TRUE AS feat_ok
+FROM documents
+"""
+
+
+def _media_frames_sql(chunk: int = 8) -> str:
+    """Replica of multimodal.sample_frames over the hex-encoded
+    payload: ASCII hex makes byte slices == char slices, so frame i is
+    substr(hex, i*chunk+1, chunk); every payload yields >=1 frame."""
+    return f"""
+WITH h AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         'm_' || CAST(doc_id AS VARCHAR) AS media_ref,
+         hex(encode(text)) AS hx
+  FROM documents
+),
+idx AS (
+  SELECT doc_id, media_ref, hx,
+         unnest(range(greatest(CAST(ceil(length(hx) / {chunk}.0) AS BIGINT),
+                               1))) AS fi
+  FROM h
+)
+SELECT doc_id, media_ref, CAST(fi AS INT) AS frame_idx,
+       substr(hx, CAST(fi * {chunk} + 1 AS BIGINT), {chunk}) AS frame_s
+FROM idx
+"""
 
 
 def _sessionize_sql(gap_s: int = 1800) -> str:
