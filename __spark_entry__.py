@@ -435,6 +435,33 @@ def q_semi_customers(spark, sf_dir):
     ).select("c_custkey", "c_mktsegment")
 
 
+def q_binary_ingest(spark, sf_dir):
+    """O1 bytes-in contract (reference accepts opaque document bytes,
+    fast/app.py:49-66): documents lifted to spans, serialized into the
+    from-scratch TTDP1 columnar binary container, decoded back INSIDE
+    the Arrow kernel (binary_io.decode_batches — np.frombuffer section
+    views + zero-copy utf-8 assembly), exploded to relational rows.
+    The oracle replicates the lift in pure SQL, so a value-exact match
+    proves bytes -> documents_raw decoding end-to-end."""
+    from two_tier_document_parser_spark.adapter import documents_to_raw
+    from two_tier_document_parser_spark.binary_io import (
+        decode_table,
+        encode_table,
+    )
+    from two_tier_document_parser_spark.pipeline import ship_package
+
+    ship_package(spark)
+    raw = documents_to_raw(_docs(spark, sf_dir))
+    decoded = decode_table(encode_table(raw))
+    s = F.explode("spans").alias("s")
+    return decoded.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
 # --------------------------------------------------------------------------
 # media operators over the driver table (oracle-checked): the SAME
 # mapInPandas operators (extract_media_features / sample_frames) the
@@ -622,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_order_counts": q_region_order_counts,
         "top_customers": q_top_customers,
         "semi_customers": q_semi_customers,
+        "binary_ingest": q_binary_ingest,
         "simhash": q_simhash,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -816,6 +844,7 @@ def oracle_sql() -> dict[str, str]:
             "     SELECT 1 FROM lineitem l"
             "     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49))"
         ),
+        "binary_ingest": _binary_ingest_sql(),
         "simhash": _simhash_sql(),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(),
@@ -824,6 +853,22 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_sql(),
         "emb_near_dups_lsh": _emb_near_dups_sql(),
     }
+
+
+def _binary_ingest_sql(words_per_span: int = 12) -> str:
+    """Pure-SQL replica of adapter.documents_to_raw's chunking: spans
+    = 12-token chunks in token order; matching the decoded container
+    output proves the byte round-trip."""
+    return f"""
+{_TOK_CTE},
+ch AS (
+  SELECT doc_id, CAST(pos // {words_per_span} AS INT) AS "offset",
+         string_agg(token, ' ' ORDER BY pos) AS text
+  FROM tok GROUP BY doc_id, pos // {words_per_span}
+)
+SELECT printf('d%09d', doc_id) AS doc_id, 'text' AS kind, text, "offset"
+FROM ch
+"""
 
 
 def _simhash_sql() -> str:

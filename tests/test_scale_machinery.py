@@ -154,6 +154,48 @@ def test_media_features_stub(spark):
         assert f.feat_ok and 16 <= f.width < 80 and len(f.sha256) == 64
 
 
+def test_binary_ingestion_roundtrip_to_golden(spark):
+    """O1 bytes-in contract: synth corpus serialized into the TTDP1
+    binary container, decoded back inside the Arrow kernel, run
+    through the full cascade — output must equal the goldens, i.e.
+    `binary -> documents_raw -> documents_out` is lossless."""
+    from test_engine_golden import _check_against_golden
+
+    from two_tier_document_parser_spark.binary_io import (
+        decode_table,
+        encode_table,
+    )
+    from two_tier_document_parser_spark.pipeline import extract
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    raw = synth_spark(spark, 200, 42, partitions=5)
+    decoded = decode_table(encode_table(raw))
+    _check_against_golden(extract(spark, decoded).collect(), expected_n=200)
+
+
+def test_binary_decode_quarantines_malformed(spark):
+    """Corrupt payloads become quarantine rows through the full
+    pipeline (error channel O19) — never an exception."""
+    from two_tier_document_parser_spark.binary_io import (
+        decode_table,
+        encode_doc,
+    )
+    from two_tier_document_parser_spark.pipeline import extract
+    from two_tier_document_parser_spark.synth import synth_docs
+
+    good = synth_docs(0, 1, 42)[0]
+    rows = [
+        (good["doc_id"], bytearray(encode_doc(good))),
+        ("corrupt1", bytearray(b"NOTTTDP-garbage")),
+        ("corrupt2", bytearray(encode_doc(good)[:25])),
+    ]
+    bin_df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    out = {r.doc_id: r for r in extract(spark, decode_table(bin_df)).collect()}
+    assert out[good["doc_id"]].tier in ("fast", "deep")
+    assert out["corrupt1"].tier == "error"
+    assert out["corrupt2"].tier == "error"
+
+
 def test_fused_kernel_size_cap_quarantine():
     """Oversize docs (reference 413 semantics) come out of the fused
     kernel as tier='error' rows with the cap reason — in-band, no

@@ -1,0 +1,288 @@
+"""Byte-level document ingestion: a from-scratch binary container
+decoded inside the Arrow kernel.
+
+The reference's O1 accepts opaque document BYTES per request
+(fast/app.py:49-66, accurate/app.py:100-123); round 1 only consumed
+pre-tokenized span tables. This module closes that gap with a simple
+COLUMNAR container ("TTDP1") so `binary -> documents_raw` runs at
+vector speed:
+
+    magic   5s   b"TTDP1"
+    header  u8   doc_class code (index into spec.IN_DOC_CLASSES)
+            u32  n_pages        (little-endian throughout)
+            u32  n_spans
+    columns n_spans * u8   kind codes (index into spec.IN_KINDS)
+            n_spans * i32  offsets
+            n_spans * u32  text byte lengths, then the concatenated
+                           utf-8 text bytes
+            n_spans * u16  media_ref byte lengths, then the
+                           concatenated utf-8 ref bytes
+
+Because the layout is columnar, DECODE is not a per-span parse loop:
+each section is one `np.frombuffer` view, string columns are
+assembled zero-copy via `pa.Array.from_buffers` from (cumsum(lens),
+concatenated bytes) — the per-document Python loop touches only the
+fixed-size headers, never spans (input_hint mandate). A malformed
+payload quarantines the document (error channel O19), it never throws.
+
+Scale notes: the decode stage is map-only (no shuffle); payload bytes
+stream through Arrow buffers without per-row Python objects; the
+container is self-describing per document, so a 100 TB table of
+(doc_id, payload) splits on row-group boundaries like any parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from .schemas import RAW_SCHEMA
+from .spec import IN_KINDS
+
+MAGIC = b"TTDP1"
+IN_DOC_CLASSES = ("html", "pdfish")
+
+_HDR = len(MAGIC) + 1 + 4 + 4  # magic + class + n_pages + n_spans
+_KIND_INDEX = {k: i for i, k in enumerate(IN_KINDS)}
+_CLASS_INDEX = {c: i for i, c in enumerate(IN_DOC_CLASSES)}
+
+
+def encode_doc(doc: dict) -> bytes:
+    """Scalar encoder (oracle/test harness side): one documents_raw
+    row -> container bytes."""
+    spans = doc["spans"]
+    n = len(spans)
+    kinds = np.fromiter(
+        (_KIND_INDEX[s["kind"]] for s in spans), dtype=np.uint8, count=n
+    )
+    offsets = np.fromiter(
+        (s["offset"] for s in spans), dtype=np.int32, count=n
+    )
+    texts = [s["text"].encode("utf-8") for s in spans]
+    refs = [(s["media_ref"] or "").encode("utf-8") for s in spans]
+    tlen = np.fromiter((len(t) for t in texts), dtype=np.uint32, count=n)
+    rlen = np.fromiter((len(r) for r in refs), dtype=np.uint16, count=n)
+    head = (
+        MAGIC
+        + bytes([_CLASS_INDEX[doc["doc_class"]]])
+        + int(doc["n_pages"]).to_bytes(4, "little")
+        + n.to_bytes(4, "little")
+    )
+    return b"".join(
+        (
+            head,
+            kinds.tobytes(),
+            offsets.astype("<i4").tobytes(),
+            tlen.astype("<u4").tobytes(),
+            b"".join(texts),
+            rlen.astype("<u2").tobytes(),
+            b"".join(refs),
+        )
+    )
+
+
+def _utf8_array(lens: np.ndarray, data: bytes) -> pa.Array:
+    """Zero-copy-ish utf-8 column from (byte lengths, concatenated
+    bytes): one cumsum for the offsets, no per-value Python strings."""
+    offs = np.zeros(len(lens) + 1, dtype=np.int32)
+    np.cumsum(lens, out=offs[1:])
+    return pa.Array.from_buffers(
+        pa.utf8(),
+        len(lens),
+        [None, pa.py_buffer(offs.tobytes()), pa.py_buffer(data)],
+    )
+
+
+def decode_batches(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """(doc_id, payload binary) -> documents_raw rows. Malformed
+    payloads produce a quarantine-shaped row (doc_class='', n_pages=0,
+    no spans) instead of raising — validate_split / the router then
+    sends them to the error channel."""
+    kind_dict = pa.array(IN_KINDS, type=pa.string())
+    for batch in batches:
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            continue
+        payloads = batch.column("payload")
+        doc_classes: list[str] = []
+        n_pages = np.zeros(n_docs, dtype=np.int32)
+        span_counts = np.zeros(n_docs, dtype=np.int64)
+        kind_parts: list[np.ndarray] = []
+        off_parts: list[np.ndarray] = []
+        tlen_parts: list[np.ndarray] = []
+        text_parts: list[bytes] = []
+        rlen_parts: list[np.ndarray] = []
+        ref_parts: list[bytes] = []
+
+        for d in range(n_docs):
+            buf = payloads[d].as_py() or b""
+            try:
+                if buf[: len(MAGIC)] != MAGIC or len(buf) < _HDR:
+                    raise ValueError("bad magic")
+                cls = buf[len(MAGIC)]
+                np_d = int.from_bytes(buf[6:10], "little")
+                n = int.from_bytes(buf[10:14], "little")
+                pos = _HDR
+                kinds = np.frombuffer(buf, np.uint8, n, pos)
+                pos += n
+                offs = np.frombuffer(buf, "<i4", n, pos)
+                pos += 4 * n
+                tlen = np.frombuffer(buf, "<u4", n, pos)
+                pos += 4 * n
+                t_total = int(tlen.sum())
+                text_data = buf[pos : pos + t_total]
+                pos += t_total
+                rlen = np.frombuffer(buf, "<u2", n, pos)
+                pos += 2 * n
+                r_total = int(rlen.sum())
+                ref_data = buf[pos : pos + r_total]
+                if (
+                    len(text_data) != t_total
+                    or len(ref_data) != r_total
+                    or kinds.size and kinds.max() >= len(IN_KINDS)
+                    or cls >= len(IN_DOC_CLASSES)
+                ):
+                    raise ValueError("truncated or corrupt container")
+            except (ValueError, IndexError):
+                # O19: malformed bytes -> quarantine-shaped row
+                doc_classes.append("")
+                continue
+            doc_classes.append(IN_DOC_CLASSES[cls])
+            n_pages[d] = np_d
+            span_counts[d] = n
+            kind_parts.append(kinds)
+            off_parts.append(offs)
+            tlen_parts.append(tlen.astype(np.int64))
+            text_parts.append(text_data)
+            rlen_parts.append(rlen.astype(np.int64))
+            ref_parts.append(ref_data)
+
+        total = int(span_counts.sum())
+        kind_codes = (
+            np.concatenate(kind_parts) if kind_parts else np.empty(0, np.uint8)
+        )
+        kind_col = pa.DictionaryArray.from_arrays(
+            pa.array(kind_codes.astype(np.int32), type=pa.int32()), kind_dict
+        ).cast(pa.string())
+        text_col = _utf8_array(
+            np.concatenate(tlen_parts) if tlen_parts else np.empty(0, np.int64),
+            b"".join(text_parts),
+        )
+        ref_col = _utf8_array(
+            np.concatenate(rlen_parts) if rlen_parts else np.empty(0, np.int64),
+            b"".join(ref_parts),
+        )
+        off_col = pa.array(
+            np.concatenate(off_parts) if off_parts else np.empty(0, np.int32),
+            type=pa.int32(),
+        )
+        span_struct = pa.StructArray.from_arrays(
+            [kind_col, text_col, ref_col, off_col],
+            names=["kind", "text", "media_ref", "offset"],
+        )
+        list_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(span_counts, out=list_offsets[1:])
+        assert list_offsets[-1] == total
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(doc_classes, type=pa.string()),
+                pa.array(n_pages, type=pa.int32()),
+                pa.ListArray.from_arrays(
+                    pa.array(list_offsets, type=pa.int32()), span_struct
+                ),
+            ],
+            names=["doc_id", "doc_class", "n_pages", "spans"],
+        )
+
+
+def encode_batches(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """documents_raw rows -> (doc_id, payload binary). The Spark-side
+    writer: per-span work is numpy over the flattened Arrow child
+    arrays; Python touches only per-document section boundaries."""
+    import pyarrow.compute as pc
+
+    for batch in batches:
+        n_docs = batch.num_rows
+        if n_docs == 0:
+            continue
+        lst = batch.column("spans")
+        if isinstance(lst, pa.ChunkedArray):
+            lst = lst.combine_chunks()
+        counts = (
+            pc.list_value_length(lst)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        flat = lst.flatten()
+        kind_codes = (
+            pc.index_in(flat.field("kind"), value_set=pa.array(IN_KINDS))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.uint8)
+        )
+        offs32 = flat.field("offset").to_numpy(zero_copy_only=False).astype("<i4")
+        t_arr = pc.cast(flat.field("text"), pa.large_utf8())
+        r_arr = pc.cast(
+            pc.fill_null(flat.field("media_ref"), ""), pa.large_utf8()
+        )
+        t_offs = np.frombuffer(t_arr.buffers()[1], dtype=np.int64)[
+            t_arr.offset : t_arr.offset + len(t_arr) + 1
+        ]
+        r_offs = np.frombuffer(r_arr.buffers()[1], dtype=np.int64)[
+            r_arr.offset : r_arr.offset + len(r_arr) + 1
+        ]
+        # one memoryview per batch; per-doc slices below are zero-copy
+        t_data = memoryview(t_arr.buffers()[2] or b"")
+        r_data = memoryview(r_arr.buffers()[2] or b"")
+        tlens = np.diff(t_offs).astype("<u4")
+        rlens = np.diff(r_offs).astype("<u2")
+        classes = batch.column("doc_class").to_pylist()
+        pages = batch.column("n_pages").to_pylist()
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        payloads: list[bytes] = []
+        for d in range(n_docs):
+            lo, hi = int(starts[d]), int(ends[d])
+            head = (
+                MAGIC
+                + bytes([_CLASS_INDEX[classes[d]]])
+                + int(pages[d]).to_bytes(4, "little")
+                + int(hi - lo).to_bytes(4, "little")
+            )
+            payloads.append(
+                b"".join(
+                    (
+                        head,
+                        kind_codes[lo:hi].tobytes(),
+                        offs32[lo:hi].tobytes(),
+                        tlens[lo:hi].tobytes(),
+                        t_data[t_offs[lo] : t_offs[hi]],
+                        rlens[lo:hi].tobytes(),
+                        r_data[r_offs[lo] : r_offs[hi]],
+                    )
+                )
+            )
+        yield pa.RecordBatch.from_arrays(
+            [batch.column("doc_id"), pa.array(payloads, type=pa.binary())],
+            names=["doc_id", "payload"],
+        )
+
+
+def encode_table(raw):
+    """documents_raw DataFrame -> (doc_id, payload binary)."""
+    return raw.select("doc_id", "doc_class", "n_pages", "spans").mapInArrow(
+        encode_batches, "doc_id string, payload binary"
+    )
+
+
+def decode_table(bin_df):
+    """(doc_id, payload binary) DataFrame -> documents_raw rows."""
+    return bin_df.select("doc_id", "payload").mapInArrow(
+        decode_batches, RAW_SCHEMA
+    )
