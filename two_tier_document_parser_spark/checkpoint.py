@@ -7,25 +7,52 @@ the input against the doc_ids already present in committed runs —
 restart after a kill reprocesses only the remainder, and re-running a
 completed job is a no-op (tested by the kill-and-resume test).
 
-Scale note: the anti-join shown here joins on exact doc_ids — correct
-at any scale but it shuffles the committed-id set. For 10^12 docs,
-pair `repartitionByRange(doc_id)` on the write with the lineage
-(doc_id_min, doc_id_max) ranges: resume then prunes whole committed
-ranges with a range predicate (no shuffle) and anti-joins only the
-boundary partitions. The lineage schema carries exactly the columns
-needed for that (FIXTURES.md §3).
+Scale note — range-pruned resume: a full anti-join on exact doc_ids
+is correct at any scale but shuffles the committed-id set (10^12 ids
+at full scale). The lineage (doc_id_min, doc_id_max) ranges prune
+that: input docs OUTSIDE every committed range cannot possibly be
+committed (each committed doc lies inside its partition's range), so
+they skip the join entirely via a cheap range predicate that pushes
+into the parquet scan; only docs INSIDE some range anti-join against
+the committed-id set. `pending()` builds that plan; it falls back to
+the full anti-join whenever lineage does not cover every committed
+run (e.g. a kill landed between the data commit and the lineage
+commit), so pruning is an optimization, never a correctness risk.
 """
 
 from __future__ import annotations
 
 import time
 import uuid
+from functools import reduce
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .pipeline import extract
 from .table_io import ParquetManifestIO
+
+
+def merge_ranges(ranges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Coalesce overlapping/touching [lo, hi] string intervals
+    (lexicographic order — doc ids are fixed-width, so this equals
+    numeric order for the d%09d scheme and stays correct for any id
+    scheme because Spark's min/max use the same collation)."""
+    out: list[tuple[str, str]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1]:
+            if hi > out[-1][1]:
+                out[-1] = (out[-1][0], hi)
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _range_pred(ranges: list[tuple[str, str]]) -> Column:
+    return reduce(
+        lambda a, b: a | b,
+        [F.col("doc_id").between(lo, hi) for lo, hi in ranges],
+    )
 
 
 def lineage_rows(out: DataFrame, run_id: str, wall_ms: int) -> DataFrame:
@@ -55,16 +82,50 @@ class CheckpointedExtract:
         done = self.data.read()
         return done.select("doc_id") if done is not None else None
 
+    def committed_ranges(self) -> list[tuple[str, str]] | None:
+        """Merged (doc_id_min, doc_id_max) intervals of the committed
+        runs, or None when lineage does not cover every committed data
+        run (then only the exact anti-join is safe)."""
+        lineage = self.lineage.read()
+        if lineage is None:
+            return None
+        data_runs = set(self.data.committed_runs())
+        rows = lineage.select("run_id", "doc_id_min", "doc_id_max").collect()
+        covered = {r["run_id"] for r in rows}
+        if not data_runs <= covered:
+            return None
+        ranges = [
+            (r["doc_id_min"], r["doc_id_max"])
+            for r in rows
+            if r["run_id"] in data_runs and r["doc_id_min"] is not None
+        ]
+        return merge_ranges(ranges) if ranges else None
+
+    def pending(self, raw: DataFrame) -> DataFrame:
+        """Input rows not yet committed. Range-pruned: rows outside
+        every committed (min, max) interval bypass the anti-join via a
+        pushdown-able range predicate; only rows inside an interval
+        shuffle into the exact anti-join."""
+        done = self.committed_doc_ids()
+        if done is None:
+            return raw
+        ranges = self.committed_ranges()
+        if not ranges:
+            return raw.join(done, "doc_id", "left_anti")
+        pred = _range_pred(ranges)
+        # null doc_ids can never match a committed range: keep them on
+        # the no-join path so they still reach the quarantine channel
+        outside = raw.filter(F.col("doc_id").isNull() | ~pred)
+        inside = raw.filter(pred).join(done, "doc_id", "left_anti")
+        return outside.unionByName(inside)
+
     def run(self, raw: DataFrame, presplit: int = 0, **extract_kw) -> str:
         """Extract everything not yet committed; returns run_id.
         `presplit` > 0 routes through the giant-doc page pre-split at
         that span threshold (same semantics as the plain job)."""
         self.data.drop_uncommitted()
         t0 = time.time()
-        todo = raw
-        done = self.committed_doc_ids()
-        if done is not None:
-            todo = raw.join(done, "doc_id", "left_anti")
+        todo = self.pending(raw)
         run_id = uuid.uuid4().hex[:12]
         if presplit:
             from .presplit import extract_with_presplit

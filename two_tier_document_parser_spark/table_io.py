@@ -26,8 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def iceberg_available(spark: SparkSession) -> bool:
+    # NOTE: a bare `spark._jvm.org.apache...` attribute probe is NOT a
+    # valid check — py4j silently returns a JavaPackage for unknown
+    # names. Class.forName actually loads (or fails to load) the class.
     try:
-        spark._jvm.org.apache.iceberg.Snapshot  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.iceberg.Snapshot"
+        )
         return True
     except Exception:
         return False
