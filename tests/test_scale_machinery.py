@@ -199,8 +199,14 @@ def test_media_features_stub(spark):
     assert len(feats) > 0
     kinds = {f.kind for f in feats}
     assert kinds <= {"image", "table", "formula"}
-    for f in feats[:20]:
-        assert f.feat_ok and 16 <= f.width < 80 and len(f.sha256) == 64
+    for f in feats[:40]:
+        assert f.feat_ok and len(f.sha256) == 64
+        if f.kind == "image":
+            # PNG payload: REAL dims decoded from IHDR, bounded by the
+            # crop cap
+            assert 1 <= f.width <= 64 and 1 <= f.height <= 64
+        else:
+            assert 16 <= f.width < 80  # hash-stub dims for text media
 
 
 def _iceberg_jars() -> list:

@@ -246,6 +246,50 @@ def test_size_cap_routes_to_quarantine():
     assert route_doc(ok) == "fast"
 
 
+def test_png_codec_and_artifact_payloads():
+    """Real PNG artifact payloads (reference accurate/service.py:135-
+    139 returns base64 PNG crops): the from-scratch encoder emits
+    valid PNGs (signature, IHDR dims, zlib-decodable scanlines) and
+    the facade surfaces them base64'd, deterministically."""
+    import base64
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from two_tier_document_parser_spark.api import parse_document
+    from two_tier_document_parser_spark.png import (
+        artifact_png,
+        encode_png_gray,
+        png_dims,
+        render_crop,
+    )
+
+    px = render_crop("asset_1", 5, 3)
+    data = encode_png_gray(px)
+    assert png_dims(data) == (5, 3)
+    # decode the IDAT back: filter-0 rows must reproduce the pixels
+    idat_len = struct.unpack(">I", data[33:37])[0]
+    raw = zlib.decompress(data[41 : 41 + idat_len])
+    rows = np.frombuffer(raw, np.uint8).reshape(3, 6)
+    assert (rows[:, 0] == 0).all() and (rows[:, 1:] == px).all()
+    # deterministic: same seed+bbox -> same bytes
+    assert artifact_png("a", [0, 0, 10, 8]) == artifact_png("a", [0, 0, 10, 8])
+    assert artifact_png("a", [0, 0, 10, 8]) != artifact_png("b", [0, 0, 10, 8])
+    assert png_dims(artifact_png("a", [0, 0, 10, 8])) == (10, 8)
+    assert png_dims(artifact_png("a", [0, 0, 500, 900])) == (64, 64)  # cap
+
+    doc = _doc(
+        [("box", "10,20,42,52,figure", ""), ("image", "", "asset_9")],
+        doc_class="pdfish",
+    )
+    resp = parse_document(doc, tier="accurate")
+    img = resp["images"][0]
+    png = base64.b64decode(img["image_base64"])
+    assert png_dims(png) == (32, 32)
+    assert img["bbox"] == [10, 20, 42, 52]
+
+
 def test_reading_order_dense_per_doc():
     doc = _doc(
         [

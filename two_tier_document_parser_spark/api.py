@@ -14,9 +14,10 @@ The response dict matches the reference's field names: `markdown`,
 `metadata{pages, processing_time_ms, parser, filename, ...}` for both
 tiers; the accurate tier adds `images` / `tables` / `formulas` lists
 with positional ids in first-seen DFS order exactly as
-accurate/service.py:172-216 assigns them (`page_{p}_img_{i}` etc.).
-`image_base64`/`bbox` carry None: pixels never pass through this
-engine (payloads live in the media side table, multimodal.py).
+accurate/service.py:172-216 assigns them (`page_{p}_img_{i}` etc.),
+each with its layout-region `bbox` and — for images — a real base64
+PNG (from-scratch stdlib encoder, png.py; deterministic raster since
+page pixels don't exist in the span model).
 
 Single-document calls run the engine's OWN Arrow kernels on a one-row
 batch (tier1_batches / tier2_batches — no Spark session, no external
@@ -48,11 +49,19 @@ def _artifacts(spans: list[dict]) -> tuple[list[dict], list[dict], list[dict]]:
         # artifact had no geometry
         bbox = list(s["bbox"]) if s.get("bbox") else None
         if s["kind"] == "image":
-            # reference ImageData (accurate/models.py:8-13)
+            # reference ImageData (accurate/models.py:8-13); the PNG
+            # is real (from-scratch stdlib encoder, png.py) with a
+            # deterministic raster — see media_side_table docstring
+            import base64
+
+            from .png import artifact_png
+
             images.append(
                 {
                     "image_id": s["media_ref"],
-                    "image_base64": None,
+                    "image_base64": base64.b64encode(
+                        artifact_png(s["text"] or "", bbox)
+                    ).decode("ascii"),
                     "page": page,
                     "bbox": bbox,
                 }

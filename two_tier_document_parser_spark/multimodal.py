@@ -34,9 +34,34 @@ FEATURE_SCHEMA = (
 
 def media_side_table(documents_out: DataFrame) -> DataFrame:
     """Artifact side table keyed (doc_id, artifact id): one row per
-    image/formula/table span of the extraction output, payload stubbed
-    as the utf-8 bytes of the source ref (a real deployment would join
-    an asset store here)."""
+    image/formula/table span of the extraction output.
+
+    Image payloads are REAL PNG bytes (png.artifact_png: from-scratch
+    stdlib encoder) — the crop raster is a deterministic function of
+    (asset ref, bbox) since no page pixels exist in the span model
+    (SURVEY §2.1 O9), but the container, dimensions, and downstream
+    decode are the real format, replacing the round-1 utf-8 stub.
+    Table/formula payloads stay utf-8 of their content (they are
+    text artifacts in the reference too: markdown / LaTeX)."""
+    from pyspark.sql.functions import pandas_udf
+
+    import pandas as pd
+
+    from .png import artifact_png
+
+    def _png_impl(texts, bboxes):
+        return pd.Series(
+            [
+                artifact_png(t or "", list(b) if b is not None else None)
+                for t, b in zip(texts, bboxes)
+            ]
+        )
+
+    _png_impl.__annotations__ = {
+        "texts": pd.Series, "bboxes": pd.Series, "return": pd.Series,
+    }
+    png_udf = pandas_udf(_png_impl, "binary")
+
     s = F.explode("spans").alias("s")
     return (
         documents_out.select("doc_id", s)
@@ -45,16 +70,27 @@ def media_side_table(documents_out: DataFrame) -> DataFrame:
             "doc_id",
             F.col("s.media_ref").alias("media_ref"),
             F.col("s.kind").alias("kind"),
-            F.encode(F.col("s.text"), "utf-8").alias("payload"),
+            F.when(
+                F.col("s.kind") == "image",
+                png_udf(F.col("s.text"), F.col("s.bbox")),
+            )
+            .otherwise(F.encode(F.col("s.text"), "utf-8"))
+            .alias("payload"),
         )
     )
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
-    """STUB: deterministic fake decode. A real deployment replaces
-    this with PIL/libvips/ffmpeg frame sampling; everything around it
-    (Arrow batching, schema, partitioning) is production-shaped.
-    Returns fake (width, height) derived from the payload hash."""
+    """Dimension decode: REAL for PNG payloads (IHDR parse, png.py),
+    deterministic hash fallback for non-image payloads where pixel
+    semantics don't exist. A production deployment swaps the fallback
+    for PIL/libvips/ffmpeg; the Arrow batching, schema, and
+    partitioning around it are already the production shape."""
+    from .png import png_dims
+
+    dims = png_dims(payload or b"")
+    if dims is not None:
+        return dims
     h = hashlib.sha256(payload or b"").digest()
     return 16 + h[0] % 64, 16 + h[1] % 64
 
