@@ -435,6 +435,17 @@ def q_semi_customers(spark, sf_dir):
     ).select("c_custkey", "c_mktsegment")
 
 
+def q_curate(spark, sf_dir):
+    """End-to-end corpus curation: exact dedup + LSH near-dup
+    clusters + quality gate + language filter -> one keep/drop
+    decision with an auditable reason per document (the composition a
+    training-data pipeline actually ships). Fully SQL-expressible —
+    the oracle recomputes every stage independently."""
+    from two_tier_document_parser_spark.curation import curate
+
+    return curate(_docs(spark, sf_dir))
+
+
 def q_binary_ingest(spark, sf_dir):
     """O1 bytes-in contract (reference accepts opaque document bytes,
     fast/app.py:49-66): documents lifted to spans, serialized into the
@@ -649,6 +660,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_order_counts": q_region_order_counts,
         "top_customers": q_top_customers,
         "semi_customers": q_semi_customers,
+        "curate": q_curate,
         "binary_ingest": q_binary_ingest,
         "simhash": q_simhash,
         "media_features": q_media_features,
@@ -844,6 +856,7 @@ def oracle_sql() -> dict[str, str]:
             "     SELECT 1 FROM lineitem l"
             "     WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49))"
         ),
+        "curate": _curate_sql(stop_list, lang_scores, guess_case),
         "binary_ingest": _binary_ingest_sql(),
         "simhash": _simhash_sql(),
         "media_features": _media_features_sql(),
@@ -853,6 +866,69 @@ def oracle_sql() -> dict[str, str]:
         "knn_lsh": _knn_sql(),
         "emb_near_dups_lsh": _emb_near_dups_sql(),
     }
+
+
+def _curate_sql(
+    stop_list: str,
+    lang_scores: str,
+    guess_case: str,
+    near_threshold_x1000: int = 500,
+    min_tokens: int = 10,
+    min_stop_permille: int = 80,
+    allowed: tuple[str, ...] = ("de", "en", "es", "fr"),
+) -> str:
+    """Independent SQL recomputation of curation.curate: fingerprint
+    rank (exact dups), recursive-closure near-dup components, token
+    quality stats, stopword-argmax language guess, first-reason-wins
+    CASE."""
+    norm = (
+        "array_to_string(list_filter(regexp_split_to_array(lower(text),"
+        " '\\s+'), t -> t != ''), ' ')"
+    )
+    allowed_list = ", ".join(f"'{a}'" for a in allowed)
+    return f"""
+WITH
+comp AS (SELECT * FROM ({_components_sql(near_threshold_x1000)}) cc),
+fpr AS (
+  SELECT doc_id, row_number() OVER (
+    PARTITION BY md5({norm}) ORDER BY doc_id) AS rn
+  FROM documents
+),
+tok AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE token <> ''),
+stats AS (
+  SELECT doc_id, count(*) AS n_tokens,
+         sum(CASE WHEN lower(token) IN ({stop_list}) THEN 1 ELSE 0 END)
+           AS n_stop
+  FROM tok GROUP BY doc_id
+),
+scores AS (SELECT doc_id, {lang_scores} FROM tok GROUP BY doc_id),
+g AS (SELECT doc_id, {guess_case} AS guessed FROM scores),
+base AS (
+  SELECT d.doc_id,
+         f.rn > 1 AS is_exact_dup,
+         c.comp IS NOT NULL AND c.comp <> d.doc_id AS is_near_dup,
+         COALESCE(s.n_tokens, 0) AS n_tokens,
+         COALESCE(s.n_stop, 0) AS n_stop,
+         COALESCE(g.guessed, 'de') AS guessed
+  FROM documents d
+  JOIN fpr f USING (doc_id)
+  LEFT JOIN comp c USING (doc_id)
+  LEFT JOIN stats s USING (doc_id)
+  LEFT JOIN g USING (doc_id)
+),
+decided AS (
+  SELECT doc_id,
+         CASE WHEN is_exact_dup THEN 'exact_dup'
+              WHEN is_near_dup THEN 'near_dup'
+              WHEN n_tokens < {min_tokens}
+                   OR n_stop * 1000 < {min_stop_permille} * n_tokens
+                THEN 'low_quality'
+              WHEN guessed NOT IN ({allowed_list}) THEN 'lang_filter'
+              ELSE '' END AS reason
+  FROM base
+)
+SELECT doc_id, reason, reason = '' AS keep FROM decided
+"""
 
 
 def _binary_ingest_sql(words_per_span: int = 12) -> str:

@@ -29,6 +29,15 @@ NEW_SQL = [
     "region_order_counts",
     "top_customers",
     "semi_customers",
+    # round-2 oracle additions (knn_lsh excluded here: its 100%
+    # top-10 coverage holds at the driver's sf0.01, not at this
+    # file's sf0.001 — parity_harness covers it at sf0.01)
+    "simhash",
+    "media_features",
+    "media_frames",
+    "binary_ingest",
+    "curate",
+    "emb_near_dups_lsh",
 ]
 
 

@@ -1,0 +1,108 @@
+"""Corpus curation: the end-to-end keep/drop decision a training-data
+pipeline runs over its document table, composed from the engine's own
+operators — exact dedup, MinHash-LSH near-dup clustering, quality
+scoring, language filtering — with one auditable reason per dropped
+document.
+
+Decision chain (first matching reason wins, mirroring how production
+curation pipelines report drop attribution):
+
+    exact_dup    not the minimal doc_id of its content fingerprint
+    near_dup     in a near-duplicate cluster (token-Jaccard >=
+                 threshold over LSH candidates) and not the cluster
+                 keeper (minimal doc_id = connected-component label)
+    low_quality  fewer than `min_tokens` tokens, or stopword ratio
+                 below `min_stop_permille`/1000 (jusText-style gate)
+    lang_filter  guessed language outside `allowed_langs`
+    ''           kept
+
+Scale notes (100 TB): every stage is one of the already-bucketed
+operators — fingerprint groupBy (one shuffle), LSH banded self-join
+(signatures only, skew-capped buckets), min-label propagation with
+per-round localCheckpoint, token aggregates that reuse one exploded
+token stream. Nothing here introduces a new shuffle shape; integer
+thresholds keep the whole decision float-free and oracle-exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .dedup import (
+    connected_components,
+    jaccard_pairs,
+    lsh_candidate_pairs,
+    minhash_bands,
+)
+from .spec import STOPWORDS
+from .textstats import fingerprint, lang_guess
+
+_STOP_ALL = sorted({w for ws in STOPWORDS.values() for w in ws})
+
+DEFAULT_ALLOWED = ("de", "en", "es", "fr")
+
+
+def curate(
+    docs: DataFrame,
+    near_threshold_x1000: int = 500,
+    min_tokens: int = 10,
+    min_stop_permille: int = 80,
+    allowed_langs: tuple[str, ...] = DEFAULT_ALLOWED,
+) -> DataFrame:
+    """documents -> (doc_id, keep boolean, reason string)."""
+    d = docs.select("doc_id", "text")
+
+    # exact duplicates: every non-minimal doc_id per fingerprint
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    exact = (
+        d.withColumn("fp", fingerprint(F.col("text")))
+        .withColumn("rn", F.row_number().over(w))
+        .select("doc_id", (F.col("rn") > 1).alias("is_exact_dup"))
+    )
+
+    # near-duplicate clusters over LSH candidates; keeper = component
+    # label (minimal reachable doc_id)
+    near_pairs = jaccard_pairs(d, lsh_candidate_pairs(minhash_bands(d))).filter(
+        F.col("jaccard_x1000") >= near_threshold_x1000
+    )
+    comp = connected_components(near_pairs.select("a", "b"))
+    near = comp.filter(F.col("doc_id") != F.col("comp")).select(
+        "doc_id", F.lit(True).alias("is_near_dup")
+    )
+
+    # quality + language over one exploded token stream
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("t"),
+    ).filter(F.col("t") != "")
+    stats = tok.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("t").isin(_STOP_ALL), 1).otherwise(0)).alias(
+            "n_stop"
+        ),
+    )
+    guessed = lang_guess(F.col("text")).alias("guessed")
+
+    joined = (
+        d.select("doc_id", guessed)
+        .join(exact, "doc_id")
+        .join(near, "doc_id", "left")
+        .join(stats, "doc_id", "left")
+    )
+    low_quality = (
+        F.coalesce(F.col("n_tokens"), F.lit(0)) < min_tokens
+    ) | (
+        F.coalesce(F.col("n_stop"), F.lit(0)) * 1000
+        < F.lit(min_stop_permille) * F.coalesce(F.col("n_tokens"), F.lit(0))
+    )
+    reason = (
+        F.when(F.col("is_exact_dup"), "exact_dup")
+        .when(F.coalesce(F.col("is_near_dup"), F.lit(False)), "near_dup")
+        .when(low_quality, "low_quality")
+        .when(~F.col("guessed").isin(list(allowed_langs)), "lang_filter")
+        .otherwise("")
+    )
+    return joined.select(
+        "doc_id", reason.alias("reason"), (reason == "").alias("keep")
+    )
