@@ -127,6 +127,20 @@ def main() -> int:
         reps=2,
     )
 
+    # 2b. byte-level ingestion round-trip (encode + decode + cascade)
+    from two_tier_document_parser_spark.binary_io import (
+        decode_table,
+        encode_table,
+    )
+
+    timed(
+        "binary_roundtrip_extract",
+        lambda: extract(spark, decode_table(encode_table(raw)), mode="fused")
+        .select(F.count(F.lit(1)))
+        .collect(),
+        reps=2,
+    )
+
     # 4+. driver-table operators (same code the correctness gate runs)
     qs = entrymod.queries()
     for name in (
@@ -137,9 +151,26 @@ def main() -> int:
         "sessionize",
         "pricing_summary",
         "tfidf_top_terms",
-        "emb_near_dups_lsh",
+        "curate",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
+
+    # LSH near-dups at the SCALE-PATH defaults (6 planes x 12 tables —
+    # bucket width tracks corpus size). The driver query
+    # `emb_near_dups_lsh` instead runs the full-recall 4x24 config
+    # tuned for the sf0.01 oracle check; 4-bit buckets on a 10x corpus
+    # over-collide by design, so benching that config would measure
+    # the oracle harness, not the operator.
+    from two_tier_document_parser_spark.similarity import lsh_near_dup_pairs
+
+    timed(
+        "emb_near_dups_lsh",
+        lambda: lsh_near_dup_pairs(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold_x100=44,
+        ).count(),
+        reps=2,
+    )
 
     total = round(sum(timings.values()), 2)
     scaling_file = Path(__file__).parent / "BENCH" / "scaling.json"

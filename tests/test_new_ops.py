@@ -138,6 +138,53 @@ def test_stream_extract_equals_batch(spark, tmp_path):
     assert stream == batch
 
 
+def test_stream_binary_ingest_equals_batch(spark, tmp_path):
+    """Byte-level streaming ingest: TTDP1 payload stream -> decode ->
+    cascade (AvailableNow) equals the batch output over the same
+    bytes."""
+    from two_tier_document_parser_spark.binary_io import (
+        decode_table,
+        encode_table,
+    )
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+    from two_tier_document_parser_spark.streaming import (
+        read_binary_document_stream,
+        stream_extract_binary,
+    )
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    bin_dir = str(tmp_path / "bin")
+    out_dir = str(tmp_path / "out")
+    raw = synth_spark(spark, 200, partitions=4)
+    encode_table(raw).write.parquet(bin_dir)
+
+    q = (
+        stream_extract_binary(read_binary_document_stream(spark, bin_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def canon(df):
+        return {
+            r["doc_id"]: (
+                r["tier"],
+                [(s["kind"], s["text"], s["media_ref"], s["order"]) for s in r["spans"]],
+            )
+            for r in df.collect()
+        }
+
+    batch = canon(
+        extract(spark, decode_table(spark.read.parquet(bin_dir)), mode="fused")
+    )
+    assert canon(spark.read.parquet(out_dir)) == batch
+    assert len(batch) == 200
+
+
 def _stage_events_dir(tmp_path) -> str:
     """File-source streams need a *directory*; the driver table is a
     single parquet file — stage it."""

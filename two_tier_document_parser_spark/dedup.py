@@ -250,10 +250,16 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     (Kiveris et al. 2014) — same join primitive, fewer skew hazards
     on high-degree vertices.
     """
+    # edges are read by EVERY propagation round: materialize once
+    # (localCheckpoint) or each iteration recomputes the whole
+    # upstream candidate pipeline (LSH + verify joins) — measured 33 s
+    # -> 9 s on the sf0.1 curation composition, and catastrophic at
+    # corpus scale
     edges = (
         pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         edges.select(F.col("src").alias("id")).distinct().withColumn(

@@ -41,6 +41,29 @@ def stream_extract(raw_stream: DataFrame) -> DataFrame:
     return fused_map(raw_stream)
 
 
+def read_binary_document_stream(
+    spark: SparkSession, input_path: str
+) -> DataFrame:
+    """File-source stream over (doc_id, payload binary) — the O1
+    bytes-in contract as a stream of TTDP1 containers."""
+    return (
+        spark.readStream.schema("doc_id string, payload binary")
+        .option("maxFilesPerTrigger", 64)
+        .parquet(input_path)
+    )
+
+
+def stream_extract_binary(bin_stream: DataFrame) -> DataFrame:
+    """Byte-level streaming ingest: TTDP1 container decode
+    (binary_io.decode_batches) composed with the fused cascade. Both
+    stages are stateless mapInArrow, so the streaming plan is the
+    batch plan verbatim — decode and extract run in ONE micro-batch
+    stage with no shuffle or state store."""
+    from .binary_io import decode_table
+
+    return fused_map(decode_table(bin_stream))
+
+
 def run_stream_extract(
     spark: SparkSession,
     input_path: str,
