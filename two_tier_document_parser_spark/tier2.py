@@ -153,8 +153,17 @@ def _table_region(kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter) -> N
             em.formula(page, tx[i])
 
 
-def _process_page(kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter) -> None:
-    box_pos = [i for i in range(lo, hi) if kc[i] == K_BOX]
+def _process_page(
+    kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter, box_all=None
+) -> None:
+    # box positions from the batch-wide precomputed index when
+    # available (searchsorted slice), else a local scan
+    if box_all is not None:
+        s = np.searchsorted(box_all, lo)
+        e = np.searchsorted(box_all, hi)
+        box_pos = box_all[s:e].tolist()
+    else:
+        box_pos = [i for i in range(lo, hi) if kc[i] == K_BOX]
     start = len(em.kinds)
     em.bbox = []
     if not box_pos:
@@ -196,6 +205,10 @@ def tier2_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
         rf = media_a.to_numpy(zero_copy_only=False)
         ends = np.cumsum(counts)
         starts = ends - counts
+        # batch-wide positional indexes (page breaks, boxes): per-page
+        # lookups become searchsorted slices instead of Python scans
+        pb_all = np.flatnonzero(kc == K_PB)
+        box_all = np.flatnonzero(kc == K_BOX)
 
         out_kinds: list[str] = []
         out_texts: list[str] = []
@@ -216,13 +229,14 @@ def tier2_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
             err = ""
             try:
                 # page boundaries: positions of page_break rows
-                pbs = [i for i in range(lo, hi) if kc[i] == K_PB]
-                edges = [lo] + [p for p in pbs] + [hi]
+                ps = np.searchsorted(pb_all, lo)
+                pe = np.searchsorted(pb_all, hi)
+                pbs = pb_all[ps:pe].tolist()
                 page_no = 0
                 cursor = lo
                 for e in pbs + [hi]:
                     s0 = len(em.kinds)
-                    _process_page(kc, tx, rf, cursor, e, page_no, em)
+                    _process_page(kc, tx, rf, cursor, e, page_no, em, box_all)
                     page_parts.append(
                         join_page(
                             [
