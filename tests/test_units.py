@@ -173,6 +173,40 @@ def test_xycut_stream_order_ignored():
     assert xycut(boxes) == [1, 2, 0]
 
 
+def test_xycut_fast_equals_spec():
+    """The optimized XY-cut (pre-sorted axes carried through the
+    recursion + memoization) must order exactly like the simple
+    specification built on _split_by_gaps."""
+    import random
+
+    from two_tier_document_parser_spark.layout import _split_by_gaps
+
+    def spec(boxes):
+        def rec(order):
+            if len(order) <= 1:
+                return order
+            groups = _split_by_gaps(order, boxes, 0)
+            if len(groups) > 1:
+                return [i for g in groups for i in rec(g)]
+            groups = _split_by_gaps(order, boxes, 1)
+            if len(groups) > 1:
+                rest = [i for g in groups[1:] for i in g]
+                return rec(groups[0]) + rec(rest)
+            return sorted(order, key=lambda i: (boxes[i][1], boxes[i][0], i))
+
+        return rec(list(range(len(boxes))))
+
+    rng = random.Random(4242)
+    for _ in range(3000):
+        boxes = []
+        for _ in range(rng.randint(0, 10)):
+            x0, y0 = rng.randint(0, 80), rng.randint(0, 80)
+            boxes.append(
+                (x0, y0, x0 + rng.randint(1, 40), y0 + rng.randint(1, 40))
+            )
+        assert xycut(boxes) == spec(boxes), boxes
+
+
 def test_table_markdown_ragged_rows():
     assert table_markdown([["a", "b"], ["c"]]) == "| a | b |\n| --- | --- |\n| c |"
     assert table_markdown([]) == ""

@@ -68,34 +68,79 @@ def xycut(boxes: Sequence[tuple[int, int, int, int]]) -> list[int]:
     """Return indices of `boxes` in XY-cut reading order.
 
     Deterministic: ties and non-separable clusters order by
-    (y0, x0, input index). Memoized per box configuration: page
-    layouts repeat heavily in real corpora (most documents use a
-    handful of layout templates), and the cut is a pure function of
-    the geometry — profiling showed the recursive cut dominating the
-    tier-2 kernel before the cache.
+    (y0, x0, input index).
+
+    Two layers of optimization (the cut dominated the tier-2 kernel
+    profile): memoization per box configuration (pure function of the
+    geometry; real corpora reuse a handful of layout templates), and —
+    for cache misses — an O(n log n + n·depth) recursion that sorts
+    each axis ONCE up front and carries both sorted orders through the
+    recursion (gap groups are contiguous slices of a sorted order, so
+    no re-sorting per level; membership filtering keeps the sibling
+    axis sorted).
     """
     return list(_xycut_cached(tuple(map(tuple, boxes))))
 
 
+def _split_sorted(idx_sorted, lo, hi):
+    """Partition an already lo-sorted index list at strictly-positive
+    gaps of its [lo, hi] intervals (touching intervals merge) —
+    identical grouping to sorting by (lo, hi, i) then sweeping."""
+    groups: list[list[int]] = []
+    cur: list[int] = []
+    cur_end = None
+    for i in idx_sorted:
+        s, e = lo[i], hi[i]
+        if cur_end is None or s <= cur_end:
+            cur.append(i)
+            if cur_end is None or e > cur_end:
+                cur_end = e
+        else:
+            groups.append(cur)
+            cur = [i]
+            cur_end = e
+    if cur:
+        groups.append(cur)
+    return groups
+
+
 @functools.lru_cache(maxsize=8192)
 def _xycut_cached(boxes: tuple) -> tuple:
-    def rec(order: list[int]) -> list[int]:
-        if len(order) <= 1:
-            return order
+    n = len(boxes)
+    if n <= 1:
+        return tuple(range(n))
+    x0 = [b[0] for b in boxes]
+    y0 = [b[1] for b in boxes]
+    x1 = [b[2] for b in boxes]
+    y1 = [b[3] for b in boxes]
+    by_x = sorted(range(n), key=lambda i: (x0[i], x1[i], i))
+    by_y = sorted(range(n), key=lambda i: (y0[i], y1[i], i))
+    out: list[int] = []
+
+    def rec(bx: list[int], by: list[int]) -> None:
+        if len(bx) <= 1:
+            out.extend(bx)
+            return
         # vertical cuts (x-gaps) first -> column-major reading order
-        groups = _split_by_gaps(order, boxes, 0)
+        groups = _split_sorted(bx, x0, x1)
         if len(groups) > 1:
-            out: list[int] = []
             for g in groups:
-                out.extend(rec(g))
-            return out
+                gs = set(g)
+                rec(g, [i for i in by if i in gs])
+            return
         # no full-height x-gap: peel only the TOPMOST y-gap and re-try
         # the x-cut on the remainder, so a full-width header does not
         # force row-major interleaving of the columns below it
-        groups = _split_by_gaps(order, boxes, 1)
+        groups = _split_sorted(by, y0, y1)
         if len(groups) > 1:
+            top = groups[0]
             rest = [i for g in groups[1:] for i in g]
-            return rec(groups[0]) + rec(rest)
-        return sorted(order, key=lambda i: (boxes[i][1], boxes[i][0], i))
+            ts = set(top)
+            rec([i for i in bx if i in ts], top)
+            rs = set(rest)
+            rec([i for i in bx if i in rs], rest)
+            return
+        out.extend(sorted(bx, key=lambda i: (y0[i], x0[i], i)))
 
-    return tuple(rec(list(range(len(boxes)))))
+    rec(by_x, by_y)
+    return tuple(out)
