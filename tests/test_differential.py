@@ -99,6 +99,41 @@ def test_adversarial_spans_match_or_error():
     check()
 
 
+def test_facade_bit_identical_to_batch_kernels():
+    """api.parse_document runs the engine's own kernels on a one-row
+    batch: its markdown and artifact lists must equal the batch
+    output row for the same document (the facade's 'switching is
+    mechanical' contract)."""
+    from two_tier_document_parser_spark.api import parse_document
+
+    docs = synth_docs(0, 60, 2024)
+    fast = [d for d in docs if route_doc(d) == "fast"]
+    deep = [d for d in docs if route_doc(d) == "deep"]
+    batch_out = _run_kernel(tier1_batches, fast) | _run_kernel(
+        tier2_batches, deep
+    )
+    for d in docs:
+        row = batch_out[d["doc_id"]]
+        resp = parse_document(d)
+        assert resp["markdown"] == row["markdown"], d["doc_id"]
+        assert resp["metadata"]["pages"] == row["pages"]
+        if route_doc(d) == "deep":
+            assert len(resp["images"]) == row["n_images"]
+            assert len(resp["tables"]) == row["n_tables"]
+            assert len(resp["formulas"]) == row["n_formulas"]
+            got_ids = [i["image_id"] for i in resp["images"]]
+            exp_ids = [
+                s["media_ref"] for s in row["spans"] if s["kind"] == "image"
+            ]
+            assert got_ids == exp_ids
+            # bbox surfaces from the span geometry
+            for img, s in zip(
+                resp["images"],
+                [s for s in row["spans"] if s["kind"] == "image"],
+            ):
+                assert img["bbox"] == (list(s["bbox"]) or None)
+
+
 @pytest.mark.parametrize("seed", [7, 123, 999, 31337, 271828])
 def test_kernels_match_oracle_fresh_seeds(seed):
     docs = synth_docs(0, 120, seed)
