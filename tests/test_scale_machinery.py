@@ -103,6 +103,13 @@ def test_resume_is_range_pruned(spark, tmp_path):
     assert merge_ranges([("d3", "d5"), ("d1", "d4"), ("d7", "d8")]) == [
         ("d1", "d5"), ("d7", "d8"),
     ]
+    # term cap: coarsening bridges narrowest gaps, stays sorted and
+    # covering (sound: only widens the anti-join side)
+    many = [(f"d{i:04d}0", f"d{i:04d}5") for i in range(0, 500, 2)]
+    capped = merge_ranges(many, max_terms=10)
+    assert len(capped) == 10
+    assert capped == sorted(capped)
+    assert capped[0][0] == "d00000" and capped[-1][1] == "d04985"
 
     ck = CheckpointedExtract(spark, str(tmp_path / "out"))
     first = synth_spark(spark, 100, SEED, partitions=4)

@@ -33,11 +33,24 @@ from .pipeline import extract
 from .table_io import ParquetManifestIO
 
 
-def merge_ranges(ranges: list[tuple[str, str]]) -> list[tuple[str, str]]:
+MAX_RANGE_TERMS = 64
+
+
+def merge_ranges(
+    ranges: list[tuple[str, str]], max_terms: int = MAX_RANGE_TERMS
+) -> list[tuple[str, str]]:
     """Coalesce overlapping/touching [lo, hi] string intervals
     (lexicographic order — doc ids are fixed-width, so this equals
     numeric order for the d%09d scheme and stays correct for any id
-    scheme because Spark's min/max use the same collation)."""
+    scheme because Spark's min/max use the same collation).
+
+    The result is capped at `max_terms` intervals: each interval
+    becomes one BETWEEN term of the pruning predicate, and an
+    unbounded OR chain (10^12-doc tables accumulate many runs x many
+    partitions of lineage) would blow up the Catalyst expression
+    tree. Coarsening bridges the narrowest gaps first — SOUND, not
+    just safe: a widened interval only moves more rows onto the
+    exact anti-join side, never off it."""
     out: list[tuple[str, str]] = []
     for lo, hi in sorted(ranges):
         if out and lo <= out[-1][1]:
@@ -45,6 +58,19 @@ def merge_ranges(ranges: list[tuple[str, str]]) -> list[tuple[str, str]]:
                 out[-1] = (out[-1][0], hi)
         else:
             out.append((lo, hi))
+    while len(out) > max_terms:
+        # bridge the lexicographically-narrowest gap (string prefix
+        # length as the proxy for gap width: exact arithmetic doesn't
+        # exist for arbitrary string ids, and ANY bridge is sound)
+        import os
+
+        gaps = [
+            (len(os.path.commonprefix([out[i][1], out[i + 1][0]])), i)
+            for i in range(len(out) - 1)
+        ]
+        # longest common prefix == closest strings == narrowest gap
+        _, i = max(gaps)
+        out[i : i + 2] = [(out[i][0], out[i + 1][1])]
     return out
 
 
