@@ -313,6 +313,63 @@ def q_event_hour_rollup(spark, sf_dir):
     return hourly_rollup(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def q_asof_click_error(spark, sf_dir):
+    """As-of join (error -> most recent prior click per user): a
+    union + single-window formulation, one shuffle, no range join."""
+    from two_tier_document_parser_spark.events import asof_join
+
+    return asof_join(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "error", "click"
+    )
+
+
+def q_interval_error_view(spark, sf_dir):
+    """Banded interval join (error x view within +/-300 s, same user):
+    time-bucket equi-join, candidate blow-up bounded at 3x."""
+    from two_tier_document_parser_spark.events import interval_join
+
+    return interval_join(
+        spark.read.parquet(f"{sf_dir}/events.parquet"), "error", "view", 300
+    )
+
+
+def _lang_bucket_side(d, source):
+    return d.filter(F.col("source") == source).select(
+        "lang", F.floor(F.col("n_chars") / 50).alias("len_bucket")
+    )
+
+
+def q_lang_intersect(spark, sf_dir):
+    """INTERSECT (distinct set semantics) of (lang, length-bucket)
+    profiles of two sources — Spark plans this as a distinct + hash
+    semi-join, both sides pushed-down-filtered at the scan."""
+    d = _docs(spark, sf_dir)
+    return _lang_bucket_side(d, "src0").intersect(_lang_bucket_side(d, "src1"))
+
+
+def q_lang_except(spark, sf_dir):
+    """EXCEPT (distinct): profiles present in src0 but not src1."""
+    d = _docs(spark, sf_dir)
+    return _lang_bucket_side(d, "src0").subtract(_lang_bucket_side(d, "src1"))
+
+
+def q_cube_lang_source(spark, sf_dir):
+    """CUBE over (lang, source) with an explicit grouping-flag column
+    (grouping(lang)*2 + grouping(source)) so all-subtotal rows are
+    unambiguous even if a grouping key were null in the data."""
+    return (
+        _docs(spark, sf_dir)
+        .cube("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            (F.grouping("lang") * 2 + F.grouping("source"))
+            .cast("long")
+            .alias("gid"),
+        )
+    )
+
+
 def q_rollup_lang_source(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -577,16 +634,21 @@ def q_emb_near_dups_lsh(spark, sf_dir):
 
 
 def q_knn_ivf(spark, sf_dir):
+    """IVF ANN at full probe (n_probe = n_cells): every cell is
+    probed, so the candidate set is the whole table and the exact
+    cosine rerank provably returns the brute-force answer — making
+    the exact-knn SQL a true oracle for the trained-quantizer +
+    cell-equi-join + rerank plan (same trick as knn_lsh's full-recall
+    parameters). The approximate regime (n_probe=3, ~3/8 of the data
+    touched) is recall- and determinism-gated by pytest instead
+    (tests/test_new_ops.py, tests/test_scale_machinery.py)."""
     from two_tier_document_parser_spark.similarity import ivf_topk
 
     e = _emb(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query"), F.col("embedding").alias("qvec")
     )
-    # 8 cells / 3 probes for the 500-vector driver table (cell count
-    # scales with sqrt(N) in production IVF; 16+ cells over 500 docs
-    # leaves too few candidates per probe)
-    return ivf_topk(e, queries, k=10, n_cells=8, n_probe=3)
+    return ivf_topk(e, queries, k=10, n_cells=8, n_probe=8)
 
 
 # --------------------------------------------------------------------------
@@ -652,6 +714,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_documents": q_pipeline_documents,
         "sessionize": q_sessionize,
         "event_hour_rollup": q_event_hour_rollup,
+        "asof_click_error": q_asof_click_error,
+        "interval_error_view": q_interval_error_view,
+        "lang_intersect": q_lang_intersect,
+        "lang_except": q_lang_except,
+        "cube_lang_source": q_cube_lang_source,
         "rollup_lang_source": q_rollup_lang_source,
         "tfidf_top_terms": q_tfidf_top_terms,
         "emb_near_dups": q_emb_near_dups,
@@ -667,12 +734,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_frames": q_media_frames,
         "knn_lsh": q_knn_lsh,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
+        "knn_ivf": q_knn_ivf,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
-        # interleaved corpus; knn_ivf = iterative centroid training
-        # has no ANSI-SQL form - recall/determinism pytest-gated)
+        # interleaved corpus have no ANSI-SQL form)
         "extract_synth_spans": q_extract_synth_spans,
-        "knn_ivf": q_knn_ivf,
     }
 
 
@@ -815,6 +881,20 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(n_chars) AS BIGINT) AS sum_chars"
             " FROM documents GROUP BY ROLLUP (lang, source)"
         ),
+        "asof_click_error": _asof_sql("error", "click"),
+        "interval_error_view": _interval_sql("error", "view", 300),
+        "lang_intersect": (
+            f"{_LANG_BUCKET_SQL('src0')} INTERSECT {_LANG_BUCKET_SQL('src1')}"
+        ),
+        "lang_except": (
+            f"{_LANG_BUCKET_SQL('src0')} EXCEPT {_LANG_BUCKET_SQL('src1')}"
+        ),
+        "cube_lang_source": (
+            "SELECT lang, source, count(*) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars,"
+            " CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid"
+            " FROM documents GROUP BY CUBE (lang, source)"
+        ),
         "tfidf_top_terms": (
             f"{_TOK_CTE},"
             " lt AS (SELECT doc_id, lower(token) AS term FROM tok),"
@@ -865,6 +945,9 @@ def oracle_sql() -> dict[str, str]:
         # _lsh docstrings): the exact formulations ARE the oracles
         "knn_lsh": _knn_sql(),
         "emb_near_dups_lsh": _emb_near_dups_sql(),
+        # full probe (n_probe = n_cells) => candidate set is the whole
+        # table, so exact knn SQL is a true oracle for the IVF plan
+        "knn_ivf": _knn_sql(),
     }
 
 
@@ -1146,6 +1229,61 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.a
 JOIN sizes sb ON sb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+
+def _LANG_BUCKET_SQL(source: str) -> str:
+    return (
+        "SELECT lang, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket"
+        f" FROM documents WHERE source = '{source}'"
+    )
+
+
+def _asof_sql(left_type: str, right_type: str) -> str:
+    """Mirrors events.asof_join: union both types, one window pass
+    carrying the last right-event forward; right sorts first at equal
+    epoch so the boundary is inclusive."""
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         event_type
+  FROM events WHERE event_type IN ('{left_type}', '{right_type}')
+),
+tg AS (
+  SELECT *,
+         CASE WHEN event_type = '{right_type}' THEN epoch END AS r_epoch,
+         CASE WHEN event_type = '{right_type}' THEN event_id END AS r_id
+  FROM ev
+),
+wn AS (
+  SELECT user_id, event_id, epoch, event_type,
+         last_value(r_epoch IGNORE NULLS) OVER w AS match_epoch,
+         last_value(r_id IGNORE NULLS) OVER w AS match_id
+  FROM tg
+  WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY epoch,
+             CASE WHEN event_type = '{right_type}' THEN 0 ELSE 1 END,
+             event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_id, user_id, epoch, match_id, match_epoch
+FROM wn WHERE event_type = '{left_type}'
+"""
+
+
+def _interval_sql(left_type: str, right_type: str, radius_s: int) -> str:
+    return f"""
+WITH ev AS (
+  SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch,
+         event_type
+  FROM events
+)
+SELECT a.event_id AS a_id, b.event_id AS b_id, a.user_id AS user_id,
+       b.epoch - a.epoch AS delta_s
+FROM ev a JOIN ev b ON a.user_id = b.user_id
+WHERE a.event_type = '{left_type}' AND b.event_type = '{right_type}'
+  AND abs(b.epoch - a.epoch) <= {radius_s}
 """
 
 

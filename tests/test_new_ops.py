@@ -38,6 +38,14 @@ NEW_SQL = [
     "binary_ingest",
     "curate",
     "emb_near_dups_lsh",
+    # round-2 relational widening: as-of / interval joins over events,
+    # set ops, CUBE, and IVF ANN at full probe (= exact oracle)
+    "asof_click_error",
+    "interval_error_view",
+    "lang_intersect",
+    "lang_except",
+    "cube_lang_source",
+    "knn_ivf",
 ]
 
 
@@ -97,16 +105,90 @@ def test_lsh_near_dups_subset_of_exact(spark):
 
 @needs_testdata
 def test_ivf_recall_and_determinism(spark):
-    import __spark_entry__ as e
+    """The driver entry runs full-probe (exact, SQL-oracle-checked);
+    the approximate regime (n_probe < n_cells) is exercised here."""
+    from pyspark.sql import functions as F
 
+    import __spark_entry__ as e
+    from two_tier_document_parser_spark.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query"), F.col("embedding").alias("qvec")
+    )
     brute = e.queries()["knn_bruteforce"](spark, SF).collect()
-    ivf1 = e.queries()["knn_ivf"](spark, SF).collect()
-    ivf2 = e.queries()["knn_ivf"](spark, SF).collect()
+    ivf1 = ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3).collect()
+    ivf2 = ivf_topk(emb, queries, k=10, n_cells=8, n_probe=3).collect()
     key = lambda rows: {(r["query"], r["candidate"], r["rank"]) for r in rows}
     assert key(ivf1) == key(ivf2)  # deterministic end to end
     bt = {(r["query"], r["candidate"]) for r in brute}
     iv = {(r["query"], r["candidate"]) for r in ivf1}
     assert len(iv & bt) >= 0.5 * len(bt)  # recall@10 over probed cells
+
+
+def test_asof_join_hand_events(spark):
+    """Boundary semantics: inclusive at equal epoch, null when no
+    prior right event, latest-not-first match."""
+    import datetime as dt
+
+    from two_tier_document_parser_spark.events import asof_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: clicks at 10 and 50; errors at 5 (no match), 50
+        # (inclusive boundary -> click@50), 70 (latest click, not first)
+        (1, 1, s(10), "click"),
+        (2, 1, s(50), "click"),
+        (3, 1, s(5), "error"),
+        (4, 1, s(50), "error"),
+        (5, 1, s(70), "error"),
+        # user 2: error with no clicks at all
+        (6, 2, s(30), "error"),
+        # other types are ignored entirely
+        (7, 1, s(60), "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    got = {
+        r["event_id"]: (r["match_id"], r["match_epoch"])
+        for r in asof_join(ev, "error", "click").collect()
+    }
+    base = int(t0.timestamp())
+    assert got == {
+        3: (None, None),
+        4: (2, base + 50),
+        5: (2, base + 50),
+        6: (None, None),
+    }
+
+
+def test_interval_join_hand_events(spark):
+    """Radius edges land inside (<=); cross-user pairs excluded; every
+    pair appears exactly once despite the 3-bucket candidate fan-out."""
+    import datetime as dt
+
+    from two_tier_document_parser_spark.events import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        (1, 1, s(1000), "error"),
+        (2, 1, s(1000 - 300), "view"),   # exactly -radius: in
+        (3, 1, s(1000 + 300), "view"),   # exactly +radius: in
+        (4, 1, s(1000 + 301), "view"),   # just out
+        (5, 1, s(1000 + 1), "view"),     # same bucket: in
+        (6, 2, s(1000), "view"),         # other user: out
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"], r["delta_s"])
+        for r in interval_join(ev, "error", "view", 300).collect()
+    )
+    assert got == [(1, 2, -300), (1, 3, 300), (1, 5, 1)]
 
 
 def test_stream_extract_equals_batch(spark, tmp_path):

@@ -72,3 +72,109 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
             F.floor(F.max("value") * 1000).cast("long").alias("max_v_x1000"),
         )
     )
+
+
+def asof_join(
+    events: DataFrame, left_type: str = "error", right_type: str = "click"
+) -> DataFrame:
+    """As-of join: for each `left_type` event, the most recent
+    `right_type` event of the same user at-or-before it (whole-second
+    epoch resolution, like sessionize).
+
+    Scale shape: NOT a range join. Both sides union into one frame,
+    shuffle ONCE on user_id, and a single window pass carries the last
+    right-event forward (`last(..., ignorenulls)`), so cost is
+    O(n log n) per user partition with zero candidate blow-up — the
+    per-key merge a dedicated as-of operator would do, expressed as a
+    window. At equal epoch the right event sorts first so the boundary
+    is inclusive (ts_right <= ts_left); ties broken by event_id.
+
+    Returns (event_id, user_id, epoch, match_id, match_epoch);
+    match columns are null when no prior right event exists.
+    """
+    ev = events.filter(F.col("event_type").isin(left_type, right_type)).select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        "event_type",
+    )
+    tagged = ev.withColumn(
+        "r_epoch",
+        F.when(F.col("event_type") == right_type, F.col("epoch")),
+    ).withColumn(
+        "r_id", F.when(F.col("event_type") == right_type, F.col("event_id"))
+    )
+    order_side = F.when(F.col("event_type") == right_type, 0).otherwise(1)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch", order_side, "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "match_epoch", F.last("r_epoch", ignorenulls=True).over(w)
+        )
+        .withColumn("match_id", F.last("r_id", ignorenulls=True).over(w))
+        .filter(F.col("event_type") == left_type)
+        .select("event_id", "user_id", "epoch", "match_id", "match_epoch")
+    )
+
+
+def interval_join(
+    events: DataFrame,
+    left_type: str = "error",
+    right_type: str = "view",
+    radius_s: int = 300,
+) -> DataFrame:
+    """Banded interval join: all (left, right) same-user event pairs
+    with |t_left - t_right| <= radius_s.
+
+    Scale shape: a time-bucket equi-join, never an unbounded
+    range-condition join (which Spark plans as a per-key cross join).
+    The right side keys on bucket = floor(epoch / radius); the left
+    side explodes to its 3 candidate buckets {b-1, b, b+1}; the join
+    is a plain hash equi-join on (user_id, bucket) and the exact
+    radius predicate filters the survivors. Each true pair matches
+    exactly once (the right event has one bucket), so no dedup pass.
+    Candidate blow-up is bounded at 3x the left side regardless of
+    radius or data volume.
+
+    Returns (a_id, b_id, user_id, delta_s) with
+    delta_s = epoch_right - epoch_left (signed).
+    """
+    ev = events.select(
+        "user_id",
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch"),
+        "event_type",
+    )
+    bkt = F.floor(F.col("epoch") / F.lit(radius_s))
+    left = (
+        ev.filter(F.col("event_type") == left_type)
+        .select(
+            F.col("user_id"),
+            F.col("event_id").alias("a_id"),
+            F.col("epoch").alias("a_epoch"),
+            F.explode(
+                F.array(bkt - 1, bkt, bkt + 1)
+            ).alias("bucket"),
+        )
+    )
+    right = ev.filter(F.col("event_type") == right_type).select(
+        F.col("user_id"),
+        F.col("event_id").alias("b_id"),
+        F.col("epoch").alias("b_epoch"),
+        bkt.alias("bucket"),
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .filter(
+            F.abs(F.col("b_epoch") - F.col("a_epoch")) <= F.lit(radius_s)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "user_id",
+            (F.col("b_epoch") - F.col("a_epoch")).alias("delta_s"),
+        )
+    )
