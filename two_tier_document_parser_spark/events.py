@@ -98,23 +98,28 @@ def asof_join(
         F.unix_timestamp("ts").alias("epoch"),
         "event_type",
     )
-    tagged = ev.withColumn(
-        "r_epoch",
-        F.when(F.col("event_type") == right_type, F.col("epoch")),
-    ).withColumn(
-        "r_id", F.when(F.col("event_type") == right_type, F.col("event_id"))
+    is_right = F.col("event_type") == right_type
+    # `side` is materialized once (not re-derived per window column) so
+    # both last() aggregates share one Sort + one Window node
+    tagged = (
+        ev.withColumn("r_epoch", F.when(is_right, F.col("epoch")))
+        .withColumn("r_id", F.when(is_right, F.col("event_id")))
+        .withColumn("side", F.when(is_right, 0).otherwise(1))
     )
-    order_side = F.when(F.col("event_type") == right_type, 0).otherwise(1)
     w = (
         Window.partitionBy("user_id")
-        .orderBy("epoch", order_side, "event_id")
+        .orderBy("epoch", "side", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        tagged.withColumn(
-            "match_epoch", F.last("r_epoch", ignorenulls=True).over(w)
+        tagged.select(
+            "event_id",
+            "user_id",
+            "epoch",
+            "event_type",
+            F.last("r_id", ignorenulls=True).over(w).alias("match_id"),
+            F.last("r_epoch", ignorenulls=True).over(w).alias("match_epoch"),
         )
-        .withColumn("match_id", F.last("r_id", ignorenulls=True).over(w))
         .filter(F.col("event_type") == left_type)
         .select("event_id", "user_id", "epoch", "match_id", "match_epoch")
     )
