@@ -370,6 +370,79 @@ def q_cube_lang_source(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """GROUPING SETS ((lang), (source)) — the two single-dimension
+    marginals without the full cube; native DataFrame groupingSets."""
+    return (
+        _docs(spark, sf_dir)
+        .groupingSets([[F.col("lang")], [F.col("source")]], "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
+
+
+def q_sample_docs(spark, sf_dir):
+    """Deterministic ~1/8 corpus sample: md5(doc_id || ':42') hex
+    prefix below a fixed threshold. Unlike rand(seed), the predicate
+    is a pure row function — stable across retries/partitionings and
+    reproducible in any engine (the property a 100 TB curation
+    pipeline needs for auditable sampling); pushes to the scan as a
+    deterministic filter."""
+    d = _docs(spark, sf_dir)
+    h = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    return d.filter(F.substring(h, 1, 4) < "2000").select(
+        "doc_id", "lang", "n_chars"
+    )
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact per-lang length percentiles (p50/p90/p99) via rank math
+    (percentile_disc semantics, ties broken by doc_id) — fully
+    deterministic and SQL-portable, unlike approx_percentile. At
+    100 TB the same plan holds (one shuffle on lang + window pass);
+    swap in approx_percentile for sketch-level cost when exactness
+    isn't contractual."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("lang", "n_chars", "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")), F.col("n_chars"))
+    )
+    return ranked.groupBy("lang").agg(
+        pick(0.5).alias("p50"), pick(0.9).alias("p90"), pick(0.99).alias("p99")
+    )
+
+
+_PIVOT_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
+
+
+def q_pivot_source_lang(spark, sf_dir):
+    """Doc counts per lang pivoted over a fixed source list — the
+    explicit value list keeps the plan a single-pass pivot aggregate
+    (no extra distinct-values job) and the schema static."""
+    p = (
+        _docs(spark, sf_dir)
+        .filter(F.col("source").isin(_PIVOT_SOURCES))
+        .groupBy("lang")
+        .pivot("source", _PIVOT_SOURCES)
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "lang",
+        *[F.coalesce(F.col(s), F.lit(0)).cast("long").alias(s)
+          for s in _PIVOT_SOURCES],
+    )
+
+
 def q_rollup_lang_source(spark, sf_dir):
     return (
         _docs(spark, sf_dir)
@@ -719,6 +792,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_intersect": q_lang_intersect,
         "lang_except": q_lang_except,
         "cube_lang_source": q_cube_lang_source,
+        "grouping_sets": q_grouping_sets,
+        "sample_docs": q_sample_docs,
+        "length_quantiles": q_length_quantiles,
+        "pivot_source_lang": q_pivot_source_lang,
         "rollup_lang_source": q_rollup_lang_source,
         "tfidf_top_terms": q_tfidf_top_terms,
         "emb_near_dups": q_emb_near_dups,
@@ -895,6 +972,18 @@ def oracle_sql() -> dict[str, str]:
             " CAST(GROUPING(lang) * 2 + GROUPING(source) AS BIGINT) AS gid"
             " FROM documents GROUP BY CUBE (lang, source)"
         ),
+        "grouping_sets": (
+            "SELECT lang, source, count(*) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_chars"
+            " FROM documents GROUP BY GROUPING SETS ((lang), (source))"
+        ),
+        "sample_docs": (
+            "SELECT doc_id, lang, n_chars FROM documents"
+            " WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 4)"
+            " < '2000'"
+        ),
+        "length_quantiles": _length_quantiles_sql(),
+        "pivot_source_lang": _pivot_sql(),
         "tfidf_top_terms": (
             f"{_TOK_CTE},"
             " lt AS (SELECT doc_id, lower(token) AS term FROM tok),"
@@ -1236,6 +1325,35 @@ def _LANG_BUCKET_SQL(source: str) -> str:
     return (
         "SELECT lang, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket"
         f" FROM documents WHERE source = '{source}'"
+    )
+
+
+def _length_quantiles_sql() -> str:
+    picks = ", ".join(
+        f"max(CASE WHEN rn = ceil({q} * cnt) THEN n_chars END) AS p{p}"
+        for q, p in ((0.5, 50), (0.9, 90), (0.99, 99))
+    )
+    return f"""
+WITH ranked AS (
+  SELECT lang, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+         count(*) OVER (PARTITION BY lang) AS cnt
+  FROM documents
+)
+SELECT lang, {picks} FROM ranked GROUP BY lang
+"""
+
+
+def _pivot_sql() -> str:
+    srcs = ["src0", "src1", "src2", "src3", "src4"]
+    cells = ", ".join(
+        f"CAST(count(*) FILTER (WHERE source = '{s}') AS BIGINT) AS {s}"
+        for s in srcs
+    )
+    in_list = ", ".join(f"'{s}'" for s in srcs)
+    return (
+        f"SELECT lang, {cells} FROM documents"
+        f" WHERE source IN ({in_list}) GROUP BY lang"
     )
 
 

@@ -46,6 +46,10 @@ NEW_SQL = [
     "lang_except",
     "cube_lang_source",
     "knn_ivf",
+    "grouping_sets",
+    "sample_docs",
+    "length_quantiles",
+    "pivot_source_lang",
 ]
 
 
