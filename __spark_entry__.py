@@ -301,6 +301,33 @@ def q_pipeline_documents(spark, sf_dir):
     )
 
 
+def q_html_ingest(spark, sf_dir):
+    """O1 bytes-in contract for WEB documents (north rule: "HTML
+    boilerplate strip ... DOM heuristics"): documents lifted to spans,
+    rendered to real HTML bytes, then re-parsed by the from-scratch
+    DOM lift (html_io.parse_batches: one C-rate regex pass + element
+    state machine per doc, Arrow-batched). The oracle replicates the
+    lift in pure SQL, so a value-exact match proves
+    html-bytes -> documents_raw parsing end-to-end."""
+    from two_tier_document_parser_spark.adapter import documents_to_raw
+    from two_tier_document_parser_spark.html_io import (
+        parse_table,
+        render_table,
+    )
+    from two_tier_document_parser_spark.pipeline import ship_package
+
+    ship_package(spark)
+    raw = documents_to_raw(_docs(spark, sf_dir))
+    decoded = parse_table(render_table(raw))
+    s = F.explode("spans").alias("s")
+    return decoded.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     from two_tier_document_parser_spark.events import sessionize
 
@@ -806,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semi_customers": q_semi_customers,
         "curate": q_curate,
         "binary_ingest": q_binary_ingest,
+        "html_ingest": q_html_ingest,
         "simhash": q_simhash,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1027,6 +1055,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curate": _curate_sql(stop_list, lang_scores, guess_case),
         "binary_ingest": _binary_ingest_sql(),
+        # the HTML round trip restores the same span lift
+        "html_ingest": _binary_ingest_sql(),
         "simhash": _simhash_sql(),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(),

@@ -1,0 +1,164 @@
+"""HTML ingestion (html_io): from-scratch DOM lift of raw HTML bytes
+into the producer span vocabulary, plus the render inverse.
+
+Covers: exact render->parse round trip over the full synthetic corpus
+(every IN_KIND, poison cells, empty formulas, page breaks, boxes),
+hand-written sloppy real-world HTML (entities, unquoted/single-quoted
+attrs, implied closes, script/style/head dropping, whitespace
+collapse, chrome containers), the quarantine path, the Spark
+mapInArrow table operators, and the full extraction cascade over
+parsed HTML bytes."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not Path(SF).exists(), reason="driver testdata not present"
+)
+
+
+def _doc(spans, doc_class="html", n_pages=1):
+    return {
+        "doc_id": "t0",
+        "doc_class": doc_class,
+        "n_pages": n_pages,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": r, "offset": i}
+            for i, (k, t, r) in enumerate(spans)
+        ],
+    }
+
+
+def test_roundtrip_synth_corpus_exact():
+    """parse(render(doc)) reproduces every synthetic document's
+    (doc_class, n_pages, span sequence) bit-exactly — all kinds,
+    poison markers, empty formulas, giant docs included."""
+    from two_tier_document_parser_spark.html_io import (
+        parse_html,
+        render_html,
+    )
+    from two_tier_document_parser_spark.synth import synth_docs
+
+    for doc in synth_docs(0, 500):
+        got = parse_html(render_html(doc))
+        assert got == {
+            "doc_class": doc["doc_class"],
+            "n_pages": doc["n_pages"],
+            "spans": doc["spans"],
+        }, doc["doc_id"]
+
+
+def test_sloppy_real_world_html():
+    from two_tier_document_parser_spark.html_io import parse_html
+
+    h = (
+        b"<!DOCTYPE html><html><head><title>T</title>"
+        b'<script>var x="<p>no</p>";</script><style>p{}</style></head>'
+        b"<body>\n<H1>Big &amp; Bold</H1>\n"
+        b"<p>Hello <b>world</b>, this is &lt;fine&gt;.</p>\n"
+        b"<nav><ul><li>Home</li></ul><p>chrome text</p></nav>\n"
+        b"<ul><li>Item <a href='/x?a=1&amp;b=2'>link</a> tail</li></ul>\n"
+        b"<table><tr><td><p>cell para</p> extra</td><td></td>"
+        b"<tr><td>c</td></table>\n"
+        b"<img src=pic.png alt='A pic'><math></math>\n"
+        b"<p>Unclosed paragraph\n</body></html>"
+    )
+    got = [
+        (s["kind"], s["text"], s["media_ref"])
+        for s in parse_html(h)["spans"]
+    ]
+    assert got == [
+        ("heading", "Big & Bold", ""),          # head content dropped
+        ("text", "Hello world, this is <fine>.", ""),  # one block
+        ("list_item", "Home", ""),
+        ("boilerplate", "chrome text", ""),     # <nav> context
+        ("link_text", "link", "/x?a=1&b=2"),    # entity-decoded href
+        ("list_item", "Item tail", ""),         # text around the <a>
+        ("table_cell", "cell para extra", ""),  # <p> passes through
+        ("table_cell", "", ""),                 # empty cell emits
+        ("table_cell", "c", ""),                # implied </tr>: no row_end
+        ("image", "A pic", "pic.png"),          # unquoted src attr
+        ("formula", "", ""),                    # empty math emits
+        ("text", "Unclosed paragraph", ""),     # implied close at </body>
+    ]
+
+
+def test_quarantine_on_bad_bytes():
+    from two_tier_document_parser_spark.html_io import parse_html
+
+    assert parse_html(b"\xff\xfe\x00 not utf8 \x80") is None
+    deep = b"<div>" * 2000
+    assert parse_html(deep) is None
+    # plain text without any tags is still a (trivial) document
+    assert parse_html(b"just words")["spans"][0]["kind"] == "text"
+
+
+def test_row_end_only_on_explicit_tr_close():
+    from two_tier_document_parser_spark.html_io import (
+        parse_html,
+        render_html,
+    )
+
+    # lone unterminated cell (the poison shape): no table_row_end
+    doc = _doc([("table_cell", "", ""), ("text", "after", "")])
+    got = parse_html(render_html(doc))
+    assert [s["kind"] for s in got["spans"]] == ["table_cell", "text"]
+    # explicitly terminated row keeps its row_end
+    doc2 = _doc(
+        [("table_cell", "a", ""), ("table_row_end", "", ""),
+         ("text", "after", "")]
+    )
+    got2 = parse_html(render_html(doc2))
+    assert [s["kind"] for s in got2["spans"]] == [
+        "table_cell", "table_row_end", "text",
+    ]
+
+
+def test_spark_roundtrip_and_cascade(spark):
+    """Table-level: synth corpus -> HTML bytes -> parsed spans equals
+    the original rows, and the parsed table drives the full two-tier
+    cascade (routing + extraction run on HTML-borne documents)."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.html_io import (
+        parse_table,
+        render_table,
+    )
+    from two_tier_document_parser_spark.pipeline import (
+        extract,
+        ship_package,
+    )
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    raw = synth_spark(spark, 200, partitions=4)
+    back = parse_table(render_table(raw))
+    a = {r["doc_id"]: r.asDict(recursive=True) for r in raw.collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True) for r in back.collect()}
+    assert a == b
+    out = extract(spark, back, persist=False)
+    tiers = {
+        r["tier"]: r["n"]
+        for r in out.groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert tiers.get("fast", 0) > 0 and tiers.get("deep", 0) > 0
+    assert sum(tiers.values()) == 200
+
+
+def test_spark_quarantine_rows(spark):
+    from two_tier_document_parser_spark.html_io import parse_table
+    from two_tier_document_parser_spark.pipeline import ship_package
+
+    ship_package(spark)
+    bad = spark.createDataFrame(
+        [("b0", bytearray(b"\xff\x80 bad")), ("b1", bytearray(b"<p>ok</p>"))],
+        "doc_id string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in parse_table(bad).collect()}
+    assert rows["b0"]["doc_class"] == "" and rows["b0"]["spans"] == []
+    assert rows["b1"]["spans"][0]["kind"] == "text"

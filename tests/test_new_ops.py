@@ -50,6 +50,7 @@ NEW_SQL = [
     "sample_docs",
     "length_quantiles",
     "pivot_source_lang",
+    "html_ingest",
 ]
 
 

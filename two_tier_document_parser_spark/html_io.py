@@ -1,0 +1,404 @@
+"""From-scratch HTML ingestion: raw HTML bytes -> documents_raw span
+streams (the north-rule's "HTML boilerplate strip ... DOM heuristics"
+entry point, and the reference's bytes-in contract O1,
+fast/app.py:49-66, for web documents).
+
+This is a two-layer jusText/Readability-style design (Pomikálek 2011,
+public heuristics):
+
+1. **Structural DOM lift (this module)** — a from-scratch tokenizer +
+   element state machine maps markup structure to the producer span
+   vocabulary (`spec.IN_KINDS`): headings, list items, table cells and
+   row ends, images, formulas, anchor runs as `link_text`, and text
+   inside chrome containers (<nav>/<footer>/<header>/<aside>) as
+   `boilerplate`.
+2. **Density classification (tier-1, spec.py)** — the existing
+   link-density / block-length / stop-word-density classifier then
+   strips boilerplate the DOM alone cannot prove, exactly as before.
+
+Parsing cost model: ONE C-rate regex pass per document finds every
+tag/comment (`_TOKEN_RE.finditer`); the Python state machine touches
+only tags and non-empty text nodes (~element count, the same
+per-batch cost class as the tier-2 region emitter). The operator is
+`mapInArrow` over (doc_id, payload binary) batches — map-only, no
+shuffle, splits like any parquet at 100 TB. A malformed or
+undecodable payload quarantines (doc_class='', no spans — error
+channel O19); the parser never throws.
+
+Subset semantics (documented, deterministic):
+- Buffered elements emit ONE span for their concatenated descendant
+  text at their close tag: h1-h6 -> heading, li -> list_item,
+  td/th -> table_cell (EMPTY cells still emit — the poison-marker
+  case), math -> formula (empty formulas emit; tier-2 applies the
+  reference's drop rule), a -> link_text (media_ref = href).
+- </tr> emits `table_row_end`. Implied closes (HTML5 optional end
+  tags, e.g. a table closed while a row is open) pop structure
+  WITHOUT emitting — only explicit markup emits spans.
+- <img src=S alt=A> emits an `image` span (text=A, media_ref=S);
+  <hr class="page-break"> emits `page_break`; <div data-box="..">
+  emits a `box` span carrying the encoded geometry (these two make
+  render/parse a total round trip over any documents_raw stream).
+- <script>/<style> subtrees are dropped wholesale; comments and
+  doctypes are skipped; entities are decoded (html.unescape); text
+  node whitespace is collapsed to single spaces.
+- n_pages = 1 + count(page_break); doc_class comes from the <html
+  data-doc-class=".."> attribute, defaulting to "html".
+
+`render_*` is the harness/producer inverse (documents_raw -> HTML
+bytes) used for round-trip goldens and corpus materialization; the
+product hot path is the decoder.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+from typing import Iterator
+
+import pyarrow as pa
+
+from .schemas import RAW_SCHEMA
+
+# one pass over the document: comments / doctypes / tags
+_TOKEN_RE = re.compile(r"<!--.*?-->|<![^>]*>|<[^>]*>", re.S)
+_NAME_RE = re.compile(r"</?\s*([a-zA-Z][a-zA-Z0-9-]*)")
+_ATTR_RE = re.compile(
+    r"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>/]+))"
+)
+_WS_RE = re.compile(r"\s+")
+
+_VOID = frozenset(
+    "img br hr meta link input source wbr embed area base col param "
+    "track".split()
+)
+# element -> span kind, one span per element at its close tag;
+# None = inherit the enclosing context kind (p in <nav> -> boilerplate)
+_BUFFERED = {
+    "h1": "heading", "h2": "heading", "h3": "heading", "h4": "heading",
+    "h5": "heading", "h6": "heading",
+    "li": "list_item",
+    "td": "table_cell", "th": "table_cell",
+    "math": "formula",
+    "a": "link_text",
+    "p": None,
+}
+# containers whose descendant text is structurally boilerplate
+_CHROME = frozenset("nav footer header aside".split())
+_DROP = frozenset(("script", "style", "svg", "noscript"))
+_SKIP_CTX = ""  # context kind marking non-content subtrees (<head>)
+
+_MAX_DEPTH = 1000
+
+
+def _attrs(tag: str) -> dict[str, str]:
+    return {
+        m.group(1).lower(): _html.unescape(
+            m.group(2) or m.group(3) or m.group(4) or ""
+        )
+        for m in _ATTR_RE.finditer(tag)
+    }
+
+
+def parse_html(payload: bytes) -> dict | None:
+    """One HTML document -> documents_raw row dict, or None when the
+    payload is undecodable/absurd (caller quarantines)."""
+    try:
+        text = payload.decode("utf-8")
+    except (UnicodeDecodeError, AttributeError):
+        return None
+
+    spans: list[tuple[str, str, str]] = []
+    elems: list[str] = []        # open element names
+    ctx: list[str] = ["text"]    # inherited context kind per level
+    bufs: list[list[str] | None] = [None]  # raw-text buffer per level
+    own_buf: list[bool] = [False]  # frame owns (and emits) its buffer
+    buf_kinds: list[str] = [""]
+    buf_refs: list[str] = [""]
+    drop = 0
+    n_breaks = 0
+    doc_class = "html"
+
+    def emit_text(chunk: str) -> None:
+        if bufs[-1] is not None:
+            # raw accumulation; whitespace-normalized once at close so
+            # inline tags don't inject spurious word breaks
+            bufs[-1].append(chunk)
+            return
+        t = _WS_RE.sub(" ", chunk).strip()
+        if t and ctx[-1] != _SKIP_CTX:
+            spans.append((ctx[-1], t, ""))
+
+    def close_one(emit: bool = True) -> None:
+        """Pop one frame. An implied close (`emit=True`) still flushes
+        a buffering frame's NON-empty text (real content must survive
+        HTML5 optional end tags), but never applies the explicit-close
+        empty-emission rules: no table_row_end, no empty cells — so
+        sloppy structure can't fabricate poison markers or row ends."""
+        if emit and own_buf[-1] and buf_kinds[-1]:
+            t = _WS_RE.sub(" ", "".join(bufs[-1])).strip()
+            if t:
+                spans.append((buf_kinds[-1], t, buf_refs[-1]))
+        elems.pop()
+        ctx.pop()
+        bufs.pop()
+        own_buf.pop()
+        buf_kinds.pop()
+        buf_refs.pop()
+
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        if m.start() > pos and not drop:
+            emit_text(_html.unescape(text[pos : m.start()]))
+        pos = m.end()
+        tag = m.group(0)
+        if tag.startswith("<!"):
+            continue
+        nm = _NAME_RE.match(tag)
+        if not nm:
+            continue  # malformed tag: skip, never throw
+        name = nm.group(1).lower()
+        closing = tag.startswith("</")
+
+        if closing:
+            if name in _DROP:
+                if drop:
+                    drop -= 1
+                continue
+            if drop or name not in elems:
+                continue
+            # implied closes for unclosed children, then the real one
+            while elems[-1] != name:
+                close_one()
+            if own_buf[-1]:
+                if buf_kinds[-1]:
+                    t = _WS_RE.sub(" ", "".join(bufs[-1])).strip()
+                    if t or name in ("td", "th", "math"):
+                        # empty cells/formulas still emit (poison marker
+                        # / tier-2 drop rule); other empties don't
+                        spans.append((buf_kinds[-1], t, buf_refs[-1]))
+            elif name == "tr":
+                spans.append(("table_row_end", "", ""))
+            close_one(emit=False)
+            continue
+
+        # opening tag
+        if name in _DROP:
+            drop += 1
+            continue
+        if drop:
+            continue
+        if name == "img":
+            a = _attrs(tag)
+            spans.append(("image", a.get("alt", ""), a.get("src", "")))
+            continue
+        if name == "hr":
+            if "page-break" in _attrs(tag).get("class", ""):
+                spans.append(("page_break", "", ""))
+                n_breaks += 1
+            continue
+        if name in _VOID or tag.endswith("/>"):
+            if name == "div" and "data-box" in tag:
+                spans.append(("box", _attrs(tag).get("data-box", ""), ""))
+            continue
+        if name == "html":
+            doc_class = _attrs(tag).get("data-doc-class", "html") or "html"
+        if name == "div" and "data-box" in tag:
+            spans.append(("box", _attrs(tag).get("data-box", ""), ""))
+        if name == "body":
+            # <body> resets to document level even when <head> was
+            # never closed (HTML5 optional end tags)
+            while elems and elems[-1] != "html":
+                close_one()
+        if len(elems) >= _MAX_DEPTH:
+            return None  # absurd nesting: quarantine
+        elems.append(name)
+        if name in _BUFFERED and not (
+            _BUFFERED[name] is None and bufs[-1] is not None
+        ):
+            # (a context-kind block like <p> inside an already-buffering
+            # element passes its text through to that buffer instead)
+            base = ctx[-1]
+            kind = _BUFFERED[name] or base
+            ctx.append(base)
+            bufs.append([])
+            own_buf.append(True)
+            # a buffered element inside a skipped subtree emits nothing
+            buf_kinds.append("" if base == _SKIP_CTX else kind)
+            buf_refs.append(
+                _attrs(tag).get("href", "") if name == "a" else ""
+            )
+        else:
+            if name == "head":
+                ctx.append(_SKIP_CTX)
+            elif name == "body":
+                ctx.append("text")
+            elif name in _CHROME:
+                ctx.append("boilerplate")
+            else:
+                ctx.append(ctx[-1])
+            bufs.append(None if bufs[-1] is None else bufs[-1])
+            own_buf.append(False)
+            buf_kinds.append(buf_kinds[-1])
+            buf_refs.append("")
+    if pos < len(text) and not drop:
+        emit_text(_html.unescape(text[pos:]))
+    while elems:  # EOF flush: unclosed elements still surface content
+        close_one()
+
+    return {
+        "doc_class": doc_class,
+        "n_pages": n_breaks + 1,
+        "spans": [
+            {"kind": k, "text": t, "media_ref": r, "offset": i}
+            for i, (k, t, r) in enumerate(spans)
+        ],
+    }
+
+
+def _esc(t: str) -> str:
+    return _html.escape(t, quote=False)
+
+
+def _esc_attr(t: str) -> str:
+    return _html.escape(t, quote=True)
+
+
+def render_html(doc: dict) -> bytes:
+    """documents_raw row -> HTML bytes (the parser's inverse on
+    well-formed span streams; harness/producer side)."""
+    out: list[str] = [
+        f'<html data-doc-class="{_esc_attr(doc["doc_class"])}"><body>'
+    ]
+    in_table = False
+    in_row = False
+
+    def close_table() -> None:
+        nonlocal in_table, in_row
+        if in_table:
+            # omit </tr> for never-terminated rows (HTML5 optional end
+            # tag); the parser emits table_row_end only on explicit </tr>
+            out.append("</table>")
+            in_table = False
+            in_row = False
+
+    for s in doc["spans"]:
+        k, t, r = s["kind"], s["text"], s["media_ref"] or ""
+        if k == "table_cell":
+            if not in_table:
+                out.append("<table>")
+                in_table = True
+            if not in_row:
+                out.append("<tr>")
+                in_row = True
+            out.append(f"<td>{_esc(t)}</td>")
+            continue
+        if k == "table_row_end":
+            if not in_row:
+                out.append("<tr>")
+            out.append("</tr>")
+            in_row = False
+            continue
+        close_table()
+        if k == "text":
+            out.append(f"<p>{_esc(t)}</p>")
+        elif k == "heading":
+            out.append(f"<h2>{_esc(t)}</h2>")
+        elif k == "list_item":
+            out.append(f"<li>{_esc(t)}</li>")
+        elif k == "link_text":
+            href = f' href="{_esc_attr(r)}"' if r else ""
+            out.append(f"<a{href}>{_esc(t)}</a>")
+        elif k == "boilerplate":
+            out.append(f"<nav>{_esc(t)}</nav>")
+        elif k == "image":
+            out.append(
+                f'<img src="{_esc_attr(r)}" alt="{_esc_attr(t)}"/>'
+            )
+        elif k == "formula":
+            out.append(f"<math>{_esc(t)}</math>")
+        elif k == "page_break":
+            out.append('<hr class="page-break"/>')
+        elif k == "box":
+            out.append(f'<div data-box="{_esc_attr(t)}"></div>')
+        # unknown kinds are dropped (forward compatibility)
+    close_table()
+    out.append("</body></html>")
+    return "".join(out).encode("utf-8")
+
+
+def parse_batches(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    """(doc_id, payload binary) -> documents_raw rows; malformed
+    payloads become quarantine-shaped rows (O19), never exceptions."""
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        ids = batch.column("doc_id")
+        rows = []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                doc = parse_html(payload)
+            except Exception:  # absolute backstop: quarantine
+                doc = None
+            rows.append(
+                doc
+                if doc is not None
+                else {"doc_class": "", "n_pages": 0, "spans": []}
+            )
+        yield pa.RecordBatch.from_arrays(
+            [
+                ids,
+                pa.array([r["doc_class"] for r in rows], type=pa.string()),
+                pa.array([r["n_pages"] for r in rows], type=pa.int32()),
+                pa.array(
+                    [r["spans"] for r in rows],
+                    type=RAW_SCHEMA_SPANS_TYPE,
+                ),
+            ],
+            names=["doc_id", "doc_class", "n_pages", "spans"],
+        )
+
+
+RAW_SCHEMA_SPANS_TYPE = pa.list_(
+    pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+)
+
+
+def render_batches(
+    batches: Iterator[pa.RecordBatch],
+) -> Iterator[pa.RecordBatch]:
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        docs = batch.to_pylist()
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array(
+                    [render_html(d) for d in docs], type=pa.binary()
+                ),
+            ],
+            names=["doc_id", "payload"],
+        )
+
+
+def render_table(raw):
+    """documents_raw DataFrame -> (doc_id, payload binary) of HTML."""
+    return raw.select("doc_id", "doc_class", "n_pages", "spans").mapInArrow(
+        render_batches, "doc_id string, payload binary"
+    )
+
+
+def parse_table(bin_df):
+    """(doc_id, payload binary) of HTML -> documents_raw rows."""
+    return bin_df.select("doc_id", "payload").mapInArrow(
+        parse_batches, RAW_SCHEMA
+    )
