@@ -328,6 +328,34 @@ def q_html_ingest(spark, sf_dir):
     )
 
 
+def q_pdf_ingest(spark, sf_dir):
+    """O1 bytes-in contract for PDF documents (the reference accepts
+    opaque PDF bytes, fast/app.py:49-66): documents lifted to spans,
+    written as complete PDF 1.4 files (page tree, Flate streams,
+    xref), then re-parsed by the from-scratch PDF-subset reader
+    (pdf_io: object scan, page-tree walk, content-stream interpreter,
+    pdfminer-style layout heuristics + Tagged-PDF marked content).
+    The oracle replicates the span lift in pure SQL, so a value-exact
+    match proves pdf-bytes -> documents_raw parsing end-to-end."""
+    from two_tier_document_parser_spark.adapter import documents_to_raw
+    from two_tier_document_parser_spark.pdf_io import (
+        parse_table,
+        render_table,
+    )
+    from two_tier_document_parser_spark.pipeline import ship_package
+
+    ship_package(spark)
+    raw = documents_to_raw(_docs(spark, sf_dir))
+    decoded = parse_table(render_table(raw))
+    s = F.explode("spans").alias("s")
+    return decoded.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
 def q_sessionize(spark, sf_dir):
     from two_tier_document_parser_spark.events import sessionize
 
@@ -834,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "curate": q_curate,
         "binary_ingest": q_binary_ingest,
         "html_ingest": q_html_ingest,
+        "pdf_ingest": q_pdf_ingest,
         "simhash": q_simhash,
         "media_features": q_media_features,
         "media_frames": q_media_frames,
@@ -1055,8 +1084,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "curate": _curate_sql(stop_list, lang_scores, guess_case),
         "binary_ingest": _binary_ingest_sql(),
-        # the HTML round trip restores the same span lift
+        # the HTML and PDF round trips restore the same span lift
         "html_ingest": _binary_ingest_sql(),
+        "pdf_ingest": _binary_ingest_sql(),
         "simhash": _simhash_sql(),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(),

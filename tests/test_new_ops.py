@@ -51,6 +51,7 @@ NEW_SQL = [
     "length_quantiles",
     "pivot_source_lang",
     "html_ingest",
+    "pdf_ingest",
 ]
 
 

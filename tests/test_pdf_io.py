@@ -1,0 +1,131 @@
+"""PDF-subset ingestion (pdf_io): from-scratch %PDF bytes -> span
+lift, plus the spec-shaped writer inverse.
+
+Covers: exact render->parse round trip over the synthetic corpus
+(multi-page + giant docs, marked-content cells/formulas/links/boxes,
+image XObjects, footer boilerplate, headings by font size), a
+hand-written classic PDF the writer never produced (uncompressed
+stream, literal strings with escapes, Td positioning), quarantine on
+non-PDF bytes, and the Spark table operators + full cascade."""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+needs_testdata = pytest.mark.skipif(
+    not Path(SF).exists(), reason="driver testdata not present"
+)
+
+
+def test_roundtrip_synth_corpus_exact():
+    from two_tier_document_parser_spark.pdf_io import parse_pdf, render_pdf
+    from two_tier_document_parser_spark.synth import synth_docs
+
+    for doc in synth_docs(0, 300):
+        got = parse_pdf(render_pdf(doc))
+        assert got == {
+            "doc_class": doc["doc_class"],
+            "n_pages": doc["n_pages"],
+            "spans": doc["spans"],
+        }, doc["doc_id"]
+
+
+def test_written_files_are_wellformed_pdf():
+    from two_tier_document_parser_spark.pdf_io import render_pdf
+    from two_tier_document_parser_spark.synth import synth_docs
+
+    pdf = render_pdf(synth_docs(3, 1)[0])
+    assert pdf.startswith(b"%PDF-1.4\n")
+    assert pdf.rstrip().endswith(b"%%EOF")
+    assert b"xref" in pdf and b"trailer" in pdf
+    # xref startxref offset actually points at the xref keyword
+    tail = pdf[pdf.rindex(b"startxref") :]
+    off = int(tail.split()[1])
+    assert pdf[off : off + 4] == b"xref"
+
+
+def test_foreign_classic_pdf():
+    """A minimal hand-authored PDF in the classic idiom — uncompressed
+    content, literal strings with escapes, Td-relative-style
+    positioning, no marked content — parses via the layout-heuristic
+    layer alone."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    content = (
+        b"BT /F1 24 Tf 72 700 Td (A Title) Tj ET\n"
+        b"BT /F1 12 Tf 72 660 Td (Body with \\(escaped\\) parens) Tj ET\n"
+        b"BT /F1 12 Tf 72 640 Td [(Part one ) (and two)] TJ ET\n"
+        b"BT /F1 12 Tf 72 30 Td (c 2024 footer chrome) Tj ET\n"
+    )
+    objs = []
+    objs.append(b"<< /Type /Catalog /Pages 2 0 R >>")                # 1
+    objs.append(b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>")      # 2
+    objs.append(
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+    )                                                                 # 3
+    objs.append(
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    )                                                                 # 4
+    objs.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    body = b"%PDF-1.4\n"
+    for i, o in enumerate(objs, start=1):
+        body += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    body += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+
+    doc = parse_pdf(body)
+    got = [(s["kind"], s["text"]) for s in doc["spans"]]
+    assert got == [
+        ("heading", "A Title"),                  # 24pt >= threshold
+        ("text", "Body with (escaped) parens"),  # literal escapes
+        ("text", "Part one and two"),            # TJ array join
+        ("boilerplate", "c 2024 footer chrome"), # footer band y=30
+    ]
+    assert doc["n_pages"] == 1 and doc["doc_class"] == "pdf"
+
+
+def test_quarantine_on_bad_bytes():
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    assert parse_pdf(b"not a pdf at all") is None
+    assert parse_pdf(b"%PDF-1.4\ngarbage without trailer") is None
+    assert parse_pdf(b"") is None
+
+
+def test_spark_roundtrip_and_cascade(spark):
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.pdf_io import (
+        parse_table,
+        render_table,
+    )
+    from two_tier_document_parser_spark.pipeline import (
+        extract,
+        ship_package,
+    )
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    raw = synth_spark(spark, 150, partitions=4)
+    back = parse_table(render_table(raw))
+    a = {r["doc_id"]: r.asDict(recursive=True) for r in raw.collect()}
+    b = {r["doc_id"]: r.asDict(recursive=True) for r in back.collect()}
+    assert a == b
+    out = extract(spark, back, persist=False)
+    tiers = {
+        r["tier"]: r["n"]
+        for r in out.groupBy("tier").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert tiers.get("fast", 0) > 0 and tiers.get("deep", 0) > 0
+    assert sum(tiers.values()) == 150
+    # quarantine rows flow in-band
+    bad = spark.createDataFrame(
+        [("b0", bytearray(b"\x00\x01 not pdf"))],
+        "doc_id string, payload binary",
+    )
+    q = parse_table(bad).collect()[0]
+    assert q["doc_class"] == "" and q["spans"] == []
