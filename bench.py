@@ -141,6 +141,33 @@ def main() -> int:
         reps=2,
     )
 
+    # 2c/2d. real-format ingestion round trips (render + parse +
+    # cascade) on a 20k-doc slice: the PDF/HTML parsers are per-doc
+    # state machines (the honest cost of real formats), so the slice
+    # keeps the bench wall-time bounded while still measuring
+    # thousands of docs/sec across cores
+    from two_tier_document_parser_spark import html_io, pdf_io
+
+    ingest_slice = spark.read.parquet(corpus).limit(20_000)
+    ingest_slice = ingest_slice.repartition(4 * cpus).persist()
+    ingest_slice.count()
+    for mod, nm in ((pdf_io, "pdf_roundtrip_extract"),
+                    (html_io, "html_roundtrip_extract")):
+        timed(
+            nm,
+            lambda m=mod: extract(
+                spark, m.parse_table(m.render_table(ingest_slice)),
+                mode="fused",
+            )
+            .select(F.count(F.lit(1)))
+            .collect(),
+            reps=2,
+        )
+        extras.setdefault("ingest_docs_per_sec", {})[nm] = round(
+            20_000 / timings[nm], 1
+        )
+    ingest_slice.unpersist()
+
     # 4+. driver-table operators (same code the correctness gate runs)
     qs = entrymod.queries()
     for name in (

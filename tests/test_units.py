@@ -337,3 +337,38 @@ def test_reading_order_dense_per_doc():
     )
     out = tier2_extract(doc)
     assert [s["order"] for s in out["spans"]] == list(range(len(out["spans"])))
+
+
+def test_parse_bytes_request_contract():
+    """api.parse_bytes = the reference's bytes-in request surface
+    (fast/app.py:49-83): sniffed decode for all three byte formats,
+    extension 400 semantics, per-tier 413 size caps with the
+    reference's exact wording, and responses identical to feeding the
+    decoded documents_raw row through parse_document."""
+    from two_tier_document_parser_spark.api import parse_bytes, parse_document
+    from two_tier_document_parser_spark.binary_io import encode_doc
+    from two_tier_document_parser_spark.html_io import render_html
+    from two_tier_document_parser_spark.pdf_io import render_pdf
+    from two_tier_document_parser_spark.synth import make_doc
+
+    doc = make_doc(11)
+    for payload, fname in (
+        (render_pdf(doc), "a.pdf"),
+        (render_html(doc), "a.html"),
+        (encode_doc(doc), "a.ttdp"),
+    ):
+        got = parse_bytes(payload, fname)
+        want = parse_document({**doc, "doc_id": fname})
+        # processing time is wall-clock; everything else must match
+        got.get("metadata", {}).pop("processing_time_ms", None)
+        want.get("metadata", {}).pop("processing_time_ms", None)
+        assert got == want, fname
+
+    assert parse_bytes(b"x", "a.exe")["error"].startswith("Unsupported")
+    big = bytes(100 * 1024 * 1024 + 1)
+    assert parse_bytes(big, "a.pdf")["error"] == "File too large (max 100MB)"
+    assert (
+        parse_bytes(big, "a.pdf", tier="accurate")["error"]
+        != "File too large (max 100MB)"
+    )  # 500MB cap on the accurate tier admits it (then fails decode)
+    assert parse_bytes(b"\xff\x80 junk", "a.pdf")["error"] == "invalid document"

@@ -174,3 +174,61 @@ def parse_document(doc: dict, tier: str = "auto") -> dict:
         meta["backend"] = "deterministic"
         meta["gpu_used"] = False
     return resp
+
+
+_FAST_CAP = 100 * 1024 * 1024      # reference fast/app.py:71-73
+_ACCURATE_CAP = 500 * 1024 * 1024  # reference accurate/app.py:125-127
+_EXTS = (".pdf", ".html", ".htm", ".ttdp")
+
+
+def _decode_payload(payload: bytes, filename: str) -> dict | None:
+    """Sniff + decode raw document bytes into a documents_raw row.
+    Content wins over extension (a .pdf that is actually HTML still
+    parses); None = undecodable -> invalid-document error."""
+    from .binary_io import MAGIC, decode_batches
+    from .html_io import parse_html
+    from .pdf_io import parse_pdf
+
+    if payload.startswith(b"%PDF-"):
+        doc = parse_pdf(payload)
+    elif payload.startswith(MAGIC):
+        import pyarrow as pa
+
+        rows = []
+        for b in decode_batches(
+            iter(
+                [
+                    pa.RecordBatch.from_pylist(
+                        [{"doc_id": filename, "payload": payload}]
+                    )
+                ]
+            )
+        ):
+            rows.extend(b.to_pylist())
+        doc = rows[0] if rows and rows[0]["doc_class"] else None
+    else:
+        doc = parse_html(payload)
+    if doc is None or not doc.get("spans"):
+        return None
+    doc["doc_id"] = filename
+    return doc
+
+
+def parse_bytes(payload: bytes, filename: str, tier: str = "auto") -> dict:
+    """The reference's request-level contract, bytes-in (fast/app.py:
+    49-83, accurate/app.py:100-137): opaque document bytes + filename
+    -> ParseResponse dict. Validation mirrors the services: extension
+    check (400 semantics), per-tier size caps with the reference's
+    exact 413 wording, then decode (%PDF-/TTDP1/HTML sniffed by
+    content) and the same single-document kernel path as
+    `parse_document`. Errors come back in-band, never as exceptions."""
+    if not str(filename).lower().endswith(_EXTS):
+        return {"error": "Unsupported file type (use .pdf, .html or .ttdp)"}
+    cap = _ACCURATE_CAP if tier == "accurate" else _FAST_CAP
+    if len(payload) > cap:
+        # exact reference wording, fast/app.py:73 / accurate/app.py:127
+        return {"error": f"File too large (max {cap // (1024 * 1024)}MB)"}
+    doc = _decode_payload(bytes(payload), str(filename))
+    if doc is None:
+        return {"error": "invalid document"}
+    return parse_document(doc, tier)

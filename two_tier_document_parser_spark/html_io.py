@@ -106,6 +106,10 @@ def parse_html(payload: bytes) -> dict | None:
         text = payload.decode("utf-8")
     except (UnicodeDecodeError, AttributeError):
         return None
+    if "\x00" in text:
+        # U+0000 is an HTML5 parse error; NUL-bearing input is binary
+        # junk misrouted here, not a document -> quarantine
+        return None
 
     spans: list[tuple[str, str, str]] = []
     elems: list[str] = []        # open element names

@@ -255,20 +255,17 @@ def _interp_page(content: bytes, xobjects: dict[str, dict], spans: list) -> None
         else:
             spans.append(("text", txt, ""))
 
-    pos = 0
-    n = len(content)
-    while pos < n:
-        m = _CS_TOKEN.search(content, pos)
-        if not m:
-            break
-        pos = m.end()
+    skip_until = 0  # one finditer pass; inline dicts advance this
+    for m in _CS_TOKEN.finditer(content):
+        if m.start() < skip_until:
+            continue
         t = m.group(0)
         c = t[:1]
         if c == b"(":
             operands.append(_parse_literal_string(t, 0)[0])
         elif t == b"<<":
             # inline property dict: re-parse from the token start
-            d, pos = _parse_obj(content, m.start())
+            d, skip_until = _parse_obj(content, m.start())
             operands.append(d)
         elif c == b"<":
             hexs = re.sub(rb"\s", b"", t[1:-1])
@@ -315,7 +312,7 @@ def _interp_page(content: bytes, xobjects: dict[str, dict], spans: list) -> None
                         ("image", str(xo.get("TTDPAlt", "")),
                          str(xo.get("TTDPRef", "")))
                     )
-            operands = []
+            operands.clear()
     # unterminated regions at stream end: flush best-effort
     while stack:
         tag, props = stack.pop()
