@@ -24,11 +24,77 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def _decode_bytes_table(bin_df, fmt: str):
+    """(doc_id, payload binary) -> documents_raw via the matching
+    from-scratch decoder; 'bytes' sniffs per document by content
+    (%PDF- / TTDP1 magic / HTML fallback) inside one Arrow kernel."""
+    from two_tier_document_parser_spark import binary_io, html_io, pdf_io
+    from two_tier_document_parser_spark.schemas import RAW_SCHEMA
+
+    if fmt == "pdf":
+        return pdf_io.parse_table(bin_df)
+    if fmt == "html":
+        return html_io.parse_table(bin_df)
+    if fmt == "ttdp":
+        return binary_io.decode_table(bin_df)
+
+    def sniff(batches):
+        import pyarrow as pa
+
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            rows = []
+            for payload in batch.column("payload").to_pylist():
+                p = payload or b""
+                if p.startswith(b"%PDF-"):
+                    doc = pdf_io.parse_pdf(p)
+                elif p.startswith(binary_io.MAGIC):
+                    got = list(
+                        binary_io.decode_batches(
+                            iter([pa.RecordBatch.from_pylist(
+                                [{"doc_id": "", "payload": p}]
+                            )])
+                        )
+                    )
+                    row = got[0].to_pylist()[0] if got else None
+                    doc = row if row and row["doc_class"] else None
+                else:
+                    doc = html_io.parse_html(p)
+                rows.append(
+                    doc if doc is not None
+                    else {"doc_class": "", "n_pages": 0, "spans": []}
+                )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array([r["doc_class"] for r in rows], type=pa.string()),
+                    pa.array([r["n_pages"] for r in rows], type=pa.int32()),
+                    pa.array(
+                        [r["spans"] for r in rows],
+                        type=html_io.RAW_SCHEMA_SPANS_TYPE,
+                    ),
+                ],
+                names=["doc_id", "doc_class", "n_pages", "spans"],
+            )
+
+    return bin_df.select("doc_id", "payload").mapInArrow(sniff, RAW_SCHEMA)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description="two-tier extraction job")
     src = ap.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="documents_raw parquet path")
     src.add_argument("--synth", type=int, help="generate N synthetic docs instead")
+    ap.add_argument(
+        "--input-format",
+        default="spans",
+        choices=["spans", "pdf", "html", "ttdp", "bytes"],
+        help="with --input: 'spans' reads documents_raw rows (default); "
+        "'pdf'/'html'/'ttdp' read a (doc_id, payload binary) table of "
+        "raw document bytes and decode inside the Arrow kernel; "
+        "'bytes' sniffs the format per document (content wins)",
+    )
     ap.add_argument("--output", required=True, help="documents_out parquet path")
     ap.add_argument("--master", default=None, help="spark master (default: env)")
     ap.add_argument("--mode", default="fused", choices=["fused", "split"])
@@ -71,6 +137,8 @@ def main() -> int:
     t0 = time.time()
     if args.input:
         raw = spark.read.parquet(args.input)
+        if args.input_format != "spans":
+            raw = _decode_bytes_table(raw, args.input_format)
     else:
         raw = synth_spark(spark, args.synth, args.seed, partitions=args.partitions)
 

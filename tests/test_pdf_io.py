@@ -129,3 +129,35 @@ def test_spark_roundtrip_and_cascade(spark):
     )
     q = parse_table(bad).collect()[0]
     assert q["doc_class"] == "" and q["spans"] == []
+
+
+def test_job_mixed_bytes_decode(spark):
+    """jobs/run_extract.py --input-format bytes: one Arrow kernel
+    sniffs %PDF- / TTDP1 / HTML per document and quarantines junk."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    from run_extract import _decode_bytes_table
+
+    from two_tier_document_parser_spark.binary_io import encode_doc
+    from two_tier_document_parser_spark.html_io import render_html
+    from two_tier_document_parser_spark.pdf_io import render_pdf
+    from two_tier_document_parser_spark.pipeline import ship_package
+    from two_tier_document_parser_spark.synth import synth_docs
+
+    ship_package(spark)
+    docs = synth_docs(0, 30)
+    rows = [
+        (d["doc_id"], bytearray((render_pdf, render_html, encode_doc)[i % 3](d)))
+        for i, d in enumerate(docs)
+    ] + [("junk", bytearray(b"\xff\x80?"))]
+    bin_df = spark.createDataFrame(rows, "doc_id string, payload binary")
+    got = {
+        r["doc_id"]: r.asDict(recursive=True)
+        for r in _decode_bytes_table(bin_df, "bytes").collect()
+    }
+    for d in docs:
+        assert got[d["doc_id"]]["spans"] == d["spans"], d["doc_id"]
+        assert got[d["doc_id"]]["doc_class"] == d["doc_class"]
+    assert got["junk"]["doc_class"] == "" and got["junk"]["spans"] == []
