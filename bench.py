@@ -117,6 +117,9 @@ def main() -> int:
     )
 
     # 3. classify-then-split (north-rule shape) with salting
+    # the salted shuffle path cold-starts expensively (shuffle-file
+    # creation + first-write page cache); measured 45s/15s/6.4s over
+    # three reps in one window — min over 3 reps is the engine cost
     timed(
         "extract_split_salted",
         lambda: extract(
@@ -124,7 +127,7 @@ def main() -> int:
         )
         .select(F.count(F.lit(1)))
         .collect(),
-        reps=2,
+        reps=3,
     )
 
     # 2b. byte-level ingestion round-trip (encode + decode + cascade)
