@@ -27,9 +27,10 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def _decode_bytes_table(bin_df, fmt: str):
     """(doc_id, payload binary) -> documents_raw via the matching
     from-scratch decoder; 'bytes' sniffs per document by content
-    (%PDF- / TTDP1 magic / HTML fallback) inside one Arrow kernel."""
+    (%PDF- / TTDP1 magic / HTML fallback) inside one Arrow kernel
+    (ingest.sniff_decode_table — shared with the streaming path)."""
     from two_tier_document_parser_spark import binary_io, html_io, pdf_io
-    from two_tier_document_parser_spark.schemas import RAW_SCHEMA
+    from two_tier_document_parser_spark.ingest import sniff_decode_table
 
     if fmt == "pdf":
         return pdf_io.parse_table(bin_df)
@@ -37,48 +38,7 @@ def _decode_bytes_table(bin_df, fmt: str):
         return html_io.parse_table(bin_df)
     if fmt == "ttdp":
         return binary_io.decode_table(bin_df)
-
-    def sniff(batches):
-        import pyarrow as pa
-
-        for batch in batches:
-            if batch.num_rows == 0:
-                continue
-            rows = []
-            for payload in batch.column("payload").to_pylist():
-                p = payload or b""
-                if p.startswith(b"%PDF-"):
-                    doc = pdf_io.parse_pdf(p)
-                elif p.startswith(binary_io.MAGIC):
-                    got = list(
-                        binary_io.decode_batches(
-                            iter([pa.RecordBatch.from_pylist(
-                                [{"doc_id": "", "payload": p}]
-                            )])
-                        )
-                    )
-                    row = got[0].to_pylist()[0] if got else None
-                    doc = row if row and row["doc_class"] else None
-                else:
-                    doc = html_io.parse_html(p)
-                rows.append(
-                    doc if doc is not None
-                    else {"doc_class": "", "n_pages": 0, "spans": []}
-                )
-            yield pa.RecordBatch.from_arrays(
-                [
-                    batch.column("doc_id"),
-                    pa.array([r["doc_class"] for r in rows], type=pa.string()),
-                    pa.array([r["n_pages"] for r in rows], type=pa.int32()),
-                    pa.array(
-                        [r["spans"] for r in rows],
-                        type=html_io.RAW_SCHEMA_SPANS_TYPE,
-                    ),
-                ],
-                names=["doc_id", "doc_class", "n_pages", "spans"],
-            )
-
-    return bin_df.select("doc_id", "payload").mapInArrow(sniff, RAW_SCHEMA)
+    return sniff_decode_table(bin_df)
 
 
 def main() -> int:

@@ -273,6 +273,69 @@ def test_stream_binary_ingest_equals_batch(spark, tmp_path):
     assert len(batch) == 200
 
 
+def test_stream_mixed_bytes_ingest_equals_batch(spark, tmp_path):
+    """Mixed-format streaming ingest: a directory of raw PDF / HTML /
+    TTDP1 payloads (plus junk) streams through content sniffing + the
+    cascade (AvailableNow) and equals the batch output; junk rows land
+    in tier='error'."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.binary_io import encode_doc
+    from two_tier_document_parser_spark.html_io import render_html
+    from two_tier_document_parser_spark.ingest import sniff_decode_table
+    from two_tier_document_parser_spark.pdf_io import render_pdf
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+    from two_tier_document_parser_spark.streaming import (
+        read_binary_document_stream,
+        stream_extract_bytes,
+    )
+    from two_tier_document_parser_spark.synth import synth_docs
+
+    ship_package(spark)
+    bin_dir = str(tmp_path / "mixed")
+    out_dir = str(tmp_path / "out")
+    docs = synth_docs(0, 60)
+    rows = [
+        (d["doc_id"], bytearray((render_pdf, render_html, encode_doc)[i % 3](d)))
+        for i, d in enumerate(docs)
+    ] + [("junk", bytearray(b"\xff\x80?"))]
+    spark.createDataFrame(rows, "doc_id string, payload binary").repartition(
+        4
+    ).write.parquet(bin_dir)
+
+    q = (
+        stream_extract_bytes(read_binary_document_stream(spark, bin_dir))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    def canon(df):
+        return {
+            r["doc_id"]: (
+                r["tier"],
+                [(s["kind"], s["text"], s["media_ref"], s["order"])
+                 for s in r["spans"]],
+            )
+            for r in df.collect()
+        }
+
+    batch = canon(
+        extract(
+            spark,
+            sniff_decode_table(spark.read.parquet(bin_dir)),
+            mode="fused",
+        )
+    )
+    got = canon(spark.read.parquet(out_dir))
+    assert got == batch
+    assert len(got) == 61
+    assert got["junk"][0] == "error"
+
+
 def _stage_events_dir(tmp_path) -> str:
     """File-source streams need a *directory*; the driver table is a
     single parquet file — stage it."""

@@ -64,6 +64,17 @@ def stream_extract_binary(bin_stream: DataFrame) -> DataFrame:
     return fused_map(decode_table(bin_stream))
 
 
+def stream_extract_bytes(bin_stream: DataFrame) -> DataFrame:
+    """Mixed-format streaming ingest: per-document content sniffing
+    (%PDF- / TTDP1 / HTML, ingest.sniff_decode_table) + the fused
+    cascade — raw crawl bytes in any supported container land in a
+    directory and extract incrementally; junk quarantines in-band.
+    Stateless like stream_extract_binary: one micro-batch map stage."""
+    from .ingest import sniff_decode_table
+
+    return fused_map(sniff_decode_table(bin_stream))
+
+
 def run_stream_extract(
     spark: SparkSession,
     input_path: str,
