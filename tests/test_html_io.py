@@ -162,3 +162,26 @@ def test_spark_quarantine_rows(spark):
     rows = {r["doc_id"]: r for r in parse_table(bad).collect()}
     assert rows["b0"]["doc_class"] == "" and rows["b0"]["spans"] == []
     assert rows["b1"]["spans"][0]["kind"] == "text"
+
+
+def test_html5_sibling_implied_closes_and_rawtext():
+    """Review-finding regressions: unclosed <li>/<td> siblings close in
+    document order (HTML5 optional end tags), script/style content is
+    raw text until the FIRST close tag (markup inside a JS string does
+    not nest), a raw '<' before a non-letter is character data, and
+    data-box* attribute prefixes don't fabricate box spans."""
+    from two_tier_document_parser_spark.html_io import parse_html
+
+    k = lambda h: [(s["kind"], s["text"]) for s in parse_html(h)["spans"]]
+    assert k(b"<ul><li>one<li>two</ul>") == [
+        ("list_item", "one"), ("list_item", "two"),
+    ]
+    assert k(b"<table><tr><td>a<td>b</tr></table>") == [
+        ("table_cell", "a"), ("table_cell", "b"), ("table_row_end", ""),
+    ]
+    assert k(b'<script>var s="<script>";</script><p>hello</p>') == [
+        ("text", "hello"),
+    ]
+    assert k(b"<p>5 < 6 and x > y</p>") == [("text", "5 < 6 and x > y")]
+    assert k(b'<div data-boxed="1">t</div>') == [("text", "t")]
+    assert k(b"<p>one<p>two") == [("text", "one"), ("text", "two")]

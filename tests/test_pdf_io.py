@@ -161,3 +161,38 @@ def test_job_mixed_bytes_decode(spark):
         assert got[d["doc_id"]]["spans"] == d["spans"], d["doc_id"]
         assert got[d["doc_id"]]["doc_class"] == d["doc_class"]
     assert got["junk"]["doc_class"] == "" and got["junk"]["spans"] == []
+
+
+def test_foreign_pdf_relative_td_nested_parens_endobj_in_stream():
+    """Review-finding regressions: Td is RELATIVE (multi-line classic
+    PDFs must not fall into the footer band), literal strings carry
+    balanced nested parens, and 'endobj' inside stream data cannot
+    truncate the object (stream-aware /Length scan)."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (line one) Tj"
+        b" 0 -14 Td (line two) Tj 0 -14 Td (line three) Tj ET\n"
+        b"BT /F1 12 Tf 72 600 Td (a (nested) c) Tj ET\n"
+        b"BT /F1 12 Tf 72 580 Td (the endobj keyword explained) Tj ET\n"
+    )
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    body = b"%PDF-1.4\n"
+    for i, o in enumerate(objs, start=1):
+        body += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    body += b"trailer\n<< /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    got = [(s["kind"], s["text"]) for s in parse_pdf(body)["spans"]]
+    assert got == [
+        ("text", "line one"),
+        ("text", "line two"),
+        ("text", "line three"),
+        ("text", "a (nested) c"),
+        ("text", "the endobj keyword explained"),
+    ]

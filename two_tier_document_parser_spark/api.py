@@ -182,33 +182,16 @@ _EXTS = (".pdf", ".html", ".htm", ".ttdp")
 
 
 def _decode_payload(payload: bytes, filename: str) -> dict | None:
-    """Sniff + decode raw document bytes into a documents_raw row.
-    Content wins over extension (a .pdf that is actually HTML still
-    parses); None = undecodable -> invalid-document error."""
-    from .binary_io import MAGIC, decode_batches
-    from .html_io import parse_html
-    from .pdf_io import parse_pdf
+    """Sniff + decode raw document bytes into a documents_raw row via
+    the shared router (ingest.sniff_decode_doc — same kernel as the
+    batch CLI and the streaming path). Content wins over extension (a
+    .pdf that is actually HTML still parses); None = undecodable.
+    Decoded-but-empty documents pass through: the router
+    (_route_one) quarantines them exactly like the batch engine."""
+    from .ingest import sniff_decode_doc
 
-    if payload.startswith(b"%PDF-"):
-        doc = parse_pdf(payload)
-    elif payload.startswith(MAGIC):
-        import pyarrow as pa
-
-        rows = []
-        for b in decode_batches(
-            iter(
-                [
-                    pa.RecordBatch.from_pylist(
-                        [{"doc_id": filename, "payload": payload}]
-                    )
-                ]
-            )
-        ):
-            rows.extend(b.to_pylist())
-        doc = rows[0] if rows and rows[0]["doc_class"] else None
-    else:
-        doc = parse_html(payload)
-    if doc is None or not doc.get("spans"):
+    doc = sniff_decode_doc(payload)
+    if doc is None:
         return None
     doc["doc_id"] = filename
     return doc

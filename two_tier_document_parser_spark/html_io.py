@@ -31,16 +31,25 @@ Subset semantics (documented, deterministic):
   td/th -> table_cell (EMPTY cells still emit — the poison-marker
   case), math -> formula (empty formulas emit; tier-2 applies the
   reference's drop rule), a -> link_text (media_ref = href).
-- </tr> emits `table_row_end`. Implied closes (HTML5 optional end
-  tags, e.g. a table closed while a row is open) pop structure
-  WITHOUT emitting — only explicit markup emits spans.
+- </tr> emits `table_row_end`. HTML5 optional end tags are honored
+  two ways: opening a sibling (<li> after an unclosed <li>, <td>/<tr>
+  likewise, <p> after <p>) implies closing it FIRST, preserving
+  document order; and an enclosing close (</table> over an open row,
+  </body> over an open <p>) flushes non-empty buffered text but never
+  applies the explicit-close emission rules — sloppy structure cannot
+  fabricate table_row_end or empty poison cells.
+- <script>/<style> content is RAW TEXT to the first matching end tag
+  (HTML5 §13.2.5.1 — '<script>' inside a JS string does not nest);
+  <svg>/<noscript> subtrees drop with a nesting counter. A raw '<'
+  before a non-letter is character data ('5 < 6'); '</' + non-letter
+  is a bogus comment and drops.
 - <img src=S alt=A> emits an `image` span (text=A, media_ref=S);
   <hr class="page-break"> emits `page_break`; <div data-box="..">
   emits a `box` span carrying the encoded geometry (these two make
   render/parse a total round trip over any documents_raw stream).
-- <script>/<style> subtrees are dropped wholesale; comments and
-  doctypes are skipped; entities are decoded (html.unescape); text
-  node whitespace is collapsed to single spaces.
+- Comments and doctypes are skipped; entities are decoded
+  (html.unescape); text node whitespace is collapsed to single
+  spaces.
 - n_pages = 1 + count(page_break); doc_class comes from the <html
   data-doc-class=".."> attribute, defaulting to "html".
 
@@ -84,8 +93,27 @@ _BUFFERED = {
 }
 # containers whose descendant text is structurally boilerplate
 _CHROME = frozenset("nav footer header aside".split())
-_DROP = frozenset(("script", "style", "svg", "noscript"))
+# raw-text elements (HTML5 §13.2.5.1: content runs to the FIRST
+# matching end tag — markup inside, e.g. '<script>' in a JS string,
+# is NOT nested)
+_RAWTEXT = {
+    "script": re.compile(r"</script[\s>]", re.I),
+    "style": re.compile(r"</style[\s>]", re.I),
+}
+# non-content subtrees skipped with a nesting counter (nested <svg>
+# is legal foreign content, unlike rawtext elements)
+_DROP = frozenset(("svg", "noscript"))
 _SKIP_CTX = ""  # context kind marking non-content subtrees (<head>)
+# HTML5 optional end tags: opening X implies closing any open sibling
+# in CLOSES[X] first (§13.1.2.4) — without this, unclosed <li>/<td>
+# nest and their spans emit in reverse document order
+_CLOSES = {
+    "li": frozenset({"li"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+    "tr": frozenset({"td", "th", "tr"}),
+    "p": frozenset({"p"}),
+}
 
 _MAX_DEPTH = 1000
 
@@ -150,7 +178,10 @@ def parse_html(payload: bytes) -> dict | None:
         buf_refs.pop()
 
     pos = 0
+    skip_until = 0  # rawtext fast-forward (<script>/<style> content)
     for m in _TOKEN_RE.finditer(text):
+        if m.start() < skip_until:
+            continue
         if m.start() > pos and not drop:
             emit_text(_html.unescape(text[pos : m.start()]))
         pos = m.end()
@@ -159,7 +190,12 @@ def parse_html(payload: bytes) -> dict | None:
             continue
         nm = _NAME_RE.match(tag)
         if not nm:
-            continue  # malformed tag: skip, never throw
+            # '<' followed by a non-letter is character data per
+            # HTML5 (e.g. '5 < 6'); '</' + non-letter is a bogus
+            # comment and drops
+            if not drop and not tag.startswith("</"):
+                emit_text(_html.unescape(tag))
+            continue
         name = nm.group(1).lower()
         closing = tag.startswith("</")
 
@@ -186,6 +222,11 @@ def parse_html(payload: bytes) -> dict | None:
             continue
 
         # opening tag
+        if name in _RAWTEXT:
+            if not tag.endswith("/>"):
+                cm = _RAWTEXT[name].search(text, m.end())
+                skip_until = pos = cm.start() if cm else len(text)
+            continue
         if name in _DROP:
             drop += 1
             continue
@@ -201,17 +242,27 @@ def parse_html(payload: bytes) -> dict | None:
                 n_breaks += 1
             continue
         if name in _VOID or tag.endswith("/>"):
-            if name == "div" and "data-box" in tag:
-                spans.append(("box", _attrs(tag).get("data-box", ""), ""))
+            if name == "div":
+                a = _attrs(tag)
+                if "data-box" in a:
+                    spans.append(("box", a["data-box"], ""))
             continue
         if name == "html":
             doc_class = _attrs(tag).get("data-doc-class", "html") or "html"
-        if name == "div" and "data-box" in tag:
-            spans.append(("box", _attrs(tag).get("data-box", ""), ""))
+        if name == "div":
+            a = _attrs(tag)
+            if "data-box" in a:
+                spans.append(("box", a["data-box"], ""))
         if name == "body":
             # <body> resets to document level even when <head> was
             # never closed (HTML5 optional end tags)
             while elems and elems[-1] != "html":
+                close_one()
+        elif name in _CLOSES:
+            # sibling implied closes (HTML5 optional end tags):
+            # <li>one<li>two closes the first li before opening the
+            # second, preserving document order
+            while elems and elems[-1] in _CLOSES[name]:
                 close_one()
         if len(elems) >= _MAX_DEPTH:
             return None  # absurd nesting: quarantine
@@ -334,46 +385,18 @@ def parse_batches(
     batches: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
     """(doc_id, payload binary) -> documents_raw rows; malformed
-    payloads become quarantine-shaped rows (O19), never exceptions."""
-    for batch in batches:
-        if batch.num_rows == 0:
-            continue
-        ids = batch.column("doc_id")
-        rows = []
-        for payload in batch.column("payload").to_pylist():
-            try:
-                doc = parse_html(payload)
-            except Exception:  # absolute backstop: quarantine
-                doc = None
-            rows.append(
-                doc
-                if doc is not None
-                else {"doc_class": "", "n_pages": 0, "spans": []}
-            )
-        yield pa.RecordBatch.from_arrays(
-            [
-                ids,
-                pa.array([r["doc_class"] for r in rows], type=pa.string()),
-                pa.array([r["n_pages"] for r in rows], type=pa.int32()),
-                pa.array(
-                    [r["spans"] for r in rows],
-                    type=RAW_SCHEMA_SPANS_TYPE,
-                ),
-            ],
-            names=["doc_id", "doc_class", "n_pages", "spans"],
-        )
+    payloads become quarantine-shaped rows (O19), never exceptions.
+    Batch assembly is shared with pdf_io/ingest (schemas
+    .decode_raw_batches) so the three decoders cannot drift."""
+    from .schemas import decode_raw_batches
+
+    return decode_raw_batches(batches, parse_html)
 
 
-RAW_SCHEMA_SPANS_TYPE = pa.list_(
-    pa.struct(
-        [
-            ("kind", pa.string()),
-            ("text", pa.string()),
-            ("media_ref", pa.string()),
-            ("offset", pa.int32()),
-        ]
-    )
-)
+# shared Arrow span type (kept as a re-export for existing callers)
+from .schemas import spans_arrow_type as _spans_arrow_type  # noqa: E402
+
+RAW_SCHEMA_SPANS_TYPE = _spans_arrow_type()
 
 
 def render_batches(

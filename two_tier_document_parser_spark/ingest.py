@@ -21,8 +21,6 @@ import pyarrow as pa
 
 from .schemas import RAW_SCHEMA
 
-_QUARANTINE = {"doc_class": "", "n_pages": 0, "spans": []}
-
 
 def sniff_decode_doc(payload: bytes) -> dict | None:
     """One payload -> documents_raw row dict (sans doc_id) or None."""
@@ -47,29 +45,9 @@ def sniff_decode_doc(payload: bytes) -> dict | None:
 def sniff_decode_batches(
     batches: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
-    from .html_io import RAW_SCHEMA_SPANS_TYPE
+    from .schemas import decode_raw_batches
 
-    for batch in batches:
-        if batch.num_rows == 0:
-            continue
-        rows = []
-        for payload in batch.column("payload").to_pylist():
-            try:
-                doc = sniff_decode_doc(payload)
-            except Exception:  # absolute backstop: quarantine
-                doc = None
-            rows.append(doc if doc is not None else _QUARANTINE)
-        yield pa.RecordBatch.from_arrays(
-            [
-                batch.column("doc_id"),
-                pa.array([r["doc_class"] for r in rows], type=pa.string()),
-                pa.array([r["n_pages"] for r in rows], type=pa.int32()),
-                pa.array(
-                    [r["spans"] for r in rows], type=RAW_SCHEMA_SPANS_TYPE
-                ),
-            ],
-            names=["doc_id", "doc_class", "n_pages", "spans"],
-        )
+    return decode_raw_batches(batches, sniff_decode_doc)
 
 
 def sniff_decode_table(bin_df):

@@ -62,7 +62,8 @@ _FLOW_TOP = 750
 _FLOW_MIN = 100     # body flow clamps here, safely above FOOTER_Y
 _BULLET = "• "
 
-_OBJ_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b(.*?)endobj", re.S)
+_OBJ_HDR_RE = re.compile(rb"(\d+)\s+\d+\s+obj\b")
+_STREAM_KW_RE = re.compile(rb"stream\r?\n")
 _TRAILER_RE = re.compile(rb"trailer\s*(<<.*?>>)", re.S)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
 
@@ -215,6 +216,9 @@ _CS_TOKEN = re.compile(
     rb"|[-+]?\d*\.?\d+"
     rb"|\[|\]"
     rb"|[A-Za-z'\"*]{1,3}"
+    rb"|\("  # lone opener: literals with BALANCED nested parens fail
+              # the alternative above; the interpreter re-scans from
+              # here with the real string scanner
 )
 
 _MARK_KIND = {
@@ -262,7 +266,11 @@ def _interp_page(content: bytes, xobjects: dict[str, dict], spans: list) -> None
         t = m.group(0)
         c = t[:1]
         if c == b"(":
-            operands.append(_parse_literal_string(t, 0)[0])
+            # re-scan from the token start with the real string
+            # scanner: PDF literal strings may contain BALANCED nested
+            # parens, which a regex alternative cannot match
+            s, skip_until = _parse_literal_string(content, m.start())
+            operands.append(s)
         elif t == b"<<":
             # inline property dict: re-parse from the token start
             d, skip_until = _parse_obj(content, m.start())
@@ -282,8 +290,13 @@ def _interp_page(content: bytes, xobjects: dict[str, dict], spans: list) -> None
             op = t.decode("latin-1")
             if op == "Tf" and len(operands) >= 1 and isinstance(operands[-1], (int, float)):
                 size = float(operands[-1])
+            elif op == "BT":
+                y = 0.0  # BT initializes the text matrix to identity
             elif op in ("Td", "TD") and len(operands) >= 2:
-                y = float(operands[-1])  # Td used absolutely by our writer
+                # Td/TD translate RELATIVE to the current line matrix
+                # (ISO 32000 §9.4.2) — classic multi-line PDFs step
+                # down with '0 -14 Td' per line
+                y += float(operands[-1])
             elif op == "Tm" and len(operands) >= 6:
                 y = float(operands[-1])
             elif op == "Tj" and operands and isinstance(operands[-1], str):
@@ -383,10 +396,44 @@ def parse_pdf(payload: bytes) -> dict | None:
         return None
 
 
-def _parse_pdf_inner(data: bytes) -> dict | None:
+def _scan_objects(data: bytes) -> dict[int, bytes]:
+    """Sequential object scan that steps OVER stream payloads using
+    /Length, so 'endobj' or 'N 0 obj' byte sequences inside stream
+    data (text content, or compressed bytes — probabilistically
+    certain across a large corpus) cannot truncate an object body or
+    fabricate a phantom object. Falls back to keyword search when
+    /Length is indirect or invalid."""
     objs: dict[int, bytes] = {}
-    for m in _OBJ_RE.finditer(data):
-        objs[int(m.group(1))] = m.group(2)
+    pos = 0
+    n = len(data)
+    while True:
+        h = _OBJ_HDR_RE.search(data, pos)
+        if not h:
+            return objs
+        body_start = h.end()
+        try:
+            val, vend = _parse_obj(data, body_start)
+        except Exception:
+            pos = body_start
+            continue
+        end = vend
+        if isinstance(val, dict):
+            sm = _STREAM_KW_RE.match(data, _skip_ws(data, vend))
+            if sm:
+                length = val.get("Length")
+                if isinstance(length, int) and sm.end() + length <= n:
+                    seek_from = sm.end() + length
+                else:  # indirect /Length: keyword fallback
+                    seek_from = sm.end()
+                es = data.find(b"endstream", seek_from)
+                end = (es + len(b"endstream")) if es != -1 else n
+        eo = data.find(b"endobj", end)
+        objs[int(h.group(1))] = data[body_start : eo if eo != -1 else end]
+        pos = (eo + len(b"endobj")) if eo != -1 else end
+
+
+def _parse_pdf_inner(data: bytes) -> dict | None:
+    objs = _scan_objects(data)
     tm = _TRAILER_RE.search(data)
     if not tm:
         return None
@@ -619,31 +666,12 @@ def parse_batches(
     batches: Iterator[pa.RecordBatch],
 ) -> Iterator[pa.RecordBatch]:
     """(doc_id, payload binary) -> documents_raw rows; malformed
-    payloads become quarantine-shaped rows (O19), never exceptions."""
-    from .html_io import RAW_SCHEMA_SPANS_TYPE
+    payloads become quarantine-shaped rows (O19), never exceptions.
+    Batch assembly is shared with html_io/ingest (schemas
+    .decode_raw_batches) so the three decoders cannot drift."""
+    from .schemas import decode_raw_batches
 
-    for batch in batches:
-        if batch.num_rows == 0:
-            continue
-        rows = []
-        for payload in batch.column("payload").to_pylist():
-            doc = parse_pdf(payload)
-            rows.append(
-                doc
-                if doc is not None
-                else {"doc_class": "", "n_pages": 0, "spans": []}
-            )
-        yield pa.RecordBatch.from_arrays(
-            [
-                batch.column("doc_id"),
-                pa.array([r["doc_class"] for r in rows], type=pa.string()),
-                pa.array([r["n_pages"] for r in rows], type=pa.int32()),
-                pa.array(
-                    [r["spans"] for r in rows], type=RAW_SCHEMA_SPANS_TYPE
-                ),
-            ],
-            names=["doc_id", "doc_class", "n_pages", "spans"],
-        )
+    return decode_raw_batches(batches, parse_pdf)
 
 
 def render_batches(

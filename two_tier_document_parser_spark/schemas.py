@@ -68,6 +68,60 @@ OUT_SCHEMA = StructType(
     ]
 )
 
+# ---------------------------------------------------------------------------
+# shared Arrow-side assembly for the raw-bytes decoders (html_io /
+# pdf_io / ingest): one place owns the documents_raw batch shape and
+# the quarantine row, so the three decoders cannot drift
+# ---------------------------------------------------------------------------
+
+
+def spans_arrow_type():
+    import pyarrow as pa
+
+    return pa.list_(
+        pa.struct(
+            [
+                ("kind", pa.string()),
+                ("text", pa.string()),
+                ("media_ref", pa.string()),
+                ("offset", pa.int32()),
+            ]
+        )
+    )
+
+
+QUARANTINE_ROW = {"doc_class": "", "n_pages": 0, "spans": []}
+
+
+def decode_raw_batches(batches, decode_fn):
+    """(doc_id, payload binary) RecordBatches -> documents_raw
+    RecordBatches via `decode_fn(payload) -> row-dict | None`. A None
+    result or ANY exception becomes a quarantine-shaped row (error
+    channel O19) — the kernel never raises."""
+    import pyarrow as pa
+
+    span_t = spans_arrow_type()
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        rows = []
+        for payload in batch.column("payload").to_pylist():
+            try:
+                doc = decode_fn(payload)
+            except Exception:  # absolute backstop
+                doc = None
+            rows.append(doc if doc is not None else QUARANTINE_ROW)
+        yield pa.RecordBatch.from_arrays(
+            [
+                batch.column("doc_id"),
+                pa.array([r["doc_class"] for r in rows], type=pa.string()),
+                pa.array([r["n_pages"] for r in rows], type=pa.int32()),
+                pa.array([r["spans"] for r in rows], type=span_t),
+            ],
+            names=["doc_id", "doc_class", "n_pages", "spans"],
+        )
+
+
 LINEAGE_SCHEMA = StructType(
     [
         StructField("run_id", StringType(), False),
