@@ -328,6 +328,24 @@ def q_html_ingest(spark, sf_dir):
     )
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (50-token chunks, 10-token overlap):
+    the context-window prep step of a training pipeline. Constant
+    token fan-out + one (doc_id, chunk_id) shuffle."""
+    from two_tier_document_parser_spark.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), size=50, overlap=10)
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Sharded contiguous sequence packing into 256-token bins:
+    per-shard cumsum windows (never one global ordering — the scale
+    hazard a naive packer hits at 10^12 docs)."""
+    from two_tier_document_parser_spark.curation import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir), budget=256, shard_size=100)
+
+
 def q_pdf_ingest(spark, sf_dir):
     """O1 bytes-in contract for PDF documents (the reference accepts
     opaque PDF bytes, fast/app.py:49-66): documents lifted to spans,
@@ -860,6 +878,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "semi_customers": q_semi_customers,
         "curate": q_curate,
+        "chunk_documents": q_chunk_documents,
+        "pack_sequences": q_pack_sequences,
         "binary_ingest": q_binary_ingest,
         "html_ingest": q_html_ingest,
         "pdf_ingest": q_pdf_ingest,
@@ -1087,6 +1107,8 @@ def oracle_sql() -> dict[str, str]:
         # the HTML and PDF round trips restore the same span lift
         "html_ingest": _binary_ingest_sql(),
         "pdf_ingest": _binary_ingest_sql(),
+        "chunk_documents": _chunk_sql(50, 10),
+        "pack_sequences": _pack_sql(256, 100),
         "simhash": _simhash_sql(),
         "media_features": _media_features_sql(),
         "media_frames": _media_frames_sql(),
@@ -1378,6 +1400,46 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.a
 JOIN sizes sb ON sb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+
+def _chunk_sql(size: int, overlap: int) -> str:
+    stride = size - overlap
+    return f"""
+{_TOK_CTE},
+fan AS (
+  SELECT doc_id, pos, token,
+         unnest(generate_series(
+           CAST(greatest(0, ceil((pos - {size - 1}) / {stride}.0)) AS INT),
+           CAST(floor(pos / {stride}.0) AS INT))) AS chunk_id
+  FROM tok
+)
+SELECT doc_id, chunk_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       string_agg(token, ' ' ORDER BY pos) AS chunk_text
+FROM fan GROUP BY doc_id, chunk_id
+"""
+
+
+def _pack_sql(budget: int, shard_size: int) -> str:
+    return f"""
+WITH c AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS n_tokens,
+         CAST(floor(doc_id / {shard_size}.0) AS BIGINT) AS shard
+  FROM documents
+),
+s AS (
+  SELECT doc_id, n_tokens, shard,
+         sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS start
+  FROM c
+)
+SELECT doc_id, n_tokens, shard,
+       CAST(floor(start / {budget}.0) AS BIGINT) AS bin_id,
+       CAST(start % {budget} AS BIGINT) AS offset_in_bin
+FROM s
 """
 
 

@@ -52,6 +52,8 @@ NEW_SQL = [
     "pivot_source_lang",
     "html_ingest",
     "pdf_ingest",
+    "chunk_documents",
+    "pack_sequences",
 ]
 
 
@@ -566,3 +568,50 @@ def test_sessionize_gap_semantics(spark):
         for r in sessionize(ev).collect()
     }
     assert got == {(100, 0): 2, (100, 1): 1, (200, 0): 1}
+
+
+def test_chunk_documents_window_math(spark):
+    """12 tokens, size=5, overlap=2 (stride 3): chunks cover
+    [0,5) [3,8) [6,11) [9,12) — overlap regions repeat, the tail
+    chunk is short, and chunk text is in token order."""
+    from two_tier_document_parser_spark.curation import chunk_documents
+
+    d = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(12)))], ["doc_id", "text"]
+    )
+    got = {
+        r["chunk_id"]: (r["n_tokens"], r["chunk_text"])
+        for r in chunk_documents(d, size=5, overlap=2).collect()
+    }
+    assert got == {
+        0: (5, "t0 t1 t2 t3 t4"),
+        1: (5, "t3 t4 t5 t6 t7"),
+        2: (5, "t6 t7 t8 t9 t10"),
+        3: (3, "t9 t10 t11"),
+    }
+
+
+def test_pack_sequences_contiguous_bins(spark):
+    """Docs are atomic; a doc's bin is where its FIRST token lands;
+    shards pack independently."""
+    from two_tier_document_parser_spark.curation import pack_sequences
+
+    rows = [
+        (0, "a b c"),        # shard 0: start 0  -> bin 0
+        (1, "a b c d"),      # start 3 -> bin 0
+        (2, "a b"),          # start 7 -> bin 0 (crosses 8? no: starts at 7)
+        (3, "a b c"),        # start 9 -> bin 1
+        (10, "a b c d e"),   # shard 1 restarts: start 0 -> bin 0
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["shard"], r["bin_id"], r["offset_in_bin"])
+        for r in pack_sequences(d, budget=8, shard_size=10).collect()
+    }
+    assert got == {
+        0: (0, 0, 0),
+        1: (0, 0, 3),
+        2: (0, 0, 7),
+        3: (0, 1, 1),
+        10: (1, 0, 0),
+    }

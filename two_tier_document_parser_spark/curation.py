@@ -106,3 +106,105 @@ def curate(
     return joined.select(
         "doc_id", reason.alias("reason"), (reason == "").alias("keep")
     )
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = 50, overlap: int = 10
+) -> DataFrame:
+    """Sliding-window document chunking — the context-window prep step
+    of a training pipeline: each document's whitespace tokens split
+    into chunks of `size` tokens with `overlap` tokens shared between
+    consecutive chunks (stride = size - overlap).
+
+    Token p belongs to chunks k in [ceil((p-size+1)/stride), p//stride]
+    (clamped at 0), generated with `sequence` + explode — each token
+    fans out to at most ceil(size/stride) chunks, a constant — then
+    one groupBy(doc_id, chunk_id) with `sort_array` over (pos, token)
+    structs rebuilds deterministic chunk text (collect_list order is
+    not deterministic; the sort makes it so).
+
+    Scale: one explode (bounded constant fan-out) + one shuffle on
+    (doc_id, chunk_id) with map-side partial aggregation; no windows,
+    no skew beyond document length, which presplit already bounds.
+
+    Returns (doc_id, chunk_id, n_tokens, chunk_text).
+    """
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    tok = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    lo = F.greatest(
+        F.lit(0), F.ceil((F.col("pos") - F.lit(size - 1)) / F.lit(stride))
+    )
+    hi = F.floor(F.col("pos") / F.lit(stride))
+    fanned = tok.select(
+        "doc_id",
+        "pos",
+        "token",
+        F.explode(F.sequence(lo.cast("int"), hi.cast("int"))).alias(
+            "chunk_id"
+        ),
+    )
+    return (
+        fanned.groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct("pos", "token"))
+                    ),
+                    lambda s: s["token"],
+                ),
+            ).alias("chunk_text"),
+        )
+        .select("doc_id", "chunk_id", "n_tokens", "chunk_text")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, budget: int = 256, shard_size: int = 100
+) -> DataFrame:
+    """Deterministic contiguous sequence packing — the token-budget
+    binning step before training: documents in doc_id order are laid
+    end-to-end and cut into bins of `budget` tokens; a document's bin
+    is the bin its FIRST token lands in (documents are atomic).
+
+    Scale: a single global running sum would send every row through
+    one window partition — a driver-shaped bottleneck at 10^12 docs.
+    Instead packing is SHARDED: contiguous doc_id ranges of
+    `shard_size` documents pack independently (shard = doc_id //
+    shard_size), so the cumsum window partitions by shard and
+    parallelizes; bins never span shards, which is what a distributed
+    packer does in practice (pack within a worker's slice).
+
+    Returns (doc_id, n_tokens, shard, bin_id, offset_in_bin).
+    """
+    counted = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"\s+"), lambda t: t != ""
+            )
+        )
+        .cast("long")
+        .alias("n_tokens"),
+        F.floor(F.col("doc_id") / F.lit(shard_size)).alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    return counted.select(
+        "doc_id",
+        "n_tokens",
+        "shard",
+        F.floor(start / F.lit(budget)).alias("bin_id"),
+        (start % F.lit(budget)).alias("offset_in_bin"),
+    )
