@@ -372,3 +372,34 @@ def test_parse_bytes_request_contract():
         != "File too large (max 100MB)"
     )  # 500MB cap on the accurate tier admits it (then fails decode)
     assert parse_bytes(b"\xff\x80 junk", "a.pdf")["error"] == "invalid document"
+
+
+def test_cli_client_and_health(tmp_path):
+    """jobs/parse_file.py mirrors the reference demo client
+    (demo_client.py:23-96): parse one file, save <file>.<mode>.json;
+    api.health() mirrors the health endpoints' introspection shape."""
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "jobs"))
+    from parse_file import main
+
+    from two_tier_document_parser_spark.api import health
+    from two_tier_document_parser_spark.pdf_io import render_pdf
+    from two_tier_document_parser_spark.synth import make_doc
+
+    f = tmp_path / "doc.pdf"
+    f.write_bytes(render_pdf(make_doc(7)))
+    assert main([str(f), "--mode", "accurate"]) == 0
+    saved = json.loads((tmp_path / "doc.accurate.json").read_text())
+    assert saved["metadata"]["pages"] >= 1 and "markdown" in saved
+
+    bad = tmp_path / "bad.pdf"
+    bad.write_bytes(b"\xff\x80 junk")
+    assert main([str(bad)]) == 1
+    assert "error" in json.loads((tmp_path / "bad.auto.json").read_text())
+
+    h = health()
+    assert h["status"] == "healthy" and h["workers"] >= 1
+    assert "no_gil" in h and "fast" in h["tiers"]

@@ -215,3 +215,22 @@ def parse_bytes(payload: bytes, filename: str, tier: str = "auto") -> dict:
     if doc is None:
         return {"error": "invalid document"}
     return parse_document(doc, tier)
+
+
+def health() -> dict:
+    """Health/introspection (reference fast/app.py:39-46 and
+    accurate/app.py:90-97 expose status + concurrency config): the
+    engine analogue reports the facade's static capabilities — there
+    is no worker pool to probe because Spark task scheduling (or the
+    in-process kernel for single documents) replaces it."""
+    import os
+
+    return {
+        "status": "healthy",
+        "workers": os.cpu_count() or 1,
+        "no_gil": False,
+        "parser": "two_tier_document_parser_spark",
+        "version": ENGINE_VERSION,
+        "tiers": ["fast", "accurate", "auto"],
+        "formats": list(_EXTS),
+    }
