@@ -328,6 +328,16 @@ def q_html_ingest(spark, sf_dir):
     )
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing (MOSS) rolling-hash fingerprints: distinct window
+    minima of k-gram hashes — partial-overlap detection with the
+    winnowing guarantee (any shared >= k+w-1 token run shares a
+    fingerprint)."""
+    from two_tier_document_parser_spark.dedup import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir), k=4, window=5)
+
+
 def q_chunk_documents(spark, sf_dir):
     """Sliding-window chunking (50-token chunks, 10-token overlap):
     the context-window prep step of a training pipeline. Constant
@@ -878,6 +888,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_customers": q_top_customers,
         "semi_customers": q_semi_customers,
         "curate": q_curate,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "chunk_documents": q_chunk_documents,
         "pack_sequences": q_pack_sequences,
         "binary_ingest": q_binary_ingest,
@@ -1107,6 +1118,7 @@ def oracle_sql() -> dict[str, str]:
         # the HTML and PDF round trips restore the same span lift
         "html_ingest": _binary_ingest_sql(),
         "pdf_ingest": _binary_ingest_sql(),
+        "winnow_fingerprints": _winnow_sql(4, 5),
         "chunk_documents": _chunk_sql(50, 10),
         "pack_sequences": _pack_sql(256, 100),
         "simhash": _simhash_sql(),
@@ -1400,6 +1412,39 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.a
 JOIN sizes sb ON sb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+
+def _winnow_sql(k: int, window: int) -> str:
+    leads = ", ".join(
+        f"lead(tok, {j}) OVER (PARTITION BY key ORDER BY pos) AS l{j}"
+        for j in range(1, k)
+    )
+    gram = " || ' ' || ".join(["tok"] + [f"l{j}" for j in range(1, k)])
+    return f"""
+WITH t AS (
+  SELECT doc_id AS key,
+         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) - 1
+           AS pos,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+tk AS (SELECT * FROM t WHERE tok <> ''),
+ld AS (SELECT key, pos, tok, {leads} FROM tk),
+gr AS (
+  SELECT key, pos,
+         CAST(('0x' || substr(md5({gram}), 1, 8)) AS UBIGINT)::BIGINT AS h
+  FROM ld WHERE l{k - 1} IS NOT NULL
+),
+wn AS (
+  SELECT key,
+         min(h) OVER (PARTITION BY key ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS fp,
+         count(*) OVER (PARTITION BY key ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND {window - 1} FOLLOWING) AS n
+  FROM gr
+)
+SELECT DISTINCT key, fp FROM wn WHERE n = {window}
 """
 
 

@@ -54,6 +54,7 @@ NEW_SQL = [
     "pdf_ingest",
     "chunk_documents",
     "pack_sequences",
+    "winnow_fingerprints",
 ]
 
 
@@ -615,3 +616,24 @@ def test_pack_sequences_contiguous_bins(spark):
         3: (0, 1, 1),
         10: (1, 0, 0),
     }
+
+
+def test_winnowing_guarantee_shared_run(spark):
+    """The winnowing property: two documents sharing a token run of
+    length >= k + window - 1 (here 4+5-1=8) share at least one
+    fingerprint; disjoint-vocabulary documents share none."""
+    from two_tier_document_parser_spark.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    rows = [
+        (1, f"intro words here {shared} trailing tail"),
+        (2, f"{shared} completely different ending text"),
+        (3, "unrelated vocabulary nothing overlaps at all here friend"),
+    ]
+    d = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = {}
+    for r in winnow_fingerprints(d, k=4, window=5).collect():
+        fps.setdefault(r["key"], set()).add(r["fp"])
+    assert fps[1] & fps[2]          # shared run -> shared fingerprint
+    assert not (fps[1] & fps[3])    # disjoint vocab -> no overlap
+    assert not (fps[2] & fps[3])

@@ -313,3 +313,67 @@ def dedup_rank(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -
         .filter(F.col("rn") == 1)
         .select(F.col(key_col), F.col("fp"))
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 4,
+    window: int = 5,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    2003 — the MOSS scheme, public algorithm): hash every k-token
+    gram (rolling hash analogue: 32-bit integer from the md5 prefix),
+    then keep the MINIMUM hash of every sliding window of `window`
+    consecutive grams, deduplicated per document. The winnowing
+    guarantee: any shared run of >= k + window - 1 tokens between two
+    documents yields at least one shared fingerprint, so matching on
+    fingerprints finds partial overlap (quotes, mirrored passages)
+    that whole-document fingerprints miss.
+
+    Shape: posexplode + window leads (the measured-fast shingle
+    pattern, see shingle_rows) -> two window aggregates over the same
+    (key, pos) ordering -> distinct. One shuffle on key; the window
+    frames are constant-width ROWS frames, so per-partition cost is
+    linear. SQL-exact (integer hashes, min/distinct set semantics).
+
+    Returns (key, fp) distinct rows.
+    """
+    t = df.select(
+        F.col(key_col).alias("key"),
+        F.posexplode(
+            F.split(F.lower(F.col(text_col)), r"\s+")
+        ).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    w = Window.partitionBy("key").orderBy("pos")
+    leads = [F.lead("tok", j).over(w) for j in range(1, k)]
+    grams = (
+        t.select(
+            "key",
+            "pos",
+            F.concat_ws(" ", F.col("tok"), *leads).alias("gram"),
+            leads[-1].alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+        .withColumn(
+            "h",
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long"),
+        )
+    )
+    fw = (
+        Window.partitionBy("key")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    return (
+        grams.select(
+            "key",
+            F.min("h").over(fw).alias("fp"),
+            F.count(F.lit(1)).over(fw).alias("_n"),
+        )
+        .filter(F.col("_n") == window)  # full windows only
+        .select("key", "fp")
+        .distinct()
+    )
