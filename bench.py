@@ -230,6 +230,11 @@ def main() -> int:
             ),
             "value": total,
             "unit": "sec",
+            # the timed suite GROWS round over round (round 2 added
+            # pdf/html ingestion round trips etc.), so compare
+            # per-query entries, not `value` — `n_timed` makes the
+            # suite-size change explicit
+            "n_timed": len(timings),
             "queries": timings,
             "sf": sf_dir.rstrip("/").split("/")[-1],
             "cpus": cpus,
