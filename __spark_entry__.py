@@ -1210,6 +1210,12 @@ ch AS (
 )
 SELECT printf('d%09d', doc_id) AS doc_id, 'text' AS kind, text, "offset"
 FROM ch
+UNION ALL
+-- token-less documents still lift to exactly one empty text span
+-- (adapter.documents_to_raw: greatest(ceil(n/w), 1) chunks)
+SELECT printf('d%09d', d.doc_id), 'text', '', 0
+FROM documents d
+WHERE NOT EXISTS (SELECT 1 FROM ch WHERE ch.doc_id = d.doc_id)
 """
 
 
@@ -1238,11 +1244,15 @@ packed AS (
          sum(CASE WHEN s > 0 THEN (1::HUGEINT << b) ELSE 0 END) AS u
   FROM acc GROUP BY doc_id
 )
-SELECT doc_id AS key,
-       CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
-                 THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT)
-       AS simhash
-FROM packed
+SELECT d.doc_id AS key,
+       COALESCE(
+         CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+                   THEN u - 18446744073709551616::HUGEINT ELSE u END
+              AS BIGINT),
+         0) AS simhash
+FROM documents d LEFT JOIN packed p ON p.doc_id = d.doc_id
+-- LEFT JOIN + COALESCE: the engine emits simhash=0 for every input
+-- document including token-less ones; the tok CTE would drop them
 """
 
 

@@ -392,3 +392,123 @@ def test_tier_kernels_handle_empty_docs():
         row = outs[0].to_pylist()[0]
         assert row["spans"] == [] and row["markdown"] == ""
         assert row["pages"] in (0, 1)
+
+
+def test_empty_text_doc_oracle_parity(spark, tmp_path):
+    """Latent-corpus regression (review findings): documents whose
+    text tokenizes to nothing must agree between engine and oracle for
+    simhash (engine emits simhash=0 rows) and binary_ingest (the
+    adapter lifts one empty text span)."""
+    import duckdb
+
+    import __spark_entry__ as e
+    from parity_harness import compare_frames
+
+    rows = [
+        (0, "alpha beta gamma", "en", "src0", 16),
+        (1, "", "en", "src0", 0),
+        (2, "   ", "en", "src1", 3),
+        (3, "delta", "fr", "src1", 5),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"parquet_scan('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    for name in ("simhash", "binary_ingest"):
+        diff = compare_frames(
+            e.queries()[name](spark, str(tmp_path)),
+            con.sql(e.oracle_sql()[name]),
+        )
+        assert diff is None, f"{name}: {diff}"
+
+
+def test_fused_split_agree_on_bad_n_pages(spark):
+    """n_pages < 1 quarantines in BOTH extract modes (review finding:
+    fused previously skipped the check)."""
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+
+    ship_package(spark)
+    rows = [
+        ("good", "html", 1,
+         [{"kind": "text", "text": "hello world", "media_ref": "", "offset": 0}]),
+        ("badpages", "html", 0,
+         [{"kind": "text", "text": "hello world", "media_ref": "", "offset": 0}]),
+    ]
+    raw = spark.createDataFrame(
+        rows,
+        "doc_id string, doc_class string, n_pages int, spans "
+        "array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    for mode in ("fused", "split"):
+        tiers = {
+            r["doc_id"]: r["tier"]
+            for r in extract(spark, raw, mode=mode, persist=False).collect()
+        }
+        assert tiers["badpages"] == "error", mode
+        assert tiers["good"] != "error", mode
+
+
+def test_checkpoint_range_pruning_survives_noop_rerun(spark, tmp_path):
+    """Review finding: a complete re-run commits a zero-doc run with
+    zero lineage ROWS; coverage must come from the lineage manifest so
+    range pruning stays enabled."""
+    from two_tier_document_parser_spark.checkpoint import CheckpointedExtract
+    from two_tier_document_parser_spark.pipeline import ship_package
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    raw = synth_spark(spark, 40, partitions=2)
+    ck = CheckpointedExtract(spark, str(tmp_path / "out"))
+    ck.run(raw)
+    assert ck.committed_ranges()  # pruning active after first run
+    ck.run(raw)  # no-op resume: commits zero docs, zero lineage rows
+    assert ck.committed_ranges() is not None  # still active
+    assert ck.result().count() == 40  # and nothing reprocessed
+
+
+def test_binary_container_width_guards():
+    """Review findings: oversize fields are loud encode errors, never
+    silent wraps; wild n_pages quarantines on decode."""
+    import pytest
+
+    from two_tier_document_parser_spark.binary_io import (
+        MAGIC,
+        encode_doc,
+    )
+    from two_tier_document_parser_spark.ingest import sniff_decode_doc
+
+    doc = {
+        "doc_id": "x", "doc_class": "html", "n_pages": 1,
+        "spans": [{"kind": "image", "text": "", "media_ref": "r" * 70_000,
+                   "offset": 0}],
+    }
+    with pytest.raises(ValueError):
+        encode_doc(doc)
+
+    ok = encode_doc(
+        {"doc_id": "x", "doc_class": "html", "n_pages": 1,
+         "spans": [{"kind": "text", "text": "t", "media_ref": "",
+                    "offset": 0}]}
+    )
+    # corrupt n_pages to 0xFFFFFFFF (bytes 6..10 little-endian)
+    bad = ok[:6] + b"\xff\xff\xff\xff" + ok[10:]
+    assert bad.startswith(MAGIC)
+    assert sniff_decode_doc(bad) is None  # quarantine, not wrap/raise
+
+
+def test_facade_none_n_pages_is_inband():
+    """Review finding: n_pages=None must not raise; it mirrors the
+    batch predicate (`n_pages < 1` is false on SQL null -> valid)."""
+    from two_tier_document_parser_spark.api import parse_document
+
+    doc = {
+        "doc_id": "x", "doc_class": "html", "n_pages": None,
+        "spans": [{"kind": "text", "text": "hello world", "media_ref": "",
+                   "offset": 0}],
+    }
+    out = parse_document(doc)
+    assert "markdown" in out  # parsed, no exception, no error dict

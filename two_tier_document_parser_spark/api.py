@@ -93,14 +93,19 @@ def _route_one(doc: dict) -> str:
     """The engine's routing rule (spec.ROUTING_MODEL thresholds — the
     same pure function the Arrow fused kernel computes batch-side).
     Validation mirrors the batch router (routing.with_tier /
-    pipeline.validate_split) in full — null doc_id, empty spans,
+    pipeline.fused_batches) in full — null doc_id, empty spans,
     n_pages < 1 — so the facade quarantines exactly the documents the
     batch engine emits as tier='error'."""
     from .spec import T1_MAX_SPANS, T2_MAX_SPANS
 
     spans = doc.get("spans") or []
     n = len(spans)
-    if n == 0 or doc.get("doc_id") is None or doc.get("n_pages", 1) < 1:
+    n_pages = doc.get("n_pages")
+    # None/absent n_pages is valid, mirroring the batch predicate
+    # `n_pages < 1` (false on SQL null)
+    if n == 0 or doc.get("doc_id") is None or (
+        n_pages is not None and n_pages < 1
+    ):
         return "error"
     n_box = sum(1 for s in spans if s["kind"] == "box")
     n_media = sum(1 for s in spans if s["kind"] in MEDIA_KINDS)

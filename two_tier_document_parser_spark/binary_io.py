@@ -62,6 +62,10 @@ def encode_doc(doc: dict) -> bytes:
     )
     texts = [s["text"].encode("utf-8") for s in spans]
     refs = [(s["media_ref"] or "").encode("utf-8") for s in spans]
+    if any(len(r) > 0xFFFF for r in refs) or any(
+        len(t) > 0xFFFFFFFF for t in texts
+    ):
+        raise ValueError("span field exceeds TTDP1 length-field width")
     tlen = np.fromiter((len(t) for t in texts), dtype=np.uint32, count=n)
     rlen = np.fromiter((len(r) for r in refs), dtype=np.uint16, count=n)
     head = (
@@ -85,9 +89,21 @@ def encode_doc(doc: dict) -> bytes:
 
 def _utf8_array(lens: np.ndarray, data: bytes) -> pa.Array:
     """Zero-copy-ish utf-8 column from (byte lengths, concatenated
-    bytes): one cumsum for the offsets, no per-value Python strings."""
-    offs = np.zeros(len(lens) + 1, dtype=np.int32)
-    np.cumsum(lens, out=offs[1:])
+    bytes): one cumsum for the offsets, no per-value Python strings.
+
+    The int32 offsets cannot overflow in practice: the decoded text
+    is a subset of the input batch's `binary` payload column, whose
+    own Arrow int32 offsets already cap one batch below 2 GiB — but
+    guard explicitly so a violated assumption fails loudly instead of
+    producing wrapped offsets."""
+    offs64 = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs64[1:])
+    if offs64[-1] > 0x7FFFFFFF:
+        raise ValueError(
+            "decoded batch exceeds 2 GiB of string data — input batch "
+            "violated Arrow's own binary-column size invariant"
+        )
+    offs = offs64.astype(np.int32)
     return pa.Array.from_buffers(
         pa.utf8(),
         len(lens),
@@ -100,8 +116,8 @@ def decode_batches(
 ) -> Iterator[pa.RecordBatch]:
     """(doc_id, payload binary) -> documents_raw rows. Malformed
     payloads produce a quarantine-shaped row (doc_class='', n_pages=0,
-    no spans) instead of raising — validate_split / the router then
-    sends them to the error channel."""
+    no spans) instead of raising — the router (with_tier /
+    fused_batches) then sends them to the error channel."""
     kind_dict = pa.array(IN_KINDS, type=pa.string())
     for batch in batches:
         n_docs = batch.num_rows
@@ -145,6 +161,11 @@ def decode_batches(
                     or len(ref_data) != r_total
                     or kinds.size and kinds.max() >= len(IN_KINDS)
                     or cls >= len(IN_DOC_CLASSES)
+                    # u32 n_pages must fit the int32 output column —
+                    # a wild value would wrap (numpy 1.x) or raise
+                    # OUTSIDE this try (numpy 2.x) instead of
+                    # quarantining
+                    or not 0 <= np_d <= 0x7FFFFFFF
                 ):
                     raise ValueError("truncated or corrupt container")
             except (ValueError, IndexError):
@@ -240,8 +261,23 @@ def encode_batches(
         # one memoryview per batch; per-doc slices below are zero-copy
         t_data = memoryview(t_arr.buffers()[2] or b"")
         r_data = memoryview(r_arr.buffers()[2] or b"")
-        tlens = np.diff(t_offs).astype("<u4")
-        rlens = np.diff(r_offs).astype("<u2")
+        tlens64 = np.diff(t_offs)
+        rlens64 = np.diff(r_offs)
+        # the container's width fields are u4 (text) / u2 (media_ref):
+        # out-of-range lengths must be a loud encode error, never a
+        # silent wrap that decodes to mis-sliced spans
+        if rlens64.size and int(rlens64.max()) > 0xFFFF:
+            raise ValueError(
+                "media_ref longer than 65535 bytes cannot be encoded "
+                "in a TTDP1 container (u16 length field)"
+            )
+        if tlens64.size and int(tlens64.max()) > 0xFFFFFFFF:
+            raise ValueError(
+                "span text longer than 2^32-1 bytes cannot be encoded "
+                "in a TTDP1 container (u32 length field)"
+            )
+        tlens = tlens64.astype("<u4")
+        rlens = rlens64.astype("<u2")
         classes = batch.column("doc_class").to_pylist()
         pages = batch.column("n_pages").to_pylist()
         ends = np.cumsum(counts)

@@ -117,7 +117,13 @@ class CheckpointedExtract:
             return None
         data_runs = set(self.data.committed_runs())
         rows = lineage.select("run_id", "doc_id_min", "doc_id_max").collect()
-        covered = {r["run_id"] for r in rows}
+        # coverage = lineage MANIFEST commits, not just lineage rows:
+        # a resumed run that found nothing to do commits zero lineage
+        # rows but is still fully accounted for — counting only rows
+        # would disable range pruning forever after any no-op re-run
+        covered = {r["run_id"] for r in rows} | set(
+            self.lineage.committed_runs()
+        )
         if not data_runs <= covered:
             return None
         ranges = [

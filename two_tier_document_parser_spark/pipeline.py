@@ -85,21 +85,13 @@ def session_tuning(builder):
     )
 
 
-def validate_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """O2: route invalid rows to quarantine instead of raising
-    (reference returns 400/413, fast/app.py:61-73; a 10^12-doc job
-    cannot afford exceptions). Includes the absolute size cap — the
-    413 analogue (spec.T2_MAX_SPANS, the larger of the two tier caps;
-    the tier-specific fast cap applies after routing, with_tier)."""
-    from .spec import T2_MAX_SPANS
-
-    valid_pred = (
-        F.col("doc_id").isNotNull()
-        & (F.size("spans") > 0)
-        & (F.size("spans") <= T2_MAX_SPANS)
-        & (F.col("n_pages") >= 1)
-    )
-    return df.filter(valid_pred), df.filter(~valid_pred)
+# NOTE: the O2 validation/quarantine predicate (reference 400/413
+# semantics, fast/app.py:61-73) lives in exactly two executable
+# places with identical semantics: routing.with_tier (split mode) and
+# fused_batches below (fused mode) — plus the per-document mirror in
+# api._route_one. A third standalone validate_split helper used to
+# duplicate the rule with subtly different cap semantics and no
+# callers; it was removed so the rule cannot drift.
 
 
 def _error_rows(df: DataFrame, reason: str) -> DataFrame:
@@ -193,6 +185,17 @@ def fused_batches(batches):
         invalid = (counts == 0) | pc.is_null(batch.column("doc_id")).to_numpy(
             zero_copy_only=False
         )
+        # n_pages < 1 quarantines, matching split mode (with_tier) and
+        # the facade; a NULL (or absent) n_pages is valid in all three
+        # (the SQL predicate `n_pages < 1` is false on null)
+        if "n_pages" in batch.schema.names:
+            npg = np.nan_to_num(
+                batch.column("n_pages")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64),
+                nan=1.0,
+            )
+            invalid |= npg < 1
         deep_rule = ~invalid & (
             (n_box / np.maximum(counts, 1) > bt) | (n_media >= mt)
         )
@@ -252,8 +255,10 @@ def fused_batches(batches):
 
 def fused_map(raw: DataFrame) -> DataFrame:
     """One scan, one Arrow pass, zero shuffles (unless salted
-    upstream): the throughput path for the full cascade."""
-    return raw.select("doc_id", "doc_class", "spans").mapInArrow(
+    upstream): the throughput path for the full cascade. n_pages is
+    read (one int32 column) so fused validation matches split mode
+    exactly — same quarantine set either way."""
+    return raw.select("doc_id", "doc_class", "n_pages", "spans").mapInArrow(
         fused_batches, OUT_SCHEMA
     )
 

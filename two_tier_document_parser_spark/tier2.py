@@ -91,7 +91,7 @@ class _DocEmitter:
 
 
 def _text_region(
-    kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter, special_all=None
+    kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter
 ) -> None:
     # NOTE: a numpy fast path for no-artifact regions (mask + single
     # join) was tried and MEASURED 2x SLOWER than this loop — regions
@@ -161,7 +161,7 @@ def _table_region(kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter) -> N
 
 def _process_page(
     kc, tx, rf, lo: int, hi: int, page: int, em: _DocEmitter,
-    box_all=None, special_all=None,
+    box_all=None,
 ) -> None:
     # box positions from the batch-wide precomputed index when
     # available (searchsorted slice), else a local scan
@@ -174,10 +174,10 @@ def _process_page(
     start = len(em.kinds)
     em.bbox = []
     if not box_pos:
-        _text_region(kc, tx, rf, lo, hi, page, em, special_all)
+        _text_region(kc, tx, rf, lo, hi, page, em)
     else:
         if box_pos[0] > lo:  # implicit leading region (no geometry)
-            _text_region(kc, tx, rf, lo, box_pos[0], page, em, special_all)
+            _text_region(kc, tx, rf, lo, box_pos[0], page, em)
         bboxes = []
         region_kind = []
         bounds = []
@@ -193,7 +193,7 @@ def _process_page(
             if region_kind[i] == "table":
                 _table_region(kc, tx, rf, blo, bhi, page, em)
             else:
-                _text_region(kc, tx, rf, blo, bhi, page, em, special_all)
+                _text_region(kc, tx, rf, blo, bhi, page, em)
     return start
 
 
@@ -216,10 +216,6 @@ def tier2_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
         # lookups become searchsorted slices instead of Python scans
         pb_all = np.flatnonzero(kc == K_PB)
         box_all = np.flatnonzero(kc == K_BOX)
-        # spans that force the slow emitter path inside a text region
-        special_all = np.flatnonzero(
-            np.isin(kc, (K_HEAD, K_LIST, K_IMG, K_FORM))
-        )
 
         out_kinds: list[str] = []
         out_texts: list[str] = []
@@ -248,8 +244,7 @@ def tier2_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]
                 for e in pbs + [hi]:
                     s0 = len(em.kinds)
                     _process_page(
-                        kc, tx, rf, cursor, e, page_no, em, box_all,
-                        special_all,
+                        kc, tx, rf, cursor, e, page_no, em, box_all
                     )
                     page_parts.append(
                         join_page(
