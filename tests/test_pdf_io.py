@@ -196,3 +196,31 @@ def test_foreign_pdf_relative_td_nested_parens_endobj_in_stream():
         ("text", "a (nested) c"),
         ("text", "the endobj keyword explained"),
     ]
+
+
+def test_classic_pdf_idioms_contents_array_indirect_length():
+    """More classic-file idioms: /Contents as an ARRAY of streams
+    (concatenated in order), /Length as an INDIRECT reference
+    (endstream-keyword fallback), octal string escapes, and
+    whitespace-separated hex strings."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    c1 = b"BT /F1 12 Tf 72 700 Td (part one \\101\\102) Tj ET"  # octal AB
+    c2 = b"BT /F1 12 Tf 72 680 Td <4 86 56 C6C 6F> Tj ET"       # 'Hello'
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents [ 4 0 R 6 0 R ]"
+            b" /Resources << /Font << /F1 5 0 R >> >> >>"),
+        4: b"<< /Length 7 0 R >>\nstream\n" + c1 + b"\nendstream",
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: b"<< /Length %d >>\nstream\n" % len(c2) + c2 + b"\nendstream",
+        7: b"%d" % len(c1),
+    }
+    body = b"%PDF-1.4\n"
+    for i, o in objs.items():
+        body += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    body += b"trailer\n<< /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    got = [(s["kind"], s["text"]) for s in parse_pdf(body)["spans"]]
+    assert got == [("text", "part one AB"), ("text", "Hello")]
