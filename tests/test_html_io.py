@@ -53,6 +53,27 @@ def test_roundtrip_synth_corpus_exact():
         }, doc["doc_id"]
 
 
+def test_tokenless_doc_roundtrips_empty_text_span():
+    """A token-less document chunks to ONE empty text span
+    (adapter.documents_to_raw: greatest(ceil(n/w), 1)); render_html
+    writes it as <p></p> and parse_html must emit it back — round-2
+    advice: without this, html_ingest's token-less oracle union
+    mismatches on any corpus containing an empty document."""
+    from two_tier_document_parser_spark.html_io import (
+        parse_html,
+        render_html,
+    )
+
+    doc = _doc([("text", "", "")])
+    got = parse_html(render_html(doc))
+    assert got["spans"] == doc["spans"]
+    # direct foreign form too, and only content-context <p> emits
+    got2 = parse_html(b"<html><body><p></p></body></html>")
+    assert [(s["kind"], s["text"]) for s in got2["spans"]] == [("text", "")]
+    got3 = parse_html(b"<html><body><nav><p></p></nav></body></html>")
+    assert got3["spans"] == []
+
+
 def test_sloppy_real_world_html():
     from two_tier_document_parser_spark.html_io import parse_html
 

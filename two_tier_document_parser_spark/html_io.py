@@ -212,9 +212,17 @@ def parse_html(payload: bytes) -> dict | None:
             if own_buf[-1]:
                 if buf_kinds[-1]:
                     t = _WS_RE.sub(" ", "".join(bufs[-1])).strip()
-                    if t or name in ("td", "th", "math"):
+                    if t or name in ("td", "th", "math") or (
+                        name == "p" and buf_kinds[-1] == "text"
+                    ):
                         # empty cells/formulas still emit (poison marker
-                        # / tier-2 drop rule); other empties don't
+                        # / tier-2 drop rule); an explicitly-closed
+                        # empty <p></p> in content context emits an
+                        # empty text span — render_html writes one for
+                        # a token-less document's single empty chunk,
+                        # so the round trip must preserve it (round-2
+                        # advice: html_ingest vs the token-less-doc
+                        # oracle union). Other empties don't emit.
                         spans.append((buf_kinds[-1], t, buf_refs[-1]))
             elif name == "tr":
                 spans.append(("table_row_end", "", ""))

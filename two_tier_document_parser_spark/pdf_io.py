@@ -37,7 +37,13 @@ escapes are also parsed for foreign files).
 files (header, objects, Flate-compressed content streams, page tree,
 xref table with correct byte offsets, trailer). parse(render(x)) is
 bit-exact on every synthetic document — the round-trip correctness
-gate, same design as binary_io/html_io.
+gate, same design as binary_io/html_io. One documented exclusion:
+a plain `text` span whose text literally starts with the bullet
+prefix "• " round-trips as kind=list_item with the prefix stripped —
+rendered list items and bullet-prefixed text are indistinguishable
+on the page, and the layout-heuristic layer (by design) trusts the
+glyphs. The synthetic corpus and the fuzz domain
+(test_fuzz_ingest.py) exclude that prefix from plain text spans.
 
 Spark surface: `parse_table` is `mapInArrow` over (doc_id, payload
 binary) — map-only, no shuffle, splits like any parquet at 100 TB;
@@ -648,7 +654,14 @@ def render_pdf(doc: dict) -> bytes:
         b"<< /Type /Pages /Kids [ %s ] /Count %d >>"
         % (kids, len(page_nums))
     )
-    assert real_pages_num == pages_num, "page-tree numbering drifted"
+    if real_pages_num != pages_num:
+        # hard error, not assert: under `python -O` a stripped assert
+        # would silently emit PDFs whose /Parent and /Catalog /Pages
+        # refs point at the wrong object (round-2 advice)
+        raise ValueError(
+            "page-tree numbering drifted: predicted /Pages object "
+            f"{pages_num}, allocated {real_pages_num}"
+        )
     root = w.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
     info = w.add(
         b"<< /Producer " + _hex_str("two_tier_document_parser_spark")

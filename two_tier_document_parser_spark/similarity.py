@@ -184,28 +184,50 @@ def lsh_near_dup_pairs(
     n_tables: int = 12,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_bucket: int = 2000,
 ) -> DataFrame:
-    """Near-dup pairs at scale: SRP-LSH bucket self-join for candidate
-    generation (multi-table OR-construction), exact cosine verify.
-    Replaces the O(N^2) cross join with n_tables equi-joins on
-    (table, sig) that shuffle only (id, sig) pairs; the verify join
-    rehydrates vectors for the surviving candidates only."""
-    # persist: both sides of the self-join read the signature pass —
-    # without it the pandas-UDF projection runs twice over the corpus.
-    # The candidate set is materialized eagerly (localCheckpoint cuts
-    # the lineage back to the stored blocks) so the signature cache can
-    # be released HERE instead of leaking pinned partitions across
-    # repeated calls in a long-lived session (round-1 advice).
-    sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables).persist()
-    cand = (
-        sigs.alias("x")
-        .join(sigs.alias("y"), ["tbl", "sig"])
-        .filter(F.col("x.id") < F.col("y.id"))
-        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .distinct()
-        .localCheckpoint()
+    """Near-dup pairs at scale: SRP-LSH candidate generation
+    (multi-table OR-construction), exact cosine verify.
+
+    Round-3 rewrite (round-2 verdict #1): candidates come from a
+    groupBy(tbl, sig) + in-bucket pair expansion instead of a bucket
+    SELF-JOIN. The self-join needed the signature pass on both sides,
+    which forced either a persist (round-1 cache leak) or an eager
+    localCheckpoint (round-2 wall-time regression) — Catalyst does not
+    reuse the pandas-UDF exchange across the two join branches. The
+    grouped form computes the signature UDF exactly ONCE, shuffles
+    once on (tbl, sig), expands pairs JVM-side with indexed
+    transform/slice, and pipelines straight into the verify join: no
+    persist, no checkpoint, two exchanges total (group + distinct).
+
+    `max_bucket` is the viral-bucket skew guard (same rationale as
+    dedup.lsh_candidate_pairs): a degenerate signature that captures
+    the whole corpus would expand O(n^2) pairs; buckets above the cap
+    are dropped — at sane plane counts only near-constant vectors land
+    there, and the multi-table OR-construction recovers the recall."""
+    sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables)
+    buckets = (
+        sigs.groupBy("tbl", "sig")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
     )
-    sigs.unpersist()
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
     va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
     vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
     return (
