@@ -53,6 +53,65 @@ def test_roundtrip_synth_corpus_exact():
         }, doc["doc_id"]
 
 
+def test_charset_sniffing():
+    """WHATWG-style sniffing (round-2 verdict gap #2): BOMs, <meta
+    charset> prescan, windows-1252 fallback for legacy bytes that are
+    not valid UTF-8 — none of these quarantine any longer."""
+    from two_tier_document_parser_spark.html_io import parse_html
+
+    body = "<html><body><p>café — naïve</p></body></html>"
+
+    def texts(doc):
+        return [s["text"] for s in doc["spans"]]
+
+    # utf-8 BOM
+    got = parse_html(b"\xef\xbb\xbf" + body.encode("utf-8"))
+    assert texts(got) == ["café — naïve"]
+    # utf-16 LE / BE with BOM (codec emits the BOM for 'utf-16';
+    # explicit-endian + hand BOM for BE)
+    got = parse_html(body.encode("utf-16"))
+    assert texts(got) == ["café — naïve"]
+    got = parse_html(b"\xfe\xff" + body.encode("utf-16-be"))
+    assert texts(got) == ["café — naïve"]
+    # declared windows-1252: 0xE9 e-acute, 0x97 em-dash (cp1252-only)
+    raw = (
+        b'<html><head><meta charset="windows-1252"></head>'
+        b"<body><p>caf\xe9 \x97 ok</p></body></html>"
+    )
+    assert texts(parse_html(raw)) == ["caf\xe9 — ok"]
+    # http-equiv form, iso-8859-1 label resolves to windows-1252
+    raw = (
+        b'<html><head><meta http-equiv="Content-Type" '
+        b'content="text/html; charset=iso-8859-1"></head>'
+        b"<body><p>caf\xe9</p></body></html>"
+    )
+    assert texts(parse_html(raw)) == ["caf\xe9"]
+    # declared shift_jis
+    raw = (
+        b'<html><head><meta charset="shift_jis"></head><body><p>'
+        + "日本語".encode("shift_jis")
+        + b"</p></body></html>"
+    )
+    assert texts(parse_html(raw)) == ["日本語"]
+    # UNLABELED legacy bytes: invalid UTF-8 falls back to
+    # windows-1252 instead of quarantining
+    raw = b"<html><body><p>r\xe9sum\xe9</p></body></html>"
+    assert texts(parse_html(raw)) == ["r\xe9sum\xe9"]
+    # WHATWG w1252 hole byte 0x81 maps to C1 control, not an error
+    assert parse_html(b"<html><body><p>a\x81b</p></body></html>") is not None
+    # mislabeled (claims utf-8, bytes are cp1252): decodes via
+    # fallback rather than quarantining
+    raw = (
+        b'<html><head><meta charset="utf-8"></head>'
+        b"<body><p>caf\xe9</p></body></html>"
+    )
+    assert texts(parse_html(raw)) == ["caf\xe9"]
+    # truly undecodable: utf-16 BOM + odd byte count still quarantines
+    assert parse_html(b"\xfe\xff\x00a\x00b\x41") is None
+    # NUL-bearing junk still quarantines after decode
+    assert parse_html(b"<p>a</p>\x00junk") is None
+
+
 def test_tokenless_doc_roundtrips_empty_text_span():
     """A token-less document chunks to ONE empty text span
     (adapter.documents_to_raw: greatest(ceil(n/w), 1)); render_html
@@ -112,7 +171,10 @@ def test_sloppy_real_world_html():
 def test_quarantine_on_bad_bytes():
     from two_tier_document_parser_spark.html_io import parse_html
 
-    assert parse_html(b"\xff\xfe\x00 not utf8 \x80") is None
+    # utf-16 BOM + odd payload length is truly undecodable; an EVEN
+    # length now decodes as (mojibake) utf-16 instead of quarantining
+    # since the charset sniffer landed
+    assert parse_html(b"\xff\xfe\x00 not utf8 \x80\x41") is None
     deep = b"<div>" * 2000
     assert parse_html(deep) is None
     # plain text without any tags is still a (trivial) document
@@ -177,7 +239,9 @@ def test_spark_quarantine_rows(spark):
 
     ship_package(spark)
     bad = spark.createDataFrame(
-        [("b0", bytearray(b"\xff\x80 bad")), ("b1", bytearray(b"<p>ok</p>"))],
+        # utf-16 BOM + odd byte count: undecodable even after the
+        # charset sniffer (plain invalid-utf-8 now w1252-decodes)
+        [("b0", bytearray(b"\xfe\xff\x41")), ("b1", bytearray(b"<p>ok</p>"))],
         "doc_id string, payload binary",
     )
     rows = {r["doc_id"]: r for r in parse_table(bad).collect()}

@@ -50,6 +50,10 @@ Subset semantics (documented, deterministic):
 - Comments and doctypes are skipped; entities are decoded
   (html.unescape); text node whitespace is collapsed to single
   spaces.
+- Bytes are decoded via WHATWG-style sniffing (decode_html_bytes):
+  BOM first, then a <meta charset> prescan of the first 1024 bytes,
+  then strict UTF-8, then the total windows-1252 fallback — only
+  truly undecodable streams (odd-length UTF-16) quarantine.
 - n_pages = 1 + count(page_break); doc_class comes from the <html
   data-doc-class=".."> attribute, defaulting to "html".
 
@@ -75,6 +79,95 @@ _ATTR_RE = re.compile(
     r"([a-zA-Z-]+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>/]+))"
 )
 _WS_RE = re.compile(r"\s+")
+
+# ---------------------------------------------------------------------------
+# Encoding sniffing (WHATWG Encoding Standard, simplified):
+# BOM > <meta charset> prescan of the first 1024 bytes > UTF-8 >
+# windows-1252 fallback. Round-2 verdict gap #2: a UTF-8-only decode
+# quarantined a large share of real web documents (legacy charsets).
+# ---------------------------------------------------------------------------
+
+# prescan: both <meta charset=X> and
+# <meta http-equiv=content-type content="text/html; charset=X">
+_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_][a-zA-Z0-9._-]*)",
+    re.I | re.S,
+)
+# WHATWG label -> Python codec for the labels that matter in practice;
+# per the spec, ASCII/latin-1 labels all resolve to windows-1252.
+_ENC_LABELS = {
+    "utf-8": "utf-8", "utf8": "utf-8", "unicode-1-1-utf-8": "utf-8",
+    "us-ascii": "cp1252", "ascii": "cp1252", "iso-8859-1": "cp1252",
+    "iso8859-1": "cp1252", "latin1": "cp1252", "latin-1": "cp1252",
+    "l1": "cp1252", "windows-1252": "cp1252", "cp1252": "cp1252",
+    "x-cp1252": "cp1252", "iso-8859-15": "iso-8859-15",
+    "iso-8859-2": "iso-8859-2", "windows-1250": "cp1250",
+    "windows-1251": "cp1251", "koi8-r": "koi8-r", "koi8-u": "koi8-u",
+    "iso-8859-5": "iso-8859-5", "iso-8859-7": "iso-8859-7",
+    "iso-8859-9": "cp1254", "windows-1254": "cp1254",
+    "windows-1256": "cp1256", "windows-874": "cp874",
+    "shift_jis": "shift_jis", "shift-jis": "shift_jis",
+    "sjis": "shift_jis", "euc-jp": "euc-jp", "euc-kr": "euc-kr",
+    "gbk": "gbk", "gb2312": "gbk", "gb18030": "gb18030", "big5": "big5",
+    # a <meta> utf-16 label on a byte stream that reached the prescan
+    # un-BOMed is treated as utf-8 per WHATWG ("utf-16 becomes utf-8")
+    "utf-16": "utf-8", "utf-16le": "utf-8", "utf-16be": "utf-8",
+}
+# WHATWG windows-1252 has NO holes: bytes 0x81 8D 8F 90 9D (undefined
+# in Python's cp1252) map to the corresponding C1 controls. Decode
+# latin-1 (total), then retarget 0x80-0x9F through the cp1252 glyphs.
+_W1252_MAP = {
+    b: ord(bytes([b]).decode("cp1252"))
+    for b in range(0x80, 0xA0)
+    if b not in (0x81, 0x8D, 0x8F, 0x90, 0x9D)
+}
+
+
+def _decode_w1252(payload: bytes) -> str:
+    return payload.decode("latin-1").translate(_W1252_MAP)
+
+
+def decode_html_bytes(payload: bytes) -> str | None:
+    """Sniff + decode raw HTML bytes. Returns None only for truly
+    undecodable streams (e.g. a UTF-16 BOM followed by an odd byte
+    count) — windows-1252 is total over byte strings, so unlabeled
+    legacy content decodes instead of quarantining."""
+    if payload.startswith(b"\xef\xbb\xbf"):
+        return payload[3:].decode("utf-8", errors="replace")
+    if payload.startswith(b"\xfe\xff"):
+        try:
+            return payload[2:].decode("utf-16-be")
+        except UnicodeDecodeError:
+            return None
+    if payload.startswith(b"\xff\xfe"):
+        try:
+            return payload[2:].decode("utf-16-le")
+        except UnicodeDecodeError:
+            return None
+    m = _CHARSET_RE.search(payload[:1024])
+    if m:
+        label = m.group(1).decode("ascii", "replace").strip().lower()
+        codec = _ENC_LABELS.get(label)
+        if codec is None:
+            try:
+                import codecs
+
+                codecs.lookup(label)
+                codec = label
+            except LookupError:
+                codec = None
+        if codec == "cp1252":
+            return _decode_w1252(payload)
+        if codec is not None:
+            try:
+                return payload.decode(codec)
+            except (UnicodeDecodeError, LookupError):
+                pass  # mislabeled document: fall through to utf-8
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return _decode_w1252(payload)
+
 
 _VOID = frozenset(
     "img br hr meta link input source wbr embed area base col param "
@@ -131,8 +224,10 @@ def parse_html(payload: bytes) -> dict | None:
     """One HTML document -> documents_raw row dict, or None when the
     payload is undecodable/absurd (caller quarantines)."""
     try:
-        text = payload.decode("utf-8")
-    except (UnicodeDecodeError, AttributeError):
+        text = decode_html_bytes(payload)
+    except AttributeError:
+        return None
+    if text is None:
         return None
     if "\x00" in text:
         # U+0000 is an HTML5 parse error; NUL-bearing input is binary
