@@ -301,7 +301,9 @@ def test_stream_mixed_bytes_ingest_equals_batch(spark, tmp_path):
     rows = [
         (d["doc_id"], bytearray((render_pdf, render_html, encode_doc)[i % 3](d)))
         for i, d in enumerate(docs)
-    ] + [("junk", bytearray(b"\xff\x80?"))]
+        # NUL-bearing binary junk: still quarantines post-charset-
+        # sniffer (a NUL-free byte soup now w1252-decodes best-effort)
+    ] + [("junk", bytearray(b"\xff\x80\x00?"))]
     spark.createDataFrame(rows, "doc_id string, payload binary").repartition(
         4
     ).write.parquet(bin_dir)
