@@ -1,0 +1,404 @@
+"""PDF 1.5+ ingestion breadth (round-2 verdict task #1): hand-
+authored foreign fixtures exercising cross-reference STREAMS
+(ISO 32000 §7.5.8), object streams (§7.5.7), the §7.4 filter suite
+(LZWDecode, ASCIIHex/ASCII85/RunLength transport codings, PNG
+predictors, DCTDecode passthrough on image XObjects), WinAnsi
+literal-string decoding, and ToUnicode CMaps for composite fonts.
+
+Every fixture is built byte-by-byte from the public spec inside this
+file — including a clean-room LZW *encoder* and PNG predictor-12
+*encoder* used only as test harnesses — so the parser is checked
+against independently-constructed files, not its own writer.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+
+# ---------------------------------------------------------------------------
+# test-side encoders (independent of pdf_io's decoders)
+# ---------------------------------------------------------------------------
+
+def lzw_encode(data: bytes) -> bytes:
+    """PDF-spec LZW (EarlyChange=1): 9-bit start, Clear=256, EOD=257,
+    width bump one code early, Clear emitted when the table fills."""
+    codes = []
+    d = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    codes.append((256, width))
+    w = b""
+    for ch in data:
+        c = bytes([ch])
+        if w + c in d:
+            w += c
+            continue
+        codes.append((d[w], width))
+        d[w + c] = next_code
+        next_code += 1
+        if next_code + 1 > (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                codes.append((256, width))
+                d = {bytes([i]): i for i in range(256)}
+                next_code, width = 258, 9
+        w = c
+    if w:
+        codes.append((d[w], width))
+    codes.append((257, width))
+    acc = nacc = 0
+    out = bytearray()
+    for code, wd in codes:
+        acc = (acc << wd) | code
+        nacc += wd
+        while nacc >= 8:
+            out.append((acc >> (nacc - 8)) & 0xFF)
+            nacc -= 8
+    if nacc:
+        out.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(out)
+
+
+def png_predict_up(data: bytes, columns: int) -> bytes:
+    """Apply PNG filter type 2 (Up) per `columns`-byte row — the
+    near-universal xref-stream encoding (Predictor 12)."""
+    out = bytearray()
+    prev = bytes(columns)
+    for i in range(0, len(data), columns):
+        row = data[i : i + columns].ljust(columns, b"\x00")
+        out.append(2)
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(columns))
+        prev = row
+    return bytes(out)
+
+
+def runlength_encode(data: bytes) -> bytes:
+    out = bytearray()
+    for i in range(0, len(data), 128):
+        chunk = data[i : i + 128]
+        out.append(len(chunk) - 1)
+        out += chunk
+    out.append(128)
+    return bytes(out)
+
+
+def build_pdf15(
+    objects: dict[int, bytes],
+    root: int,
+    compressed: dict[int, tuple[int, int]] | None = None,
+) -> bytes:
+    """Assemble a complete PDF 1.5 file: numbered objects, then a
+    REAL cross-reference stream (W [1 4 2], FlateDecode + PNG
+    Predictor 12) as the last object, startxref, %%EOF. No `trailer`
+    keyword anywhere — exactly the shape that quarantined before
+    round 3. `compressed` maps objnum -> (objstm_num, index) for
+    type-2 entries."""
+    compressed = compressed or {}
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objects):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objects[num] + b"\nendobj\n"
+    xref_num = max(list(objects) + list(compressed)) + 1
+    xref_off = len(out)
+    rows = [b"\x00" + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")]
+    for num in range(1, xref_num + 1):
+        if num in offsets or num == xref_num:
+            off = offsets.get(num, xref_off)
+            rows.append(b"\x01" + off.to_bytes(4, "big") + b"\x00\x00")
+        elif num in compressed:
+            stm, idx = compressed[num]
+            rows.append(b"\x02" + stm.to_bytes(4, "big") + idx.to_bytes(2, "big"))
+        else:
+            rows.append(b"\x00" + bytes(6))
+    payload = zlib.compress(png_predict_up(b"".join(rows), 7))
+    xref_obj = (
+        b"<< /Type /XRef /Size %d /W [1 4 2] /Root %d 0 R"
+        b" /Filter /FlateDecode"
+        b" /DecodeParms << /Predictor 12 /Columns 7 >>"
+        b" /Length %d >>\nstream\n%s\nendstream"
+        % (xref_num + 1, root, len(payload), payload)
+    )
+    out += b"%d 0 obj\n" % xref_num + xref_obj + b"\nendobj\n"
+    out += b"startxref\n%d\n%%%%EOF\n" % xref_off
+    return bytes(out)
+
+
+def _page_objs(content: bytes, extra_res: bytes = b"") -> dict[int, bytes]:
+    return {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >>"
+            + extra_res
+            + b" >> >>"
+        ),
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+
+
+def _kinds_texts(doc):
+    return [(s["kind"], s["text"]) for s in doc["spans"]]
+
+
+# ---------------------------------------------------------------------------
+# tests
+# ---------------------------------------------------------------------------
+
+def test_xref_stream_pdf15_parses():
+    """A PDF 1.5 file whose ONLY trailer is the /Type /XRef stream
+    dict (no `trailer` keyword) parses instead of quarantining."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    content = (
+        b"BT /F1 24 Tf 72 700 Td (Modern Title) Tj ET\n"
+        b"BT /F1 12 Tf 72 660 Td (xref-stream body) Tj ET\n"
+    )
+    data = build_pdf15(_page_objs(content), root=1)
+    assert b"trailer" not in data
+    doc = parse_pdf(data)
+    assert doc is not None
+    assert _kinds_texts(doc) == [
+        ("heading", "Modern Title"),
+        ("text", "xref-stream body"),
+    ]
+    assert doc["n_pages"] == 1 and doc["doc_class"] == "pdf"
+
+
+def test_xref_stream_entries_decode_with_predictor():
+    """The xref stream itself (Flate + PNG Predictor 12, W [1 4 2])
+    decodes to the exact offsets of the objects in the file —
+    ground-truth validation of _png_unpredict + _apply_filters."""
+    from two_tier_document_parser_spark.pdf_io import (
+        Ref,
+        _scan_objects,
+        _stream_bytes,
+    )
+
+    content = b"BT /F1 12 Tf (pp) Tj ET"
+    objects = _page_objs(content)
+    data = build_pdf15(objects, root=1)
+    objs = _scan_objects(data)
+    xref_num = max(objects) + 1
+    entries = _stream_bytes(objs, Ref(xref_num))
+    assert len(entries) == 7 * (xref_num + 1)
+    for num in sorted(objects):
+        row = entries[7 * num : 7 * num + 7]
+        assert row[0] == 1
+        off = int.from_bytes(row[1:5], "big")
+        assert data[off:].startswith(b"%d 0 obj" % num)
+
+
+def test_objstm_compressed_catalog_and_pages():
+    """Catalog, page-tree and page dicts live inside a /Type /ObjStm
+    object stream (type-2 xref entries); only the content stream and
+    the ObjStm itself are top-level. ISO 32000 §7.5.7."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (from an object stream) Tj ET\n"
+        b"BT /F1 12 Tf 72 30 Td (footer) Tj ET\n"
+    )
+    sub = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [ 3 0 R ] /Count 1 >>",
+        3: (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            b" /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+        ),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    }
+    header = bytearray()
+    bodies = bytearray()
+    for num, body in sub.items():
+        header += b"%d %d " % (num, len(bodies))
+        bodies += body + b" "
+    stm_payload = zlib.compress(bytes(header) + bytes(bodies))
+    objstm = (
+        b"<< /Type /ObjStm /N %d /First %d /Filter /FlateDecode"
+        b" /Length %d >>\nstream\n%s\nendstream"
+        % (len(sub), len(header), len(stm_payload), stm_payload)
+    )
+    objects = {
+        4: b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content),
+        6: objstm,
+    }
+    compressed = {num: (6, i) for i, num in enumerate(sub)}
+    data = build_pdf15(objects, root=1, compressed=compressed)
+    doc = parse_pdf(data)
+    assert doc is not None
+    assert _kinds_texts(doc) == [
+        ("text", "from an object stream"),
+        ("boilerplate", "footer"),
+    ]
+
+
+def test_transport_filter_codings():
+    """Content streams in LZWDecode, ASCIIHexDecode, ASCII85Decode,
+    RunLengthDecode, and a [ASCII85 + Flate] chain all lift the same
+    span."""
+    import base64
+
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    content = b"BT /F1 12 Tf 72 700 Td (filter suite) Tj ET"
+    variants = [
+        (b"/LZWDecode", lzw_encode(content)),
+        (b"/ASCIIHexDecode", content.hex().encode() + b">"),
+        (b"/ASCII85Decode", base64.a85encode(content) + b"~>"),
+        (b"/RunLengthDecode", runlength_encode(content)),
+        (
+            b"[ /ASCII85Decode /FlateDecode ]",
+            base64.a85encode(zlib.compress(content)) + b"~>",
+        ),
+    ]
+    for filt, payload in variants:
+        objects = _page_objs(b"")
+        objects[4] = (
+            b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
+            % (len(payload), filt, payload)
+        )
+        doc = parse_pdf(build_pdf15(objects, root=1))
+        assert doc is not None, filt
+        assert _kinds_texts(doc) == [("text", "filter suite")], filt
+
+
+def test_lzw_with_flate_content_matches():
+    """Larger multi-operator content through LZW (width growth past
+    9 bits) parses identically to the Flate rendition."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    lines = b"".join(
+        b"BT /F1 12 Tf 72 %d Td (line %03d of the corpus) Tj ET\n"
+        % (700 - 14 * (i % 40), i)
+        for i in range(120)
+    )
+    docs = []
+    for filt, payload in (
+        (b"/LZWDecode", lzw_encode(lines)),
+        (b"/FlateDecode", zlib.compress(lines)),
+    ):
+        objects = _page_objs(b"")
+        objects[4] = (
+            b"<< /Length %d /Filter %s >>\nstream\n%s\nendstream"
+            % (len(payload), filt, payload)
+        )
+        docs.append(parse_pdf(build_pdf15(objects, root=1)))
+    assert docs[0] is not None and docs[0] == docs[1]
+
+
+def test_dct_image_xobject_passthrough():
+    """An image XObject with /Filter /DCTDecode (raw JPEG payload)
+    emits an image span — the compressed pixels pass through instead
+    of erroring the filter chain."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    jpeg = b"\xff\xd8\xff\xe0\x00\x10JFIF" + bytes(64) + b"\xff\xd9"
+    xobj = (
+        b"<< /Type /XObject /Subtype /Image /Width 8 /Height 8"
+        b" /ColorSpace /DeviceRGB /BitsPerComponent 8"
+        b" /Filter /DCTDecode /Length %d >>\nstream\n%s\nendstream"
+        % (len(jpeg), jpeg)
+    )
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"q 100 0 0 80 72 600 cm /Im1 Do Q\n"
+    )
+    objects = _page_objs(content, extra_res=b" /XObject << /Im1 6 0 R >>")
+    objects[6] = xobj
+    doc = parse_pdf(build_pdf15(objects, root=1))
+    assert doc is not None
+    assert _kinds_texts(doc) == [("text", "before"), ("image", "")]
+
+
+def test_winansi_literal_strings():
+    """Non-BOM literal strings decode through the WinAnsi (cp1252)
+    table: 0xE9 e-acute, 0x97 em-dash, 0x85 ellipsis — previously
+    latin-1, which mangled 0x80-0x9F."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    content = b"BT /F1 12 Tf 72 700 Td (caf\xe9 \x97 wait\x85) Tj ET"
+    doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
+    assert doc is not None
+    assert _kinds_texts(doc) == [("text", "caf\xe9 — wait…")]
+
+
+def test_tounicode_cmap_bfchar_and_bfrange():
+    """A composite font's ToUnicode CMap (§9.10.3) decodes 2-byte hex
+    shows: bfchar singles, a bfrange with incrementing destination,
+    and a bfrange with an explicit destination array."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    cmap = (
+        b"/CIDInit /ProcSet findresource begin\n"
+        b"begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"3 beginbfchar\n"
+        b"<0001> <0048>\n"          # H
+        b"<0002> <00E9>\n"          # e-acute
+        b"<0003> <0021>\n"          # !
+        b"endbfchar\n"
+        b"1 beginbfrange\n"
+        b"<0010> <0012> <0061>\n"   # a b c
+        b"endbfrange\n"
+        b"1 beginbfrange\n"
+        b"<0020> <0021> [<0058> <0059>]\n"  # X Y
+        b"endbfrange\nend\n"
+    )
+    objects = _page_objs(b"")
+    objects[3] = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 4 0 R /Resources << /Font"
+        b" << /F1 5 0 R /F9 6 0 R >> >> >>"
+    )
+    content = (
+        b"BT /F9 12 Tf 72 700 Td <000100020003> Tj ET\n"
+        b"BT /F9 12 Tf 72 680 Td <001000110012> Tj ET\n"
+        b"BT /F9 12 Tf 72 660 Td <00200021> Tj ET\n"
+        b"BT /F1 12 Tf 72 640 Td (plain again) Tj ET\n"
+    )
+    objects[4] = (
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(content), content)
+    )
+    objects[6] = (
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth"
+        b" /Encoding /Identity-H /ToUnicode 7 0 R >>"
+    )
+    objects[7] = (
+        b"<< /Length %d >>\nstream\n%s\nendstream" % (len(cmap), cmap)
+    )
+    doc = parse_pdf(build_pdf15(objects, root=1))
+    assert doc is not None
+    assert _kinds_texts(doc) == [
+        ("text", "H\xe9!"),
+        ("text", "abc"),
+        ("text", "XY"),
+        ("text", "plain again"),
+    ]
+
+
+def test_pdf15_through_spark_ingest(spark):
+    """A PDF 1.5 xref-stream file flows through the Spark byte-
+    ingestion path (parse_table) next to a classic render_pdf file."""
+    from two_tier_document_parser_spark.pdf_io import (
+        parse_table,
+        render_pdf,
+    )
+    from two_tier_document_parser_spark.pipeline import ship_package
+    from two_tier_document_parser_spark.synth import synth_docs
+
+    ship_package(spark)
+    modern = build_pdf15(
+        _page_objs(b"BT /F1 12 Tf 72 700 Td (spark modern) Tj ET"), root=1
+    )
+    classic = render_pdf(next(iter(synth_docs(0, 1))))
+    df = spark.createDataFrame(
+        [("m0", bytearray(modern)), ("c0", bytearray(classic))],
+        "doc_id string, payload binary",
+    )
+    rows = {r["doc_id"]: r.asDict(recursive=True) for r in parse_table(df).collect()}
+    assert rows["m0"]["spans"][0]["text"] == "spark modern"
+    assert rows["m0"]["doc_class"] == "pdf"
+    assert rows["c0"]["spans"]  # classic path unaffected

@@ -151,7 +151,9 @@ def test_job_mixed_bytes_decode(spark):
     rows = [
         (d["doc_id"], bytearray((render_pdf, render_html, encode_doc)[i % 3](d)))
         for i, d in enumerate(docs)
-    ] + [("junk", bytearray(b"\xff\x80?"))]
+        # NUL byte: quarantines even post-charset-sniffer (NUL-free
+        # byte soup now windows-1252-decodes best-effort as HTML)
+    ] + [("junk", bytearray(b"\xff\x80\x00?"))]
     bin_df = spark.createDataFrame(rows, "doc_id string, payload binary")
     got = {
         r["doc_id"]: r.asDict(recursive=True)

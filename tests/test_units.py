@@ -371,7 +371,9 @@ def test_parse_bytes_request_contract():
         parse_bytes(big, "a.pdf", tier="accurate")["error"]
         != "File too large (max 100MB)"
     )  # 500MB cap on the accurate tier admits it (then fails decode)
-    assert parse_bytes(b"\xff\x80 junk", "a.pdf")["error"] == "invalid document"
+    # NUL-bearing junk: the charset sniffer w1252-decodes NUL-free
+    # byte soup best-effort, so only truly-binary bytes stay invalid
+    assert parse_bytes(b"\xff\x80\x00 junk", "a.pdf")["error"] == "invalid document"
 
 
 def test_cli_client_and_health(tmp_path):
@@ -396,7 +398,7 @@ def test_cli_client_and_health(tmp_path):
     assert saved["metadata"]["pages"] >= 1 and "markdown" in saved
 
     bad = tmp_path / "bad.pdf"
-    bad.write_bytes(b"\xff\x80 junk")
+    bad.write_bytes(b"\xff\x80\x00 junk")  # NUL: undecodable post-sniffer
     assert main([str(bad)]) == 1
     assert "error" in json.loads((tmp_path / "bad.auto.json").read_text())
 

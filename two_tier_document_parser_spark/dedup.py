@@ -236,6 +236,120 @@ def simhash64(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") ->
     )
 
 
+def connected_components_star(
+    pairs: DataFrame, max_iter: int = 50
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC 2014) -> (doc_id, comp), comp = smallest reachable id.
+    Output contract is identical to `connected_components` (the
+    min-label propagator); equivalence is pytest-enforced on random
+    graphs and the synthetic near-dup graph.
+
+    Why this exists (round-2 verdict task #6): min-label propagation
+    converges in O(diameter) rounds and every round shuffles the FULL
+    edge list keyed by vertex — a high-degree vertex (viral
+    boilerplate cluster) makes one reducer hot every round. The star
+    operations provably converge in O(log^2 n) rounds on any graph,
+    and each round REWIRES edges toward component minima, so hot
+    vertices shed degree as the graph collapses into stars instead of
+    re-shuffling their whole neighborhood every round.
+
+    Each round: large-star connects every neighbor v > u to
+    min(N(u) ∪ {u}); small-star (on the larger->smaller orientation)
+    connects every neighbor v <= u, and u itself, to that minimum.
+    Fixed point = a star forest where every node points at its
+    component's minimum. localCheckpoint per round cuts the doubling
+    lineage, same as the label propagator."""
+    # node set BEFORE dropping self-loops: a vertex whose only edge
+    # is (v, v) must still label itself
+    nodes = (
+        pairs.select(F.col("a").alias("id"))
+        .unionByName(pairs.select(F.col("b").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = (
+        pairs.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def symmetrize(e: DataFrame) -> DataFrame:
+        return (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def large_star(e: DataFrame) -> DataFrame:
+        # m(u) = min over N(u) ∪ {u}; emit (v, m) for v > u, plus
+        # (u, m) to preserve u's own attachment
+        mins = (
+            e.groupBy("src")
+            .agg(F.min("dst").alias("mn"))
+            .select("src", F.least("src", "mn").alias("m"))
+        )
+        j = e.join(mins, "src")
+        return symmetrize(
+            j.filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                mins.select("src", F.col("m").alias("dst"))
+            )
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # operate on the larger->smaller orientation: each undirected
+        # edge once, owned by its larger endpoint
+        d = e.filter(F.col("dst") < F.col("src"))
+        mins = d.groupBy("src").agg(F.min("dst").alias("m"))
+        j = d.join(mins, "src")
+        return symmetrize(
+            j.select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .unionByName(
+                mins.select("src", F.col("m").alias("dst"))
+            )
+        )
+
+    edges = sym
+    for _ in range(max_iter):
+        new_edges = small_star(large_star(edges)).localCheckpoint()
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            or edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iter} "
+            "rounds"
+        )
+    # star forest: every non-root has exactly one smaller neighbor =
+    # the component min; roots take their own id
+    parents = (
+        edges.filter(F.col("dst") < F.col("src"))
+        .groupBy("src")
+        .agg(F.min("dst").alias("comp"))
+        .select(F.col("src").alias("id"), "comp")
+    )
+    return (
+        nodes.join(parents, "id", "left")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.coalesce("comp", "id").alias("comp"),
+        )
+    )
+
+
 def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     """Near-dup clusters: min-label propagation to a fixed point over
     the undirected pair graph -> (doc_id, comp) where comp is the
@@ -246,9 +360,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
     materialization cuts the lineage chain — without it the plan
     doubles every iteration). Convergence in O(diameter) rounds;
     near-dup graphs are unions of small cliques, so 2-3 rounds in
-    practice. At 10^12 docs swap in large-star/small-star
-    (Kiveris et al. 2014) — same join primitive, fewer skew hazards
-    on high-degree vertices.
+    practice. At 10^12 docs use `connected_components_star`
+    (large-star/small-star, Kiveris et al. 2014) — O(log^2 n) rounds
+    and degree-shedding rewiring instead of per-round full-edge
+    shuffles on hot vertices; equivalence is pytest-enforced.
     """
     # edges are read by EVERY propagation round: materialize once
     # (localCheckpoint) or each iteration recomputes the whole
