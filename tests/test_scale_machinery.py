@@ -216,6 +216,98 @@ def test_media_features_stub(spark):
             assert 16 <= f.width < 80  # hash-stub dims for text media
 
 
+def test_pixel_true_crop_from_page_raster(spark):
+    """Round-2 verdict task #5: with a (doc_id, page, raster)
+    capability table present, image artifact payloads are PIXEL-TRUE
+    crops of the decoded page raster (bbox in page points, y-flipped),
+    byte-equal to slicing the source array directly; docs without a
+    raster keep the procedural crop."""
+    import numpy as np
+
+    from two_tier_document_parser_spark.multimodal import media_side_table
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+    from two_tier_document_parser_spark.png import (
+        PAGE_H_PT,
+        PAGE_W_PT,
+        artifact_png,
+        crop_from_raster,
+        decode_png_gray,
+        encode_png_gray,
+        png_dims,
+    )
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    out = extract(spark, synth_spark(spark, 60, 42, partitions=2), mode="fused")
+
+    # one deterministic gradient page raster per (doc, page 0)
+    pw, ph = 306, 396  # half-scale page
+    y, x = np.mgrid[0:ph, 0:pw]
+    page = ((3 * x + 7 * y) % 256).astype(np.uint8)
+    raster_png = encode_png_gray(page)
+    # round-trip sanity of the decoder itself
+    assert np.array_equal(decode_png_gray(raster_png), page)
+
+    img_rows = [
+        r
+        for r in media_side_table(out).collect()
+        if r["kind"] == "image" and r["media_ref"].startswith("page_0_")
+    ]
+    assert img_rows, "fixture corpus must contain page-0 images"
+    some_doc = img_rows[0]["doc_id"]
+
+    rasters = spark.createDataFrame(
+        [(some_doc, 0, bytearray(raster_png))],
+        "doc_id string, page int, raster binary",
+    )
+    media = {
+        (r["doc_id"], r["media_ref"]): bytes(r["payload"])
+        for r in media_side_table(out, rasters).collect()
+        if r["kind"] == "image"
+    }
+
+    # find the bbox the span carried to verify the exact slice
+    spans = {
+        (some_doc, s["media_ref"]): list(s["bbox"])
+        for r in out.filter(out.doc_id == some_doc).collect()
+        for s in r["spans"]
+        if s["kind"] == "image"
+    }
+    checked = 0
+    for (doc, ref), bbox in spans.items():
+        if not ref.startswith("page_0_") or not bbox:
+            continue
+        got = media[(doc, ref)]
+        expect = crop_from_raster(raster_png, bbox)
+        assert got == expect
+        # and crop_from_raster really is the array slice:
+        x0 = max(0, min(pw - 1, bbox[0] * pw // PAGE_W_PT))
+        x1 = max(x0 + 1, min(pw, -(-bbox[2] * pw // PAGE_W_PT)))
+        yt = max(0, min(ph - 1, (PAGE_H_PT - bbox[3]) * ph // PAGE_H_PT))
+        yb = max(yt + 1, min(ph, -(-(PAGE_H_PT - bbox[1]) * ph // PAGE_H_PT)))
+        assert got == encode_png_gray(np.ascontiguousarray(page[yt:yb, x0:x1]))
+        assert png_dims(got) == (x1 - x0, yb - yt)
+        checked += 1
+    assert checked > 0
+
+    # docs WITHOUT a raster row keep the procedural payload
+    others = [
+        (doc, ref)
+        for (doc, ref) in media
+        if doc != some_doc and ref.startswith("page_0_")
+    ]
+    if others:
+        doc, ref = others[0]
+        span_bbox = {
+            (r["doc_id"], s["media_ref"]): (s["text"], list(s["bbox"]))
+            for r in out.collect()
+            for s in r["spans"]
+            if s["kind"] == "image"
+        }
+        t, bb = span_bbox[(doc, ref)]
+        assert media[(doc, ref)] == artifact_png(t or "", bb)
+
+
 def _iceberg_jars() -> list:
     import glob
     import os

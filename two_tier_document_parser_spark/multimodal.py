@@ -32,51 +32,87 @@ FEATURE_SCHEMA = (
 )
 
 
-def media_side_table(documents_out: DataFrame) -> DataFrame:
+def media_side_table(
+    documents_out: DataFrame, page_rasters: DataFrame | None = None
+) -> DataFrame:
     """Artifact side table keyed (doc_id, artifact id): one row per
     image/formula/table span of the extraction output.
 
-    Image payloads are REAL PNG bytes (png.artifact_png: from-scratch
-    stdlib encoder) — the crop raster is a deterministic function of
-    (asset ref, bbox) since no page pixels exist in the span model
-    (SURVEY §2.1 O9), but the container, dimensions, and downstream
-    decode are the real format, replacing the round-1 utf-8 stub.
+    Image payloads are REAL PNG bytes. Two regimes (round-2 verdict
+    task #5):
+
+    - `page_rasters` given — a capability table (doc_id, page int,
+      raster binary) of grayscale page PNGs: the crop is PIXEL-TRUE,
+      sliced from the decoded page raster by the span bbox
+      (png.crop_from_raster — reference accurate/service.py:177 crops
+      real page pixels the same way). The raster join is a broadcast-
+      or-hash equi-join on (doc_id, page); pixels never touch the
+      driver.
+    - no rasters (or a doc/page absent from the table, or an
+      undecodable raster): deterministic procedural crop from
+      (asset ref, bbox) via png.artifact_png — the span model itself
+      carries no pixels (SURVEY §2.1 O9).
+
     Table/formula payloads stay utf-8 of their content (they are
     text artifacts in the reference too: markdown / LaTeX)."""
     from pyspark.sql.functions import pandas_udf
 
     import pandas as pd
 
-    from .png import artifact_png
+    from .png import artifact_png, crop_from_raster
 
-    def _png_impl(texts, bboxes):
-        return pd.Series(
-            [
-                artifact_png(t or "", list(b) if b is not None else None)
-                for t, b in zip(texts, bboxes)
-            ]
-        )
+    def _png_impl(texts, bboxes, rasters):
+        out = []
+        for t, b, r in zip(texts, bboxes, rasters):
+            bb = list(b) if b is not None else None
+            payload = crop_from_raster(r, bb) if r is not None else None
+            out.append(payload if payload is not None else artifact_png(t or "", bb))
+        return pd.Series(out)
 
     _png_impl.__annotations__ = {
-        "texts": pd.Series, "bboxes": pd.Series, "return": pd.Series,
+        "texts": pd.Series, "bboxes": pd.Series, "rasters": pd.Series,
+        "return": pd.Series,
     }
     png_udf = pandas_udf(_png_impl, "binary")
 
     s = F.explode("spans").alias("s")
-    return (
+    arts = (
         documents_out.select("doc_id", s)
         .filter(F.col("s.kind").isin("image", "table", "formula"))
         .select(
             "doc_id",
             F.col("s.media_ref").alias("media_ref"),
             F.col("s.kind").alias("kind"),
-            F.when(
-                F.col("s.kind") == "image",
-                png_udf(F.col("s.text"), F.col("s.bbox")),
-            )
-            .otherwise(F.encode(F.col("s.text"), "utf-8"))
-            .alias("payload"),
+            F.col("s.text").alias("_text"),
+            F.col("s.bbox").alias("_bbox"),
         )
+    )
+    if page_rasters is not None:
+        # artifact ids carry their page: "page_{p}_..." — join key
+        arts = arts.withColumn(
+            "_page",
+            F.regexp_extract("media_ref", r"^page_(\d+)_", 1).cast("int"),
+        ).join(
+            page_rasters.select(
+                "doc_id",
+                F.col("page").alias("_page"),
+                F.col("raster").alias("_raster"),
+            ),
+            ["doc_id", "_page"],
+            "left",
+        )
+    else:
+        arts = arts.withColumn("_raster", F.lit(None).cast("binary"))
+    return arts.select(
+        "doc_id",
+        "media_ref",
+        "kind",
+        F.when(
+            F.col("kind") == "image",
+            png_udf(F.col("_text"), F.col("_bbox"), F.col("_raster")),
+        )
+        .otherwise(F.encode(F.col("_text"), "utf-8"))
+        .alias("payload"),
     )
 
 
