@@ -577,6 +577,25 @@ def q_dedup_components(spark, sf_dir):
     return connected_components(near.select("a", "b"))
 
 
+def q_dedup_components_star(spark, sf_dir):
+    """Same clustering contract as dedup_components, computed by the
+    large-star/small-star algorithm (Kiveris et al. 2014) — the
+    10^12-edge scale path (dedup.connected_components_star). Shares
+    the recursive-CTE oracle: both must produce identical labels."""
+    from two_tier_document_parser_spark.dedup import (
+        connected_components_star,
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    d = _docs(spark, sf_dir)
+    near = jaccard_pairs(d, lsh_candidate_pairs(minhash_bands(d))).filter(
+        F.col("jaccard_x1000") >= 500
+    )
+    return connected_components_star(near.select("a", "b"))
+
+
 # -- classic relational surface over the TPC-H-ish driver tables ----------
 # (engine breadth evidence: multi-way broadcast joins, semi joins,
 # grouped aggregation, deterministic top-k. Money doubles never cross
@@ -861,6 +880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_lsh": q_knn_lsh,
         "emb_near_dups_lsh": q_emb_near_dups_lsh,
         "knn_ivf": q_knn_ivf,
+        "dedup_components_star": q_dedup_components_star,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1100,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "emb_near_dups": _emb_near_dups_sql(),
         "dedup_components": _components_sql(),
+        "dedup_components_star": _components_sql(),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n_rows,"
             " CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,"
