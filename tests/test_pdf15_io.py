@@ -379,6 +379,33 @@ def test_tounicode_cmap_bfchar_and_bfrange():
     ]
 
 
+def test_encrypted_pdf_quarantines():
+    """/Encrypt in the trailer (classic or xref-stream form) means the
+    strings/streams are ciphertext — the parser must quarantine, not
+    lift mojibake."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    content = b"BT /F1 12 Tf 72 700 Td (secret) Tj ET"
+    objects = _page_objs(content)
+    objects[9] = b"<< /Filter /Standard /V 2 /R 3 >>"
+    data = build_pdf15(objects, root=1)
+    # splice /Encrypt into the xref-stream trailer dict
+    data = data.replace(b"/Type /XRef", b"/Type /XRef /Encrypt 9 0 R", 1)
+    assert parse_pdf(data) is None
+
+    # classic trailer-keyword form too
+    body = b"%PDF-1.4\n"
+    for i, o in sorted(objects.items()):
+        body += b"%d 0 obj\n%s\nendobj\n" % (i, o)
+    body += (
+        b"trailer\n<< /Size 10 /Root 1 0 R /Encrypt 9 0 R >>\n%%EOF\n"
+    )
+    assert parse_pdf(body) is None
+    # and the same file WITHOUT /Encrypt parses fine
+    body_ok = body.replace(b" /Encrypt 9 0 R", b"")
+    assert parse_pdf(body_ok) is not None
+
+
 def test_pdf15_through_spark_ingest(spark):
     """A PDF 1.5 xref-stream file flows through the Spark byte-
     ingestion path (parse_table) next to a classic render_pdf file."""

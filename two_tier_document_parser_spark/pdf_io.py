@@ -16,8 +16,8 @@ EarlyChange, ASCIIHex/ASCII85/RunLength transport codings, PNG
 predictors 10-15 and TIFF predictor 2, passthrough for the terminal
 image codecs DCT/JPX/CCITT/JBIG2), WinAnsi decoding for non-BOM
 strings (Annex D.2), and ToUnicode CMaps for composite-font text
-(§9.10.3). Encrypted files (/Encrypt) remain out of scope and
-quarantine. No third-party PDF library is used or consulted.
+(§9.10.3). Encrypted files (/Encrypt in the trailer) are detected
+and quarantine cleanly — decryption remains out of scope. No third-party PDF library is used or consulted.
 
 Span lift = two layers, mirroring how real extractors work:
 
@@ -115,6 +115,8 @@ def _skip_ws(b: bytes, i: int) -> int:
 
 
 _NUM_RE = re.compile(rb"[-+]?\d*\.?\d+")
+_WSB_RE = re.compile(rb"\s+")
+_HEXSTR_RE = re.compile(rb"<([0-9A-Fa-f\s]*)>")
 _NAME_RE = re.compile(rb"/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*")
 _REF_RE = re.compile(rb"(\d+)\s+\d+\s+R\b")
 
@@ -134,8 +136,8 @@ def _parse_obj(b: bytes, i: int):
                 key, i = _parse_obj(b, i)
                 val, i = _parse_obj(b, i)
                 d[key] = val
-        m = re.compile(rb"<([0-9A-Fa-f\s]*)>").match(b, i)
-        hexs = re.sub(rb"\s", b"", m.group(1))
+        m = _HEXSTR_RE.match(b, i)
+        hexs = _WSB_RE.sub(b"", m.group(1))
         if len(hexs) % 2:
             hexs += b"0"
         return _decode_pdf_string(bytes.fromhex(hexs.decode())), m.end()
@@ -235,7 +237,12 @@ class _PdfStr(str):
 def _decode_pdf_string(raw: bytes) -> _PdfStr:
     if raw[:2] == b"\xfe\xff":
         return _PdfStr(raw[2:].decode("utf-16-be", errors="replace"), raw)
-    return _PdfStr(raw.decode("latin-1").translate(_WINANSI_MAP), raw)
+    s = raw.decode("latin-1")
+    if not raw.isascii():
+        # WinAnsi differs from latin-1 only at 0x80-0x9F: skip the
+        # (comparatively costly) translate for pure-ASCII strings
+        s = s.translate(_WINANSI_MAP)
+    return _PdfStr(s, raw)
 
 
 def _hex_str(s: str) -> bytes:
@@ -421,7 +428,7 @@ def _interp_page(
             d, skip_until = _parse_obj(content, m.start())
             operands.append(d)
         elif c == b"<":
-            hexs = re.sub(rb"\s", b"", t[1:-1])
+            hexs = _WSB_RE.sub(b"", t[1:-1])
             if len(hexs) % 2:
                 hexs += b"0"
             operands.append(_decode_pdf_string(bytes.fromhex(hexs.decode())))
@@ -809,6 +816,10 @@ def _parse_pdf_inner(data: bytes) -> dict | None:
     trailer = _find_trailer(data, objs)
     if trailer is None:
         return None
+    if trailer.get("Encrypt") is not None:
+        # encrypted file: strings/streams are RC4/AES ciphertext —
+        # quarantine cleanly instead of lifting mojibake spans
+        return None
     root = _obj_dict(objs, trailer.get("Root"))
     if not root:
         return None
@@ -836,6 +847,7 @@ def _parse_pdf_inner(data: bytes) -> dict | None:
 
     spans: list[tuple[str, str, str]] = []
     cmap_cache: dict[int, tuple | None] = {}
+    font_cache: dict[int, Ref | None] = {}
     for p_idx, page in enumerate(pages):
         if p_idx:
             spans.append(("page_break", "", ""))
@@ -849,14 +861,23 @@ def _parse_pdf_inner(data: bytes) -> dict | None:
                     d = _parse_obj(body, 0)[0]
                     if isinstance(d, dict):
                         xobjects[nm] = d
-        # fonts with a usable ToUnicode CMap (§9.10.3); cached by the
-        # CMap stream's object number — font dicts repeat across pages
+        # fonts with a usable ToUnicode CMap (§9.10.3); both the font
+        # dict resolution and the parsed CMap are cached by object
+        # number — font objects repeat on every page
         fonts: dict[str, tuple] = {}
         fo_map = _resolve(objs, res.get("Font")) or {}
         if isinstance(fo_map, dict):
             for nm, fref in fo_map.items():
-                fd = _obj_dict(objs, fref)
-                tu = fd.get("ToUnicode") if fd else None
+                if isinstance(fref, Ref):
+                    if fref.num not in font_cache:
+                        fd = _obj_dict(objs, fref)
+                        tu = fd.get("ToUnicode") if fd else None
+                        font_cache[fref.num] = (
+                            tu if isinstance(tu, Ref) else None
+                        )
+                    tu = font_cache[fref.num]
+                else:
+                    tu = fref.get("ToUnicode") if isinstance(fref, dict) else None
                 if not isinstance(tu, Ref):
                     continue
                 if tu.num not in cmap_cache:
