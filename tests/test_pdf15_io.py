@@ -379,6 +379,22 @@ def test_tounicode_cmap_bfchar_and_bfrange():
     ]
 
 
+def test_spurious_trailer_bytes_in_stream_ignored():
+    """An UNCOMPRESSED content stream that happens to contain the
+    bytes `trailer << ... >>` (no /Root) must not shadow the real
+    xref-stream trailer of a PDF 1.5 file."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"% decoy bytes: trailer << /Size 99 >>\n"
+        b"BT /F1 12 Tf 72 680 Td (after) Tj ET\n"
+    )
+    doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
+    assert doc is not None
+    assert _kinds_texts(doc) == [("text", "before"), ("text", "after")]
+
+
 def test_encrypted_pdf_quarantines():
     """/Encrypt in the trailer (classic or xref-stream form) means the
     strings/streams are ciphertext — the parser must quarantine, not

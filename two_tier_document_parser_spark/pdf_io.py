@@ -792,10 +792,15 @@ def _find_trailer(data: bytes, objs: dict[int, bytes]) -> dict | None:
     dict (PDF 1.5+, §7.5.8 — its dict carries /Root and /Info; the
     entry table itself is redundant here because objects are found by
     sequential scan)."""
-    tm = _TRAILER_RE.search(data)
-    if tm:
-        t, _ = _parse_obj(tm.group(1), 0)
-        if isinstance(t, dict):
+    for tm in _TRAILER_RE.finditer(data):
+        # a compressed stream can contain the bytes `trailer <<..>>`
+        # by chance; only accept a dict that actually parses and
+        # carries /Root (all real trailers do, ISO 32000 §7.5.5)
+        try:
+            t, _ = _parse_obj(tm.group(1), 0)
+        except Exception:
+            continue
+        if isinstance(t, dict) and "Root" in t:
             return t
     trailer = None
     for body in objs.values():
