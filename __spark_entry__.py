@@ -505,6 +505,74 @@ def q_length_quantiles(spark, sf_dir):
     )
 
 
+def q_sketch_quantiles(spark, sf_dir):
+    """Sketch swap-in for `length_quantiles` (the 100 TB path): Spark's
+    `percentile_approx` (Greenwald-Khanna / KLL-style mergeable sketch,
+    map-side partial, no window pass). Approx values aren't
+    SQL-portable, so the driver-attested contract is a tolerance gate:
+    the sketch median must land inside the exact p40..p60 rank band
+    (rank error <= n/accuracy = 0.1% << 10%), emitted as a boolean the
+    oracle asserts TRUE — plus the exact group count as a value-exact
+    column. At 100 TB the exact-rank variant needs a full sort per
+    lang; this one is one partial-aggregated shuffle."""
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir).select("lang", "n_chars", "doc_id")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = d.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("lang")).alias("cnt"),
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("cnt")), F.col("n_chars"))
+    )
+    agg = ranked.groupBy("lang").agg(
+        F.max("cnt").alias("_n"),
+        pick(0.4).alias("_p40"),
+        pick(0.6).alias("_p60"),
+        F.percentile_approx("n_chars", 0.5, 1000).alias("_ap50"),
+    )
+    return agg.select(
+        "lang",
+        F.col("_n").cast("long").alias("n_docs"),
+        (
+            (F.col("_ap50") >= F.col("_p40")) & (F.col("_ap50") <= F.col("_p60"))
+        ).alias("p50_in_band"),
+    )
+
+
+def q_sketch_distinct_hll(spark, sf_dir):
+    """Sketch swap-in for exact count(DISTINCT): HyperLogLog++
+    (`approx_count_distinct`, rsd=0.05) per lang over (source,
+    fingerprint) pairs. HLL is mergeable — one partial-aggregated
+    shuffle vs the expand-or-double-shuffle exact distinct. Contract as
+    above: exact distinct is the value-exact column; the sketch must
+    land within max(3, 3*rsd) of it (3-sigma), emitted as a boolean
+    the oracle asserts TRUE."""
+    d = _docs(spark, sf_dir).select(
+        # concat (not concat_ws): null source -> null key, skipped by
+        # count distinct — same null semantics as DuckDB's ||
+        "lang", F.concat(F.col("source"), F.lit("|"), F.md5("text")).alias("key")
+    )
+    agg = d.groupBy("lang").agg(
+        F.countDistinct("key").alias("exact_distinct"),
+        F.approx_count_distinct("key", 0.05).alias("_hll"),
+    )
+    tol = F.greatest(
+        F.lit(3).cast("double"),
+        F.ceil(F.col("exact_distinct") * 0.15).cast("double"),
+    )
+    return agg.select(
+        "lang",
+        "exact_distinct",
+        (
+            F.abs(F.col("_hll") - F.col("exact_distinct")).cast("double") <= tol
+        ).alias("hll_in_tol"),
+    )
+
+
 _PIVOT_SOURCES = ["src0", "src1", "src2", "src3", "src4"]
 
 
@@ -894,6 +962,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "grouping_sets": q_grouping_sets,
         "sample_docs": q_sample_docs,
         "length_quantiles": q_length_quantiles,
+        "sketch_quantiles": q_sketch_quantiles,
+        "sketch_distinct_hll": q_sketch_distinct_hll,
         "pivot_source_lang": q_pivot_source_lang,
         "curate": q_curate,
         "winnow_fingerprints": q_winnow_fingerprints,
@@ -1106,6 +1176,17 @@ def oracle_sql() -> dict[str, str]:
             " < '2000'"
         ),
         "length_quantiles": _length_quantiles_sql(),
+        # sketch variants: exact columns cross-checked value-exact; the
+        # sketch itself is gated Spark-side (boolean must be TRUE)
+        "sketch_quantiles": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+            " TRUE AS p50_in_band FROM documents GROUP BY lang"
+        ),
+        "sketch_distinct_hll": (
+            "SELECT lang, CAST(count(DISTINCT source || '|' || md5(text))"
+            " AS BIGINT) AS exact_distinct, TRUE AS hll_in_tol"
+            " FROM documents GROUP BY lang"
+        ),
         "pivot_source_lang": _pivot_sql(),
         "tfidf_top_terms": (
             f"{_TOK_CTE},"

@@ -22,6 +22,8 @@ SUBSET = [
     "lang_guess",
     "knn_bruteforce",
     "pipeline_documents",
+    "sketch_quantiles",
+    "sketch_distinct_hll",
 ]
 
 

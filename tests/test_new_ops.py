@@ -532,6 +532,31 @@ def test_resize_and_frame_sample(spark):
     assert all(max(r["width"], r["height"]) <= 16 for r in resized)
     assert all(min(r["width"], r["height"]) >= 1 for r in resized)
 
+    # real PNG payload: the resample is pixel-real — output bytes are a
+    # PNG whose IHDR dims equal the reported (width, height), and the
+    # pixels are the nearest-neighbor sample of the source raster.
+    import numpy as np
+
+    from two_tier_document_parser_spark.png import (
+        decode_png_gray,
+        encode_png_gray,
+        png_dims,
+        render_crop,
+    )
+
+    src = render_crop("resize-me", 48, 24)  # (h=24, w=48)
+    png_media = spark.createDataFrame(
+        [("d9", "page_0_img_0", "image", encode_png_gray(src))],
+        "doc_id string, media_ref string, kind string, payload binary",
+    )
+    (r,) = resize_media(png_media, max_side=16).collect()
+    assert (r["width"], r["height"]) == (16, 8)
+    assert png_dims(bytes(r["payload"])) == (16, 8)
+    got = decode_png_gray(bytes(r["payload"]))
+    rows = (np.arange(8) * 24) // 8
+    cols = (np.arange(16) * 48) // 16
+    assert np.array_equal(got, src[rows][:, cols])
+
     frames = sample_frames(media).collect()
     by_ref = {}
     for r in sorted(frames, key=lambda r: (r["media_ref"], r["frame_idx"])):
@@ -675,3 +700,44 @@ def test_winnowing_guarantee_shared_run(spark):
     assert fps[1] & fps[2]          # shared run -> shared fingerprint
     assert not (fps[1] & fps[3])    # disjoint vocab -> no overlap
     assert not (fps[2] & fps[3])
+
+
+def test_sketch_error_bounds(spark):
+    """The 100 TB sketch swap-ins (VERDICT r2 task #8) hold their error
+    bounds in the regime where they actually approximate: HLL++ within
+    3-sigma (3*rsd) of a 20k-cardinality exact count, and the GK/KLL
+    median within the exact p45..p55 rank band on 10k skewed values."""
+    from pyspark.sql import functions as F
+
+    n = 20_000
+    d = spark.range(n).select(
+        F.md5(F.col("id").cast("string")).alias("key"),
+        (F.pow(F.col("id") % 100 + 1, 2.0)).alias("v"),
+    )
+    row = d.agg(
+        F.approx_count_distinct("key", 0.05).alias("hll"),
+        F.percentile_approx("v", 0.5, 1000).alias("ap50"),
+        F.expr("percentile(v, 0.45)").alias("p45"),
+        F.expr("percentile(v, 0.55)").alias("p55"),
+    ).collect()[0]
+    assert abs(row["hll"] - n) <= 0.15 * n, row["hll"]
+    assert row["p45"] <= row["ap50"] <= row["p55"], row
+
+
+def test_sketch_queries_tolerance_flags(spark):
+    """Driver-facing sketch queries: every group's tolerance boolean is
+    TRUE (the oracle asserts literal TRUE, so a sketch excursion fails
+    the hash gate — this test catches it earlier and with a message)."""
+    import __spark_entry__ as e
+
+    sf = "/root/testdata/sf0.001"
+    if not Path(sf).exists():
+        pytest.skip("driver testdata not present")
+    for name, flag in (
+        ("sketch_quantiles", "p50_in_band"),
+        ("sketch_distinct_hll", "hll_in_tol"),
+    ):
+        rows = e.queries()[name](spark, sf).collect()
+        assert rows, name
+        bad = [r for r in rows if not r[flag]]
+        assert not bad, (name, bad)

@@ -143,29 +143,53 @@ FRAME_CHUNK = 8
 
 
 def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
-    """Arrow-batched resize: scale the (stub-)decoded dimensions so the
-    longer side is `max_side`, preserving aspect ratio in integer math.
-    The pixel resample itself is the stub (payload passes through); a
-    real deployment swaps `_decode_stub`/the passthrough for
-    PIL.Image.thumbnail — the schema, batching, and scale arithmetic
-    are the production shape."""
+    """Arrow-batched resize: scale so the longer side is `max_side`,
+    preserving aspect ratio in integer math.
+
+    For PNG payloads the resample is REAL: decode scanlines
+    (png.decode_png_gray), nearest-neighbor index-sample in numpy, and
+    re-encode — the output payload is a PNG whose IHDR dims equal the
+    reported (width, height). Non-PNG payloads (no pixel semantics in
+    this sandbox — no PIL/ffmpeg) pass through with stub-decoded dims;
+    a production deployment swaps that branch for PIL.Image.thumbnail.
+    Reference accurate/service.py scales crops the same
+    longer-side-capped way before base64 encoding."""
+    import numpy as np
+
+    from .png import decode_png_gray, encode_png_gray
+
+    def _target(w: int, h: int) -> tuple[int, int]:
+        s = max(w, h)
+        if s > max_side:
+            return max(1, w * max_side // s), max(1, h * max_side // s)
+        return w, h
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for b in batches:
-            ws, hs = [], []
+            ws, hs, payloads = [], [], []
             for p in b["payload"]:
-                w, h = _decode_stub(p if p is not None else b"")
-                s = max(w, h)
-                if s > max_side:
-                    w, h = max(1, w * max_side // s), max(1, h * max_side // s)
+                raw = bytes(p) if p is not None else b""
+                pix = decode_png_gray(raw)
+                if pix is not None:
+                    h0, w0 = pix.shape
+                    w, h = _target(w0, h0)
+                    if (w, h) != (w0, h0):
+                        # nearest-neighbor: sample source pixel centers
+                        rows = (np.arange(h) * h0) // h
+                        cols = (np.arange(w) * w0) // w
+                        pix = pix[rows][:, cols]
+                        raw = encode_png_gray(np.ascontiguousarray(pix))
+                else:
+                    w, h = _target(*_decode_stub(raw))
                 ws.append(w)
                 hs.append(h)
+                payloads.append(raw if raw else p)
             yield pd.DataFrame(
                 {
                     "doc_id": b["doc_id"],
                     "media_ref": b["media_ref"],
                     "kind": b["kind"],
-                    "payload": b["payload"],
+                    "payload": payloads,
                     "width": ws,
                     "height": hs,
                 }
