@@ -90,6 +90,10 @@ def main() -> int:
         timings[name] = walls[0]
         if reps > 1:
             extras.setdefault("rep_walls", {})[name] = walls
+            # median alongside min: min is the engine-cost estimator
+            # under additive interference, median shows the spread a
+            # round-over-round reader should trust (r2 verdict #9)
+            extras.setdefault("rep_median", {})[name] = walls[len(walls) // 2]
         return res
 
     # 1. headline: full two-tier cascade, fused single-pass
@@ -119,7 +123,9 @@ def main() -> int:
     # 3. classify-then-split (north-rule shape) with salting
     # the salted shuffle path cold-starts expensively (shuffle-file
     # creation + first-write page cache); measured 45s/15s/6.4s over
-    # three reps in one window — min over 3 reps is the engine cost
+    # three reps in one window — min over 5 reps is the engine cost,
+    # rep_median alongside exposes the noise floor (r2 verdict #9:
+    # rep spread was 4.4x, so this entry gets the deepest rep count)
     timed(
         "extract_split_salted",
         lambda: extract(
@@ -127,7 +133,7 @@ def main() -> int:
         )
         .select(F.count(F.lit(1)))
         .collect(),
-        reps=3,
+        reps=5,
     )
 
     # 2b. byte-level ingestion round-trip (encode + decode + cascade)
@@ -170,6 +176,30 @@ def main() -> int:
             20_000 / timings[nm], 1
         )
     ingest_slice.unpersist()
+
+    # 3b. streaming ingest path (r2 verdict #9): drain the full corpus
+    # through the Structured Streaming cascade (AvailableNow, parquet
+    # sink + exactly-once checkpoint) so the streaming overhead vs the
+    # batch fused path is tracked round over round. Fresh sink +
+    # checkpoint dirs per rep — a reused checkpoint would make rep 2 a
+    # no-op resume.
+    from two_tier_document_parser_spark.streaming import run_stream_extract
+
+    stream_rep = [0]
+
+    def _stream_once():
+        stream_rep[0] += 1
+        base = os.path.join(
+            tempfile.gettempdir(), f"ttdp_bench_stream_{stream_rep[0]}"
+        )
+        import shutil
+
+        shutil.rmtree(base, ignore_errors=True)
+        run_stream_extract(
+            spark, corpus, os.path.join(base, "out"), os.path.join(base, "ckpt")
+        )
+
+    timed("stream_extract_availablenow", _stream_once, reps=2)
 
     # 4+. driver-table operators (same code the correctness gate runs)
     qs = entrymod.queries()
