@@ -228,6 +228,24 @@ def q_lang_guess(spark, sf_dir):
     return d.select("doc_id", "lang", lang_guess(F.col("text")).alias("guessed"))
 
 
+def q_redact_pii(spark, sf_dir):
+    from two_tier_document_parser_spark.textstats import redact_pii
+
+    return redact_pii(_docs(spark, sf_dir))
+
+
+def q_gopher_quality(spark, sf_dir):
+    from two_tier_document_parser_spark.textstats import gopher_quality
+
+    return gopher_quality(_docs(spark, sf_dir))
+
+
+def q_dataset_split(spark, sf_dir):
+    from two_tier_document_parser_spark.textstats import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     from two_tier_document_parser_spark.textstats import fingerprint
 
@@ -986,6 +1004,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "lang_guess": q_lang_guess,
         "fingerprint": q_fingerprint,
+        "redact_pii": q_redact_pii,
+        "gopher_quality": q_gopher_quality,
+        "dataset_split": q_dataset_split,
         "minhash_bands": q_minhash_bands,
         "lsh_pairs": q_lsh_pairs,
         "jaccard_near_dups": q_jaccard_near_dups,
@@ -1113,6 +1134,15 @@ def oracle_sql() -> dict[str, str]:
             " FROM documents d JOIN scores s USING (doc_id)"
         ),
         "fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
+        "redact_pii": _redact_pii_sql(),
+        "gopher_quality": _gopher_quality_sql(),
+        "dataset_split": (
+            "SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)"
+            " || ':split:42'), 1, 2) < 'e6' THEN 'train'"
+            " WHEN substring(md5(CAST(doc_id AS VARCHAR) || ':split:42'),"
+            " 1, 2) < 'f3' THEN 'val' ELSE 'test' END AS split"
+            " FROM documents"
+        ),
         "bigram_distinct": (
             f"{_TOK_CTE}, bg AS (SELECT doc_id, token || ' ' ||"
             " lead(token) OVER (PARTITION BY doc_id ORDER BY pos) AS bg FROM tok)"
@@ -1620,6 +1650,58 @@ def _LANG_BUCKET_SQL(source: str) -> str:
         "SELECT lang, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket"
         f" FROM documents WHERE source = '{source}'"
     )
+
+
+def _redact_pii_sql() -> str:
+    """Sequential-replace CTE chain mirroring textstats.redact_pii:
+    each pattern counts on the text as redacted by its predecessors."""
+    from two_tier_document_parser_spark.textstats import PII_PATTERNS
+
+    sql = "WITH s0 AS (SELECT doc_id, text AS t FROM documents)"
+    carried: list[str] = []
+    for i, (name, pat, rep) in enumerate(PII_PATTERNS):
+        prev = ", ".join(carried) + (", " if carried else "")
+        sql += (
+            f", s{i + 1} AS (SELECT doc_id, {prev}"
+            f"CAST(length(regexp_extract_all(t, '{pat}')) AS BIGINT)"
+            f" AS n_{name}, regexp_replace(t, '{pat}', '{rep}', 'g') AS t"
+            f" FROM s{i})"
+        )
+        carried.append(f"n_{name}")
+    cols = ", ".join(carried)
+    return f"{sql} SELECT doc_id, {cols}, t AS redacted FROM s{len(PII_PATTERNS)}"
+
+
+def _gopher_quality_sql() -> str:
+    from two_tier_document_parser_spark.textstats import (
+        GOPHER_MAX_AVG_LEN_X100,
+        GOPHER_MAX_DUP_FRAC_X100,
+        GOPHER_MAX_TOKENS,
+        GOPHER_MIN_AVG_LEN_X100,
+        GOPHER_MIN_TOKENS,
+    )
+
+    avg = "CASE WHEN n > 0 THEN CAST(floor(sl * 100 / n) AS BIGINT) ELSE 0 END"
+    dup = (
+        "CASE WHEN n > 0 THEN CAST(floor((n - nd) * 100 / n) AS BIGINT)"
+        " ELSE 0 END"
+    )
+    return f"""
+WITH l AS (SELECT doc_id,
+           list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+           FROM documents),
+m AS (SELECT doc_id, len(tk) AS n, len(list_distinct(tk)) AS nd,
+      CASE WHEN len(tk) > 0 THEN
+        list_aggregate(list_transform(tk, x -> length(x)), 'sum')
+      ELSE 0 END AS sl FROM l)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       {avg} AS avg_tok_len_x100,
+       {dup} AS dup_tok_frac_x100,
+       (n BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}
+        AND ({avg}) BETWEEN {GOPHER_MIN_AVG_LEN_X100} AND {GOPHER_MAX_AVG_LEN_X100}
+        AND ({dup}) <= {GOPHER_MAX_DUP_FRAC_X100}) AS keep
+FROM m
+"""
 
 
 def _length_quantiles_sql() -> str:

@@ -55,6 +55,13 @@ NEW_SQL = [
     "chunk_documents",
     "pack_sequences",
     "winnow_fingerprints",
+    # round-3 widening: sketch gates, PII scrub, Gopher quality gate,
+    # deterministic dataset split
+    "sketch_quantiles",
+    "sketch_distinct_hll",
+    "redact_pii",
+    "gopher_quality",
+    "dataset_split",
 ]
 
 
@@ -741,3 +748,78 @@ def test_sketch_queries_tolerance_flags(spark):
         assert rows, name
         bad = [r for r in rows if not r[flag]]
         assert not bad, (name, bad)
+
+
+def test_redact_pii_crafted(spark):
+    """Category counts and placeholders on crafted PII; sequential
+    semantics: an already-redacted email's chars can't re-match as a
+    later category."""
+    from two_tier_document_parser_spark.textstats import redact_pii
+
+    d = spark.createDataFrame(
+        [
+            ("d1", "write bob.smith+x@corp.example.co from 192.168.0.1"),
+            ("d2", "call +1 555-123-4567 or 555 987 6543 today"),
+            ("d3", "clean text, nothing to scrub"),
+            ("d4", ""),
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(d).collect()}
+    assert got["d1"]["n_email"] == 1 and got["d1"]["n_ipv4"] == 1
+    assert "<EMAIL>" in got["d1"]["redacted"]
+    assert "<IP>" in got["d1"]["redacted"]
+    assert "@" not in got["d1"]["redacted"]
+    assert got["d2"]["n_phone"] == 2
+    assert got["d2"]["redacted"].count("<PHONE>") == 2
+    assert got["d3"]["redacted"] == "clean text, nothing to scrub"
+    assert (
+        got["d3"]["n_email"] == got["d3"]["n_ipv4"] == got["d3"]["n_phone"] == 0
+    )
+    assert got["d4"]["redacted"] == ""
+
+
+def test_gopher_quality_semantics(spark):
+    """Each Gopher rule independently drops: too short, degenerate
+    mean token length, and high duplicate-token repetition."""
+    from two_tier_document_parser_spark.textstats import gopher_quality
+
+    ok = " ".join(f"word{i}" for i in range(30))
+    short = "only three words"
+    longtoks = " ".join("x" * 40 for _ in range(30))
+    repeaty = " ".join(["same"] * 30)
+    d = spark.createDataFrame(
+        [("ok", ok), ("short", short), ("long", longtoks), ("rep", repeaty)],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality(d).collect()}
+    assert got["ok"]["keep"]
+    assert not got["short"]["keep"]          # n_tokens < min
+    assert not got["long"]["keep"]           # avg token length > max
+    assert not got["rep"]["keep"]            # dup fraction > max
+    assert got["rep"]["dup_tok_frac_x100"] >= 90
+
+
+def test_dataset_split_proportions_and_stability(spark):
+    """~90/5/5 over 10k keys, deterministic across invocations, and
+    disjoint by construction (one row per key)."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.textstats import dataset_split
+
+    d = spark.range(10_000).select(F.col("id").cast("string").alias("doc_id"))
+    a = dataset_split(d).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] - 9000) < 300
+    assert abs(counts["val"] - 500) < 150
+    assert abs(counts["test"] - 500) < 150
+    b = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(d).collect()
+    }
+    c = {
+        r["doc_id"]: r["split"]
+        for r in dataset_split(d).collect()
+    }
+    assert b == c

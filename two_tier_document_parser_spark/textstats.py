@@ -99,6 +99,106 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# PII redaction patterns — applied IN ORDER, each counting its matches
+# on the text as redacted by the previous patterns (well-defined under
+# overlap: an email's digits can't later count as a phone). Patterns
+# restricted to the syntax Java regex and RE2/DuckDB agree on
+# (classes, bounded repeats, \b, \d) so the oracle is exact.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Training-data PII scrub: replace emails / IPv4s / phone-shaped
+    runs with typed placeholders, count redactions per category.
+    Pure `regexp_replace`/`regexp_extract_all` built-ins — runs inside
+    whole-stage codegen, no shuffle, scales linearly with the scan."""
+    redacted = F.col(text_col)
+    counts = []
+    for name, pat, rep in PII_PATTERNS:
+        counts.append(
+            F.size(F.regexp_extract_all(redacted, F.lit(pat), F.lit(0)))
+            .cast("long")
+            .alias(f"n_{name}")
+        )
+        redacted = F.regexp_replace(redacted, pat, rep)
+    return df.select(
+        "doc_id", *counts, redacted.alias("redacted")
+    )
+
+
+# Gopher-style quality gate thresholds (Rae et al. 2021, table A1 —
+# adapted to integer math; dup-token fraction stands in for the
+# repetition rules, array-native so the whole gate is one projection)
+GOPHER_MIN_TOKENS = 10
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MIN_AVG_LEN_X100 = 150
+GOPHER_MAX_AVG_LEN_X100 = 1_000
+GOPHER_MAX_DUP_FRAC_X100 = 60
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-rule document quality gate: token-count bounds, mean
+    token length bounds, and a repetition bound (fraction of tokens
+    that are duplicates of an earlier token). All array built-ins over
+    one split — no explode, no shuffle; the filter composes with scans
+    at 100 TB as a map-only stage."""
+    c = F.col(text_col)
+    toks = tokens(c)
+    n = F.size(toks).cast("long")
+    nd = F.size(F.array_distinct(toks)).cast("long")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    # integer division semantics (floor) to match the SQL oracle
+    avg_x100 = F.when(n > 0, F.floor(sum_len * 100 / n)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    dup_x100 = F.when(n > 0, F.floor((n - nd) * 100 / n)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    keep = (
+        n.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS)
+        & avg_x100.between(GOPHER_MIN_AVG_LEN_X100, GOPHER_MAX_AVG_LEN_X100)
+        & (dup_x100 <= GOPHER_MAX_DUP_FRAC_X100)
+    )
+    return df.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        avg_x100.alias("avg_tok_len_x100"),
+        dup_x100.alias("dup_tok_frac_x100"),
+        keep.alias("keep"),
+    )
+
+
+def dataset_split(
+    df: DataFrame, salt: str = "42", key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic train/val/test assignment (~90/5/5) by md5 hash
+    bucket of the key — stable across retries, partitionings, and
+    engines (the property `rand(seed)` lacks: its stream depends on
+    partition layout). Pure row predicate: composes with scans, no
+    shuffle, auditable (any row's split is recomputable by hand)."""
+    h2 = F.substring(
+        F.md5(F.concat(F.col(key_col).cast("string"), F.lit(f":split:{salt}"))),
+        1,
+        2,
+    )
+    # 2 hex chars = 256 buckets: train < 0xe6 (230/256), val < 0xf3
+    return df.select(
+        key_col,
+        F.when(h2 < "e6", "train")
+        .when(h2 < "f3", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text (content-defined identity
