@@ -246,6 +246,18 @@ def q_dataset_split(spark, sf_dir):
     return dataset_split(_docs(spark, sf_dir))
 
 
+def q_ngram_boilerplate(spark, sf_dir):
+    from two_tier_document_parser_spark.curation import ngram_boilerplate
+
+    return ngram_boilerplate(_docs(spark, sf_dir))
+
+
+def q_vocab_top_ids(spark, sf_dir):
+    from two_tier_document_parser_spark.textstats import vocab_top_ids
+
+    return vocab_top_ids(_docs(spark, sf_dir), top_k=200)
+
+
 def q_fingerprint(spark, sf_dir):
     from two_tier_document_parser_spark.textstats import fingerprint
 
@@ -974,6 +986,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "gopher_quality": q_gopher_quality,
         "dataset_split": q_dataset_split,
+        "ngram_boilerplate": q_ngram_boilerplate,
+        "vocab_top_ids": q_vocab_top_ids,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1138,6 +1152,14 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "redact_pii": _redact_pii_sql(),
         "gopher_quality": _gopher_quality_sql(),
+        "ngram_boilerplate": _ngram_boilerplate_sql(),
+        "vocab_top_ids": (
+            f"{_TOK_CTE}, c AS (SELECT lower(token) AS token,"
+            " CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)"
+            " SELECT token, n, CAST(row_number() OVER"
+            " (ORDER BY n DESC, token ASC) AS BIGINT) AS token_id"
+            " FROM c QUALIFY token_id <= 200"
+        ),
         "dataset_split": (
             "SELECT doc_id, CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)"
             " || ':split:42'), 1, 2) < 'e6' THEN 'train'"
@@ -1672,6 +1694,32 @@ def _redact_pii_sql() -> str:
         carried.append(f"n_{name}")
     cols = ", ".join(carried)
     return f"{sql} SELECT doc_id, {cols}, t AS redacted FROM s{len(PII_PATTERNS)}"
+
+
+def _ngram_boilerplate_sql(n: int = 5, min_docs: int = 2, max_frac: int = 30) -> str:
+    """Mirror of curation.ngram_boilerplate: lead() shingles, distinct
+    document frequency, repeated-subset join, per-doc integer rollup.
+    Nulls only appear at the document tail, so filtering on the last
+    lead guarantees every kept shingle is complete in both engines."""
+    leads = " || ' ' || ".join(
+        ["token"] + [f"lead(token, {i}) OVER w" for i in range(1, n)]
+    )
+    return f"""
+{_TOK_CTE},
+sh AS (SELECT doc_id, pos, {leads} AS sh,
+              lead(token, {n - 1}) OVER w AS _last
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+shf AS (SELECT doc_id, sh FROM sh WHERE _last IS NOT NULL),
+rep AS (SELECT sh FROM shf GROUP BY sh
+        HAVING count(DISTINCT doc_id) >= {min_docs}),
+pd AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+              CAST(count(r.sh) AS BIGINT) AS n_repeated
+       FROM shf s LEFT JOIN rep r USING (sh) GROUP BY s.doc_id)
+SELECT doc_id, n_shingles, n_repeated,
+       CAST(floor(n_repeated * 100 / n_shingles) AS BIGINT) AS rep_frac_x100,
+       (floor(n_repeated * 100 / n_shingles) <= {max_frac}) AS keep
+FROM pd
+"""
 
 
 def _gopher_quality_sql() -> str:

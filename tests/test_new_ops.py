@@ -62,6 +62,8 @@ NEW_SQL = [
     "redact_pii",
     "gopher_quality",
     "dataset_split",
+    "ngram_boilerplate",
+    "vocab_top_ids",
 ]
 
 
@@ -823,3 +825,42 @@ def test_dataset_split_proportions_and_stability(spark):
         for r in dataset_split(d).collect()
     }
     assert b == c
+
+
+def test_ngram_boilerplate_semantics(spark):
+    """A 5-gram shared by two documents marks those shingles repeated;
+    a unique document keeps; a document that is mostly the shared run
+    drops."""
+    from two_tier_document_parser_spark.curation import ngram_boilerplate
+
+    shared = "alpha beta gamma delta epsilon"
+    d = spark.createDataFrame(
+        [
+            ("a", shared + " unique1 unique2 unique3 unique4 unique5 unique6"),
+            ("b", shared),                       # 1 shingle, 100% repeated
+            ("c", "zeta eta theta iota kappa lambda mu nu xi"),
+            ("tiny", "one two"),                 # < n tokens: no shingles
+        ],
+        "doc_id string, text string",
+    )
+    got = {r["doc_id"]: r for r in ngram_boilerplate(d).collect()}
+    assert "tiny" not in got                      # no complete shingle
+    assert got["b"]["n_repeated"] == got["b"]["n_shingles"] == 1
+    assert not got["b"]["keep"]                   # 100% > 30%
+    assert got["c"]["n_repeated"] == 0 and got["c"]["keep"]
+    assert got["a"]["n_repeated"] == 1            # only the shared run
+    assert got["a"]["keep"]                       # 1/7 shingles = 14%
+
+
+def test_vocab_top_ids_rank_determinism(spark):
+    """Ids are assigned by (count desc, token asc); truncation at
+    top_k; case-folded counting."""
+    from two_tier_document_parser_spark.textstats import vocab_top_ids
+
+    d = spark.createDataFrame(
+        [("d1", "b b b A a c C d"), ("d2", "b a")],
+        "doc_id string, text string",
+    )
+    rows = vocab_top_ids(d, top_k=3).collect()
+    got = {r["token"]: (r["n"], r["token_id"]) for r in rows}
+    assert got == {"b": (4, 1), "a": (3, 2), "c": (2, 3)}

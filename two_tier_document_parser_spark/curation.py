@@ -208,3 +208,61 @@ def pack_sequences(
         F.floor(start / F.lit(budget)).alias("bin_id"),
         (start % F.lit(budget)).alias("offset_in_bin"),
     )
+
+
+def ngram_boilerplate(
+    docs: DataFrame, n: int = 5, min_docs: int = 2, max_frac_x100: int = 30
+) -> DataFrame:
+    """Corpus-level repeated-span detection (the C4/RefinedWeb
+    "remove spans repeated across documents" rule, at token
+    granularity since this corpus has no line structure): an n-gram
+    shingle is boilerplate when it occurs in >= `min_docs` DISTINCT
+    documents; a document is dropped when more than `max_frac_x100`%
+    of its shingles are boilerplate.
+
+    Shape at 100 TB: one shuffle on doc_id (the lead() window), one
+    partial-aggregated shuffle on shingle for the document-frequency
+    count, then a join of the shingle stream against the REPEATED
+    subset only — boilerplate shingles are a tiny, heavy-hitter
+    dimension (that is what makes them boilerplate), so that join is
+    broadcast-able; final per-doc rollup is one more key-hashed
+    shuffle. Integer outputs keep the oracle exact."""
+    toks = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "token"),
+        )
+        .filter(F.col("token") != "")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [
+        F.lead("token", i).over(w) for i in range(1, n)
+    ]
+    sh = toks.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", *parts).alias("sh"),
+        F.lead("token", n - 1).over(w).alias("_last"),
+    ).filter(F.col("_last").isNotNull())
+    rep = (
+        sh.groupBy("sh")
+        .agg(F.countDistinct("doc_id").alias("df_docs"))
+        .filter(F.col("df_docs") >= min_docs)
+        .select("sh", F.lit(1).alias("_rep"))
+    )
+    per_doc = (
+        sh.join(F.broadcast(rep), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce(F.col("_rep"), F.lit(0))).alias("n_repeated"),
+        )
+    )
+    frac = F.floor(F.col("n_repeated") * 100 / F.col("n_shingles")).cast("long")
+    return per_doc.select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_repeated").cast("long").alias("n_repeated"),
+        frac.alias("rep_frac_x100"),
+        (frac <= max_frac_x100).alias("keep"),
+    )

@@ -204,3 +204,33 @@ def fingerprint(col: Column) -> Column:
     whitespace-normalized, lowercased text (content-defined identity
     for exact dedup across formatting variants)."""
     return F.md5(F.array_join(tokens(F.lower(col)), " "))
+
+
+def vocab_top_ids(
+    df: DataFrame, text_col: str = "text", top_k: int = 1000
+) -> DataFrame:
+    """Vocabulary construction: the `top_k` most frequent lowercased
+    whitespace tokens with stable integer ids (rank by count desc,
+    token asc — fully deterministic, so the id table is reproducible
+    across runs and engines). At 100 TB the groupBy is one
+    partial-aggregated shuffle over distinct tokens (vocab-sized, not
+    corpus-sized); the final rank orders only the distinct-token
+    table."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counts.select(
+            "token",
+            F.col("n").cast("long").alias("n"),
+            F.row_number().over(w).cast("long").alias("token_id"),
+        )
+        .filter(F.col("token_id") <= top_k)
+    )
