@@ -220,13 +220,15 @@ def ngram_boilerplate(
     documents; a document is dropped when more than `max_frac_x100`%
     of its shingles are boilerplate.
 
-    Shape at 100 TB: one shuffle on doc_id (the lead() window), one
-    partial-aggregated shuffle on shingle for the document-frequency
-    count, then a join of the shingle stream against the REPEATED
-    subset only — boilerplate shingles are a tiny, heavy-hitter
-    dimension (that is what makes them boilerplate), so that join is
-    broadcast-able; final per-doc rollup is one more key-hashed
-    shuffle. Integer outputs keep the oracle exact."""
+    Shape at 100 TB: ONE pass over the corpus — shuffle on doc_id
+    (the lead() window), partial-aggregated shuffle to (doc_id,
+    shingle) pairs, a count window over shingle (each partition holds
+    one row per DISTINCT document containing it — that count IS the
+    document frequency, no self-join and no second scan; a first cut
+    that joined the shingle stream against the repeated subset
+    re-scanned and re-exploded the whole corpus, visible as a
+    duplicated Scan+Generate+Window branch in `.explain`), then the
+    per-doc rollup. Integer outputs keep the oracle exact."""
     toks = (
         docs.select(
             "doc_id",
@@ -244,18 +246,18 @@ def ngram_boilerplate(
         F.concat_ws(" ", *parts).alias("sh"),
         F.lead("token", n - 1).over(w).alias("_last"),
     ).filter(F.col("_last").isNotNull())
-    rep = (
-        sh.groupBy("sh")
-        .agg(F.countDistinct("doc_id").alias("df_docs"))
-        .filter(F.col("df_docs") >= min_docs)
-        .select("sh", F.lit(1).alias("_rep"))
+    pairs = sh.groupBy("doc_id", "sh").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
+    wsh = Window.partitionBy("sh")
     per_doc = (
-        sh.join(F.broadcast(rep), "sh", "left")
+        pairs.withColumn("_df_docs", F.count(F.lit(1)).over(wsh))
         .groupBy("doc_id")
         .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.coalesce(F.col("_rep"), F.lit(0))).alias("n_repeated"),
+            F.sum("_cnt").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("_df_docs") >= min_docs, F.col("_cnt")).otherwise(0)
+            ).alias("n_repeated"),
         )
     )
     frac = F.floor(F.col("n_repeated") * 100 / F.col("n_shingles")).cast("long")
