@@ -445,3 +445,55 @@ def test_pdf15_through_spark_ingest(spark):
     assert rows["m0"]["spans"][0]["text"] == "spark modern"
     assert rows["m0"]["doc_class"] == "pdf"
     assert rows["c0"]["spans"]  # classic path unaffected
+
+
+def test_incremental_update_newest_wins():
+    """ISO 32000 §7.5.6 incremental updates: an appended replacement
+    object + new trailer (/Prev chain) must shadow the original —
+    the sequential scan's last-definition-wins and last-trailer-wins
+    rules implement exactly the newest-generation semantics, with no
+    xref chain walk needed."""
+    import re
+
+    from two_tier_document_parser_spark.pdf_io import (
+        Ref,
+        _scan_objects,
+        _stream_bytes,
+        parse_pdf,
+        render_pdf,
+    )
+
+    doc = {
+        "doc_id": "d1",
+        "doc_class": "article",
+        "spans": [
+            {"kind": "text", "text": "original body", "media_ref": "",
+             "offset": 0}
+        ],
+    }
+    pdf = render_pdf(doc)
+    assert parse_pdf(pdf)["spans"][0]["text"] == "original body"
+
+    objs = _scan_objects(pdf)
+    content_num = next(
+        num
+        for num, body in objs.items()
+        if b"stream" in body
+        and (_stream_bytes(objs, Ref(num)) or b"").find(b"BT") != -1
+    )
+    new_stream = b"BT /F1 11 Tf 1 0 0 1 72 700 Tm (updated body) Tj ET"
+    upd = b"%d 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n" % (
+        content_num, len(new_stream), new_stream,
+    )
+    startxref_old = int(re.search(rb"startxref\s+(\d+)", pdf).group(1))
+    root = re.search(rb"/Root (\d+) 0 R", pdf).group(1)
+    off = len(pdf)
+    inc = upd + (
+        b"xref\n%d 1\n%010d 00000 n \n"
+        b"trailer\n<< /Size 99 /Root %s 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (content_num, off, root, startxref_old, off + len(upd))
+    )
+    got = parse_pdf(pdf + inc)
+    assert got is not None
+    assert [s["text"] for s in got["spans"]] == ["updated body"]

@@ -16,8 +16,14 @@ EarlyChange, ASCIIHex/ASCII85/RunLength transport codings, PNG
 predictors 10-15 and TIFF predictor 2, passthrough for the terminal
 image codecs DCT/JPX/CCITT/JBIG2), WinAnsi decoding for non-BOM
 strings (Annex D.2), and ToUnicode CMaps for composite-font text
-(§9.10.3). Encrypted files (/Encrypt in the trailer) are detected
-and quarantine cleanly — decryption remains out of scope. No third-party PDF library is used or consulted.
+(§9.10.3). Incremental updates (§7.5.6, appended replacement objects
+with a /Prev trailer chain) are honored for free: the sequential
+object scan is last-definition-wins and the trailer pick is
+last-with-/Root, which is exactly newest-generation semantics
+(regression-pinned in tests/test_pdf15_io.py). Encrypted files
+(/Encrypt in the trailer) are detected and quarantine cleanly —
+decryption remains out of scope. No third-party PDF library is used
+or consulted.
 
 Span lift = two layers, mirroring how real extractors work:
 
