@@ -258,6 +258,18 @@ def q_vocab_top_ids(spark, sf_dir):
     return vocab_top_ids(_docs(spark, sf_dir), top_k=200)
 
 
+def q_decontaminate(spark, sf_dir):
+    from two_tier_document_parser_spark.curation import decontaminate
+
+    return decontaminate(_docs(spark, sf_dir))
+
+
+def q_domain_cap(spark, sf_dir):
+    from two_tier_document_parser_spark.curation import domain_cap
+
+    return domain_cap(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     from two_tier_document_parser_spark.textstats import fingerprint
 
@@ -988,6 +1000,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dataset_split": q_dataset_split,
         "ngram_boilerplate": q_ngram_boilerplate,
         "vocab_top_ids": q_vocab_top_ids,
+        "decontaminate": q_decontaminate,
+        "domain_cap": q_domain_cap,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1153,6 +1167,13 @@ def oracle_sql() -> dict[str, str]:
         "redact_pii": _redact_pii_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "ngram_boilerplate": _ngram_boilerplate_sql(),
+        "decontaminate": _decontaminate_sql(),
+        "domain_cap": (
+            "SELECT doc_id, source, n_chars, rk FROM"
+            " (SELECT doc_id, source, n_chars, row_number() OVER"
+            " (PARTITION BY source ORDER BY n_chars DESC, doc_id ASC)"
+            " AS rk FROM documents) t WHERE rk <= 20"
+        ),
         "vocab_top_ids": (
             f"{_TOK_CTE}, c AS (SELECT lower(token) AS token,"
             " CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY 1)"
@@ -1719,6 +1740,32 @@ SELECT doc_id, n_shingles, n_repeated,
        CAST(floor(n_repeated * 100 / n_shingles) AS BIGINT) AS rep_frac_x100,
        (floor(n_repeated * 100 / n_shingles) <= {max_frac}) AS keep
 FROM pd
+"""
+
+
+def _decontaminate_sql(n: int = 5, eval_hex: str = "10", salt: str = ":eval:42") -> str:
+    """Mirror of curation.decontaminate: the same lead() shingles as
+    the boilerplate oracle, an md5 hash-sampled eval slice, DISTINCT
+    eval shingles left-joined against the training shingle stream."""
+    leads = " || ' ' || ".join(
+        ["token"] + [f"lead(token, {i}) OVER w" for i in range(1, n)]
+    )
+    ev_pred = (
+        f"substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 2)"
+        f" < '{eval_hex}'"
+    )
+    return f"""
+{_TOK_CTE},
+sh AS (SELECT doc_id, pos, {leads} AS sh,
+              lead(token, {n - 1}) OVER w AS _last
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+shf AS (SELECT doc_id, sh FROM sh WHERE _last IS NOT NULL),
+ev AS (SELECT DISTINCT sh FROM shf WHERE {ev_pred}),
+tr AS (SELECT doc_id, sh FROM shf WHERE NOT ({ev_pred}))
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(count(e.sh) AS BIGINT) AS n_hits,
+       (count(e.sh) = 0) AS clean
+FROM tr t LEFT JOIN ev e USING (sh) GROUP BY t.doc_id
 """
 
 

@@ -64,6 +64,8 @@ NEW_SQL = [
     "dataset_split",
     "ngram_boilerplate",
     "vocab_top_ids",
+    "decontaminate",
+    "domain_cap",
 ]
 
 
@@ -864,3 +866,72 @@ def test_vocab_top_ids_rank_determinism(spark):
     rows = vocab_top_ids(d, top_k=3).collect()
     got = {r["token"]: (r["n"], r["token_id"]) for r in rows}
     assert got == {"b": (4, 1), "a": (3, 2), "c": (2, 3)}
+
+
+def test_decontaminate_semantics(spark):
+    """Eval docs never appear in the output; a training doc sharing a
+    complete n-gram run with an eval doc is contaminated; disjoint
+    training docs are clean; sub-n-token docs vanish."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.curation import decontaminate
+
+    run = "alpha beta gamma delta epsilon"
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            [run + " filler%d w x y z" % i for i in range(40)]
+            + ["uniq%da uniq%db uniq%dc uniq%dd uniq%de" % ((i,) * 5)
+               for i in range(40)]
+            + ["too short"] * 3
+        )],
+        "doc_id long, text string",
+    )
+    out = decontaminate(docs, n=5)
+    ev_pred = (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":eval:42"))),
+            1, 2,
+        ) < "10"
+    )
+    eval_ids = {r["doc_id"] for r in docs.filter(ev_pred).collect()}
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert eval_ids, "hash sample selected no eval docs — widen fixture"
+    assert not (set(got) & eval_ids)
+    # at least one eval doc carries the shared run iff its id < 40;
+    # when so, every training doc with the run must be contaminated
+    shared_eval = any(i < 40 for i in eval_ids)
+    for i in range(40):
+        if i in eval_ids:
+            continue
+        assert got[i]["clean"] == (not shared_eval)
+    for i in range(40, 80):
+        if i in eval_ids:
+            continue
+        assert got[i]["clean"] and got[i]["n_hits"] == 0
+    for i in (80, 81, 82):
+        assert i not in got  # < n tokens: no shingles
+
+
+def test_domain_cap_semantics(spark):
+    """Matches an independent driver-side computation: top-`cap` per
+    source by (n_chars DESC, doc_id ASC), exact ties broken by doc_id,
+    domains smaller than the cap kept whole, rank starting at 1."""
+    from two_tier_document_parser_spark.curation import domain_cap
+
+    rows = [(i, "big.example", (i * 7) % 13 + 100) for i in range(100)]
+    rows += [(200 + i, "small.example", 50) for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+    got = {
+        (r["doc_id"], r["source"], r["n_chars"], r["rk"])
+        for r in domain_cap(docs, cap=20).collect()
+    }
+    want = set()
+    for src in ("big.example", "small.example"):
+        ranked = sorted(
+            (r for r in rows if r[1] == src), key=lambda r: (-r[2], r[0])
+        )
+        want |= {
+            (d, s, n, rk + 1) for rk, (d, s, n) in enumerate(ranked[:20])
+        }
+    assert got == want
+    assert len([1 for _, s, _, _ in got if s == "small.example"]) == 5

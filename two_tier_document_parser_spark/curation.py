@@ -268,3 +268,97 @@ def ngram_boilerplate(
         frac.alias("rep_frac_x100"),
         (frac <= max_frac_x100).alias("keep"),
     )
+
+
+def _token_shingles(docs: DataFrame, n: int) -> DataFrame:
+    """Whitespace-token n-gram shingles per document: (doc_id, pos,
+    sh) where `sh` is the space-joined n-token run starting at `pos`.
+    One lead() window per extra token — a single shuffle on doc_id,
+    then map-only. Runs shorter than n tokens yield no rows."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "token"),
+    ).filter(F.col("token") != "")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, n)]
+    return (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *parts).alias("sh"),
+            F.lead("token", n - 1).over(w).alias("_last"),
+        )
+        .filter(F.col("_last").isNotNull())
+        .drop("_last")
+    )
+
+
+def decontaminate(
+    docs: DataFrame, n: int = 5, eval_hex: str = "10", salt: str = ":eval:42"
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose token
+    n-grams overlap a held-out evaluation set (the GPT-3 appendix-C /
+    The-Pile 13-gram rule, with n scaled to this corpus's short
+    documents). The eval set is a deterministic md5 hash-sample of the
+    corpus (hex-prefix < `eval_hex`, ~6%), so membership is a pure
+    row predicate — stable across retries and partitionings. Output:
+    one row per training document that has >= 1 shingle, with its
+    shingle count, eval-overlap count, and a `clean` verdict.
+
+    Shape at 100 TB: the eval shingle set is tiny (hash-sampled
+    corpus slice, DISTINCT'd) and BROADCASTS; the training corpus is
+    shingled in ONE pass (lead window = the only data-sized shuffle,
+    on doc_id) and probed map-side against the broadcast — never a
+    corpus self-join. The final per-doc rollup reuses the window's
+    doc_id partitioning, so no second data-sized exchange. Real eval
+    suites are even smaller than 6% — the broadcast only shrinks."""
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 2
+        )
+        < eval_hex
+    )
+    sh = _token_shingles(docs, n).withColumn("_is_eval", is_eval)
+    eval_sh = (
+        sh.filter(F.col("_is_eval"))
+        .select("sh")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = sh.filter(~F.col("_is_eval"))
+    return (
+        train.join(F.broadcast(eval_sh), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn("clean", F.col("n_hits") == 0)
+    )
+
+
+def domain_cap(docs: DataFrame, cap: int = 20) -> DataFrame:
+    """Per-domain frequency cap (the Common-Crawl-style curation rule
+    "keep at most `cap` documents per domain"): within each `source`,
+    keep the `cap` largest documents by (n_chars DESC, doc_id ASC) —
+    a deterministic total order — and emit the kept rows with their
+    rank. Dropped rows are simply absent (the keep-list IS the
+    output, as a curation step consumes it).
+
+    Shape at 100 TB: a naive rank window over a viral domain funnels
+    that domain's every row through one partition — but Catalyst's
+    rank-limit pushdown (Spark 3.5+) inserts a map-side
+    `WindowGroupLimit(Partial)` BEFORE the exchange (verified in
+    `.explain("formatted")`), so each map partition forwards at most
+    `cap` rows per source and the reducer sees <= cap * n_map_tasks
+    rows for even the hottest domain. A hand-salted two-phase top-K
+    was measured to produce the identical bound with one extra
+    exchange — the declarative form wins; don't hand-schedule it."""
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    return (
+        docs.select("doc_id", "source", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= cap)
+    )
