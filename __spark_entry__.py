@@ -270,6 +270,40 @@ def q_domain_cap(spark, sf_dir):
     return domain_cap(_docs(spark, sf_dir))
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Co-located join: both sides written bucketed+sorted on doc_id
+    (same murmur3 bucket hash as HashPartitioning), so the join plan
+    has ZERO Exchange nodes — the 100 TB pattern for dimension/fact
+    tables joined every run. Plan shape pinned by
+    tests/test_scale_machinery.py; values checked by the oracle."""
+    import hashlib
+    import os
+    import tempfile
+
+    from two_tier_document_parser_spark.table_io import write_bucketed
+
+    docs = _docs(spark, sf_dir)
+    feats = docs.select("doc_id", "lang", "source")
+    stats = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"ttdp_bucketed_{tag}")
+    bf = write_bucketed(
+        spark, feats, f"ttdp_bfeat_{tag}", f"{base}/feat", 8, "doc_id"
+    )
+    bs = write_bucketed(
+        spark, stats, f"ttdp_bstat_{tag}", f"{base}/stat", 8, "doc_id"
+    )
+    return bf.join(bs, "doc_id").select(
+        "doc_id", "lang", "source", "n_chars", "n_tokens"
+    )
+
+
 def q_fingerprint(spark, sf_dir):
     from two_tier_document_parser_spark.textstats import fingerprint
 
@@ -1002,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_top_ids": q_vocab_top_ids,
         "decontaminate": q_decontaminate,
         "domain_cap": q_domain_cap,
+        "bucketed_join": q_bucketed_join,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1168,6 +1203,11 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality": _gopher_quality_sql(),
         "ngram_boilerplate": _ngram_boilerplate_sql(),
         "decontaminate": _decontaminate_sql(),
+        "bucketed_join": (
+            "SELECT doc_id, lang, source, n_chars,"
+            " CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+            " x -> x <> '')) AS BIGINT) AS n_tokens FROM documents"
+        ),
         "domain_cap": (
             "SELECT doc_id, source, n_chars, rk FROM"
             " (SELECT doc_id, source, n_chars, row_number() OVER"

@@ -604,3 +604,57 @@ def test_facade_none_n_pages_is_inband():
     }
     out = parse_document(doc)
     assert "markdown" in out  # parsed, no exception, no error dict
+
+
+def test_bucketed_join_elides_exchange_and_sort(spark, tmp_path):
+    """Two tables written bucketed+sorted on the same key must join
+    with ZERO Exchange nodes (the co-located-join contract), and —
+    because the pre-write repartition leaves one file per bucket —
+    zero extra Sort nodes either. Values must match a plain join."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.table_io import write_bucketed
+
+    a = spark.createDataFrame(
+        [(i, f"lang{i % 3}") for i in range(200)], "doc_id long, lang string"
+    )
+    b = spark.createDataFrame(
+        [(i, i * 10) for i in range(0, 200, 2)], "doc_id long, n long"
+    )
+    ta = write_bucketed(spark, a, "tb_a", str(tmp_path / "a"), 4, "doc_id")
+    tb = write_bucketed(spark, b, "tb_b", str(tmp_path / "b"), 4, "doc_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at test scale the planner would broadcast the small side and
+        # never exercise the bucketed path; the primitive exists for
+        # big-big joins, so pin the SMJ regime explicitly
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = ta.join(tb, "doc_id")
+        got = {(r["doc_id"], r["lang"], r["n"]) for r in joined.collect()}
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert "SortMergeJoin" in plan, plan
+        want = {
+            (r["doc_id"], r["lang"], r["n"])
+            for r in a.join(b, "doc_id").collect()
+        }
+        assert got == want and len(got) == 100
+        # Spark 3+ ignores the per-bucket sortBy order by default
+        # (SPARK-28199); with the legacy flag and one file per bucket
+        # (guaranteed by write_bucketed's pre-repartition) the on-disk
+        # sort is trusted and the Sort nodes vanish too.
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "true"
+        )
+        j2 = spark.table("tb_a").join(spark.table("tb_b"), "doc_id")
+        j2.collect()
+        plan2 = j2._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan2, plan2
+        assert "Sort " not in plan2, plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.conf.set(
+            "spark.sql.legacy.bucketedTableScan.outputOrdering", "false"
+        )
+        spark.sql("DROP TABLE IF EXISTS tb_a")
+        spark.sql("DROP TABLE IF EXISTS tb_b")

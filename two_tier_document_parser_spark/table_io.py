@@ -116,3 +116,42 @@ def open_table(spark: SparkSession, target: str):
             )
         return IcebergIO(spark, target[len("iceberg:"):])
     return ParquetManifestIO(spark, target)
+
+
+def write_bucketed(
+    spark: SparkSession,
+    df: DataFrame,
+    name: str,
+    path: str,
+    buckets: int,
+    key: str,
+) -> DataFrame:
+    """Persist `df` as a Spark-native bucketed+sorted parquet table
+    (external, at `path`) and return it re-opened from the catalog.
+
+    This is the co-located-join primitive for repeatedly-joined 100 TB
+    tables: two tables bucketed by the same key into the same bucket
+    count join with NO Exchange — the scan's output partitioning
+    already satisfies the join's distribution requirement. The
+    `repartition(buckets, key)` before the write matters: bucket
+    assignment is the same murmur3-hash-mod Spark uses for
+    HashPartitioning, so each task receives exactly one bucket and
+    writes exactly ONE file per bucket. With
+    `spark.sql.legacy.bucketedTableScan.outputOrdering=true` the
+    reader then also trusts the per-bucket sortBy order and elides
+    the Sort nodes (Spark 3+ ignores bucket-file ordering by default,
+    SPARK-28199; multi-file buckets would force a re-sort either way
+    — still no shuffle). Plan shape for both regimes is pinned by
+    tests/test_scale_machinery.py."""
+    from pyspark.sql import functions as F
+
+    (
+        df.repartition(buckets, F.col(key))
+        .write.mode("overwrite")
+        .format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .saveAsTable(name)
+    )
+    return spark.table(name)
