@@ -304,6 +304,16 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_shuffle_rank(spark, sf_dir):
+    """Deterministic global corpus shuffle: train_order == row_number
+    OVER (ORDER BY md5(doc_id|seed), doc_id) but computed by range
+    exchange + per-partition offsets — no Exchange SinglePartition
+    (plan pinned by tests/test_scale_machinery.py)."""
+    from two_tier_document_parser_spark.curation import shuffle_rank
+
+    return shuffle_rank(_docs(spark, sf_dir))
+
+
 def q_fingerprint(spark, sf_dir):
     from two_tier_document_parser_spark.textstats import fingerprint
 
@@ -1037,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "domain_cap": q_domain_cap,
         "bucketed_join": q_bucketed_join,
+        "shuffle_rank": q_shuffle_rank,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1207,6 +1218,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, lang, source, n_chars,"
             " CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
             " x -> x <> '')) AS BIGINT) AS n_tokens FROM documents"
+        ),
+        "shuffle_rank": (
+            "SELECT doc_id,"
+            " md5(concat(CAST(doc_id AS VARCHAR), '|', '42'))"
+            " AS shuffle_key,"
+            " row_number() OVER (ORDER BY"
+            " md5(concat(CAST(doc_id AS VARCHAR), '|', '42')), doc_id)"
+            " AS train_order FROM documents"
         ),
         "domain_cap": (
             "SELECT doc_id, source, n_chars, rk FROM"

@@ -658,3 +658,56 @@ def test_bucketed_join_elides_exchange_and_sort(spark, tmp_path):
         )
         spark.sql("DROP TABLE IF EXISTS tb_a")
         spark.sql("DROP TABLE IF EXISTS tb_b")
+
+
+def test_shuffle_rank_is_global_rank_without_single_partition(spark):
+    """shuffle_rank must equal row_number() OVER (ORDER BY key) yet
+    its plan must contain NO Exchange SinglePartition — the range
+    exchange plus per-partition offsets is the whole point."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.curation import shuffle_rank
+
+    docs = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = shuffle_rank(docs, seed="7", partitions=8)
+    # the rank pass is narrow over the checkpointed range partitions:
+    # no exchange at all, and in particular no SinglePartition
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Exchange" not in plan, plan
+    key = F.md5(F.concat_ws("|", F.col("doc_id").cast("string"), F.lit("7")))
+    # the one data-sized shuffle in the whole job is the upstream
+    # range exchange (never a single-partition sort)
+    pre = docs.select("doc_id", key.alias("shuffle_key")).repartitionByRange(
+        8, "shuffle_key", "doc_id"
+    )
+    pp = pre._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in pp.lower(), pp
+    assert "SinglePartition" not in pp, pp
+    ref = (
+        docs.select("doc_id", key.alias("shuffle_key"))
+        .withColumn(
+            "train_order",
+            F.row_number()
+            .over(Window.orderBy("shuffle_key", "doc_id"))
+            .cast("long"),
+        )
+    )
+    assert (
+        out.join(ref, ["doc_id", "shuffle_key", "train_order"]).count()
+        == 1000
+    )
+
+
+def test_shuffle_rank_empty_and_skewed_partitions(spark):
+    """Rank stays dense 1..N when range boundaries leave some
+    partitions empty (more partitions than distinct keys)."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.curation import shuffle_rank
+
+    docs = spark.range(0, 5).select(F.col("id").alias("doc_id"))
+    out = shuffle_rank(docs, partitions=16)
+    got = sorted(r["train_order"] for r in out.collect())
+    assert got == [1, 2, 3, 4, 5]

@@ -362,3 +362,74 @@ def domain_cap(docs: DataFrame, cap: int = 20) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= cap)
     )
+
+
+def shuffle_rank(
+    docs: DataFrame, seed: str = "42", partitions: int = 32
+) -> DataFrame:
+    """Deterministic global corpus shuffle with a total training-order
+    rank — the "shuffle the corpus once, stream it in that order"
+    step before training. Each document's shuffle key is
+    md5(doc_id|seed); the output assigns train_order = the 1-based
+    global rank by (shuffle_key, doc_id), identical to
+    row_number() OVER (ORDER BY shuffle_key, doc_id) but computed
+    WITHOUT a single-partition exchange.
+
+    Two-phase distributed ranking (the classic TeraSort-style shape):
+
+    1. `repartitionByRange` on (shuffle_key, doc_id) — a sampling
+       range exchange, the ONLY data-sized shuffle — then
+       sortWithinPartitions, then localCheckpoint to pin partition
+       contents across the two passes.
+    2. A P-row per-partition count aggregate (bounded driver
+       collect: one row per partition) turns into cumulative
+       offsets; a narrow mapInArrow pass adds offset + running
+       position per partition. No window, no hash exchange on a
+       partition id, no `Exchange SinglePartition` anywhere — the
+       plan a naive `row_number() OVER (ORDER BY ...)` produces and
+       the one thing that cannot survive 10^12 rows.
+
+    Returns (doc_id, shuffle_key, train_order).
+    """
+    key = F.md5(
+        F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(seed))
+    )
+    part = (
+        docs.select(F.col("doc_id"), key.alias("shuffle_key"))
+        .repartitionByRange(partitions, "shuffle_key", "doc_id")
+        .sortWithinPartitions("shuffle_key", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def assign(batches):
+        import pyarrow as pa
+
+        pos = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if pos is None:
+                pos = offsets.get(b.column("pid")[0].as_py(), 0)
+            order = pa.array(
+                range(pos + 1, pos + b.num_rows + 1), type=pa.int64()
+            )
+            pos += b.num_rows
+            yield pa.record_batch(
+                [b.column("doc_id"), b.column("shuffle_key"), order],
+                names=["doc_id", "shuffle_key", "train_order"],
+            )
+
+    return part.mapInArrow(
+        assign, "doc_id long, shuffle_key string, train_order long"
+    )
