@@ -304,6 +304,15 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_encode_tokens(spark, sf_dir):
+    """Vocabulary encode: map every token to its vocab id (OOV -> 0)
+    via a broadcast of the top-k id table — map-side, no data-sized
+    shuffle beyond the vocab build."""
+    from two_tier_document_parser_spark.textstats import encode_tokens
+
+    return encode_tokens(_docs(spark, sf_dir), top_k=200)
+
+
 def q_shuffle_rank(spark, sf_dir):
     """Deterministic global corpus shuffle: train_order == row_number
     OVER (ORDER BY md5(doc_id|seed), doc_id) but computed by range
@@ -1048,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_cap": q_domain_cap,
         "bucketed_join": q_bucketed_join,
         "shuffle_rank": q_shuffle_rank,
+        "encode_tokens": q_encode_tokens,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1226,6 +1236,17 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (ORDER BY"
             " md5(concat(CAST(doc_id AS VARCHAR), '|', '42')), doc_id)"
             " AS train_order FROM documents"
+        ),
+        "encode_tokens": (
+            f"{_TOK_CTE}, c AS (SELECT lower(token) AS token,"
+            " count(*) AS n FROM tok GROUP BY 1),"
+            " v AS (SELECT token, CAST(row_number() OVER"
+            " (ORDER BY n DESC, token ASC) AS BIGINT) AS token_id"
+            " FROM c QUALIFY token_id <= 200)"
+            " SELECT t.doc_id, CAST(t.pos AS BIGINT) AS pos,"
+            " coalesce(v.token_id, 0) AS token_id FROM"
+            " (SELECT doc_id, pos, lower(token) AS token FROM tok) t"
+            " LEFT JOIN v USING (token)"
         ),
         "domain_cap": (
             "SELECT doc_id, source, n_chars, rk FROM"

@@ -935,3 +935,30 @@ def test_domain_cap_semantics(spark):
         }
     assert got == want
     assert len([1 for _, s, _, _ in got if s == "small.example"]) == 5
+
+
+def test_encode_tokens_oov_and_broadcast(spark):
+    """Token-id encode: top-k tokens get rank ids (count desc, token
+    asc), everything else the OOV id; the vocab side of the join must
+    be a broadcast (map-side encode, no data-sized shuffle)."""
+    from two_tier_document_parser_spark.textstats import encode_tokens
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa cc"),
+            (2, "aa  bb rare"),
+        ],
+        "doc_id long, text string",
+    )
+    out = encode_tokens(docs, top_k=2, oov_id=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got = {(r["doc_id"], r["pos"], r["token_id"]) for r in out.collect()}
+    # counts: aa=3, bb=2, cc=1, rare=1 -> vocab {aa:1, bb:2}; cc/rare OOV
+    # pos is the index in the split array; \s+ consumes the double
+    # space as ONE separator (same in DuckDB regexp_split_to_array)
+    want = {
+        (1, 0, 1), (1, 1, 2), (1, 2, 1), (1, 3, 0),
+        (2, 0, 1), (2, 1, 2), (2, 2, 0),
+    }
+    assert got == want

@@ -234,3 +234,40 @@ def vocab_top_ids(
         )
         .filter(F.col("token_id") <= top_k)
     )
+
+
+def encode_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k: int = 1000,
+    oov_id: int = 0,
+) -> DataFrame:
+    """Corpus encoding against the constructed vocabulary — the step
+    after `vocab_top_ids` in a training pipeline: every token becomes
+    its vocabulary id (rank by count desc, token asc), out-of-vocab
+    tokens become `oov_id`. Emitted as relational rows
+    (doc_id, pos, token_id) with pos = the token's index in the raw
+    whitespace-split array, so the id stream reassembles in exact
+    document order.
+
+    Scale shape: the vocabulary is top_k rows — a BROADCAST — so the
+    encode itself is map-side (explode + broadcast hash join, zero
+    data-sized shuffle); the only shuffles are inside the vocab build
+    (one partial-aggregated groupBy over distinct tokens)."""
+    vocab = vocab_top_ids(df, text_col, top_k).select("token", "token_id")
+    tok = df.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+            "pos", "token"
+        ),
+    ).filter(F.col("token") != "")
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .select(
+            "doc_id",
+            F.col("pos").cast("long").alias("pos"),
+            F.coalesce(
+                F.col("token_id"), F.lit(oov_id).cast("long")
+            ).alias("token_id"),
+        )
+    )
