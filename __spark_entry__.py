@@ -304,6 +304,18 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_profile_columns(spark, sf_dir):
+    """Data-quality profile of the documents table: per-column
+    row/null/distinct counts + typed min/max, ONE table scan (all
+    aggregates in a single agg; the per-column rows unpivot from the
+    one-row result)."""
+    from two_tier_document_parser_spark.profiling import profile_columns
+
+    return profile_columns(
+        _docs(spark, sf_dir), ["doc_id", "lang", "source", "n_chars"]
+    )
+
+
 def q_encode_tokens(spark, sf_dir):
     """Vocabulary encode: map every token to its vocab id (OOV -> 0)
     via a broadcast of the top-k id table — map-side, no data-sized
@@ -1058,6 +1070,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bucketed_join": q_bucketed_join,
         "shuffle_rank": q_shuffle_rank,
         "encode_tokens": q_encode_tokens,
+        "profile_columns": q_profile_columns,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1236,6 +1249,22 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (ORDER BY"
             " md5(concat(CAST(doc_id AS VARCHAR), '|', '42')), doc_id)"
             " AS train_order FROM documents"
+        ),
+        "profile_columns": (
+            " SELECT 'doc_id' AS col_name, count(*) AS n_rows,"
+            " count(*) - count(doc_id) AS n_nulls,"
+            " count(DISTINCT doc_id) AS n_distinct,"
+            " CAST(min(doc_id) AS VARCHAR) AS min_str,"
+            " CAST(max(doc_id) AS VARCHAR) AS max_str FROM documents"
+            " UNION ALL SELECT 'lang', count(*), count(*) - count(lang),"
+            " count(DISTINCT lang), CAST(min(lang) AS VARCHAR),"
+            " CAST(max(lang) AS VARCHAR) FROM documents"
+            " UNION ALL SELECT 'source', count(*), count(*) - count(source),"
+            " count(DISTINCT source), CAST(min(source) AS VARCHAR),"
+            " CAST(max(source) AS VARCHAR) FROM documents"
+            " UNION ALL SELECT 'n_chars', count(*), count(*) - count(n_chars),"
+            " count(DISTINCT n_chars), CAST(min(n_chars) AS VARCHAR),"
+            " CAST(max(n_chars) AS VARCHAR) FROM documents"
         ),
         "encode_tokens": (
             f"{_TOK_CTE}, c AS (SELECT lower(token) AS token,"

@@ -66,6 +66,10 @@ NEW_SQL = [
     "vocab_top_ids",
     "decontaminate",
     "domain_cap",
+    "bucketed_join",
+    "shuffle_rank",
+    "encode_tokens",
+    "profile_columns",
 ]
 
 
@@ -962,3 +966,41 @@ def test_encode_tokens_oov_and_broadcast(spark):
         (2, 0, 1), (2, 1, 2), (2, 2, 0),
     }
     assert got == want
+
+
+def test_profile_columns_single_scan(spark):
+    """Profile = one row per column from ONE scan; null/distinct/min/
+    max exact; approx mode swaps countDistinct for HLL and must stay
+    within its rsd on this tiny input."""
+    from two_tier_document_parser_spark.profiling import profile_columns
+
+    docs = spark.createDataFrame(
+        [(1, "en", 10), (2, None, 30), (3, "en", None), (4, "fr", 30)],
+        "doc_id long, lang string, n long",
+    )
+    got = {
+        r["col_name"]: (
+            r["n_rows"], r["n_nulls"], r["n_distinct"],
+            r["min_str"], r["max_str"],
+        )
+        for r in profile_columns(docs).collect()
+    }
+    assert got == {
+        "doc_id": (4, 0, 4, "1", "4"),
+        "lang": (4, 1, 2, "en", "fr"),
+        "n": (4, 1, 2, "10", "30"),
+    }
+    plan = (
+        profile_columns(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    # one logical scan of the input — the aggregates share a pass
+    assert plan.count("LogicalRDD") == 1, plan
+    approx = {
+        r["col_name"]: r["n_distinct"]
+        for r in profile_columns(docs, exact_distinct=False).collect()
+    }
+    assert approx["doc_id"] in (3, 4, 5)
+    assert approx["lang"] in (1, 2, 3)
