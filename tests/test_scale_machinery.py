@@ -711,3 +711,28 @@ def test_shuffle_rank_empty_and_skewed_partitions(spark):
     out = shuffle_rank(docs, partitions=16)
     got = sorted(r["train_order"] for r in out.collect())
     assert got == [1, 2, 3, 4, 5]
+
+
+def test_shuffle_rank_across_arrow_batch_boundaries(spark):
+    """The per-partition running position must survive Arrow batch
+    splits (at scale a partition is many batches): force tiny batches
+    and require the same dense global rank."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.curation import shuffle_rank
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+        docs = spark.range(0, 2000).select(F.col("id").alias("doc_id"))
+        out = shuffle_rank(docs, partitions=4).collect()
+        orders = sorted(r["train_order"] for r in out)
+        assert orders == list(range(1, 2001))
+        # and the order is really the md5 order, not batch order
+        by_rank = sorted(out, key=lambda r: r["train_order"])
+        keys = [r["shuffle_key"] for r in by_rank]
+        assert keys == sorted(keys)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
