@@ -736,3 +736,47 @@ def test_shuffle_rank_across_arrow_batch_boundaries(spark):
         spark.conf.set(
             "spark.sql.execution.arrow.maxRecordsPerBatch", prev
         )
+
+
+def test_partitioned_write_prunes_directories(spark, tmp_path):
+    """A partition-column predicate must become a PartitionFilter:
+    whole directories are skipped before any file opens — the file
+    set actually read is confined to the matching partition — and a
+    sort-column predicate is pushed to the parquet scan for row-group
+    skipping."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.table_io import write_partitioned
+
+    docs = spark.createDataFrame(
+        [(i, ["en", "fr", "de"][i % 3], i * 10) for i in range(300)],
+        "doc_id long, lang string, n_chars long",
+    )
+    path = str(tmp_path / "part")
+    write_partitioned(docs, path, ["lang"], sort_col="doc_id")
+
+    back = spark.read.parquet(path)
+    q = back.filter((F.col("lang") == "en") & (F.col("doc_id") >= 150))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan, plan
+    assert "lang" in plan.split("PartitionFilters")[1].split("]")[0], plan
+    # the non-partition predicate reaches the parquet reader
+    assert "PushedFilters" in plan
+    assert (
+        "GreaterThanOrEqual(doc_id,150)"
+        in plan.split("PushedFilters")[1].split("]")[0]
+    ), plan
+    # only files under lang=en are touched
+    touched = {
+        r[0]
+        for r in q.select(
+            F.input_file_name().alias("f")
+        ).distinct().collect()
+    }
+    assert touched and all("lang=en" in f for f in touched), touched
+    # values: partition column round-trips, predicate is exact
+    got = {(r["doc_id"], r["lang"]) for r in q.collect()}
+    want = {
+        (i, "en") for i in range(150, 300) if i % 3 == 0
+    }
+    assert got == want

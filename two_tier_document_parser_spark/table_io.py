@@ -155,3 +155,27 @@ def write_bucketed(
         .saveAsTable(name)
     )
     return spark.table(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    sort_col: str | None = None,
+) -> None:
+    """Hive-partitioned parquet layout — the physical layout a 100 TB
+    corpus actually lives in (low-cardinality partition columns such
+    as date/lang/source as directories; high-cardinality keys must
+    NOT be partition columns or the filesystem drowns in directories
+    — bucket those with `write_bucketed` instead).
+
+    Reading back with a predicate on a partition column prunes whole
+    directories BEFORE any file is opened (`PartitionFilters` in the
+    scan, pinned by tests/test_scale_machinery.py); a predicate on
+    `sort_col` additionally skips row groups inside each file via
+    parquet min/max stats, because `sortWithinPartitions` clusters
+    values so each row group covers a narrow range."""
+    out = df
+    if sort_col is not None:
+        out = out.sortWithinPartitions(sort_col)
+    out.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
