@@ -780,3 +780,56 @@ def test_partitioned_write_prunes_directories(spark, tmp_path):
         (i, "en") for i in range(150, 300) if i % 3 == 0
     }
     assert got == want
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The engine leans on AQE for runtime skew handling (SURVEY
+    §4.3): a hot join key whose shuffle partition exceeds the skew
+    threshold must be split (SortMergeJoin(skew=true) in the final
+    adaptive plan) with values identical to the unskewed plan.
+    Payload is sha2 (incompressible) — lz4 shuffle compression on a
+    constant payload keeps blocks under any threshold and silently
+    disables the optimization, which is itself worth pinning."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        left = spark.range(40000).select(
+            F.when(F.col("id") < 30000, 0)
+            .otherwise(F.col("id") % 500)
+            .alias("k"),
+            F.sha2(
+                F.concat(F.col("id").cast("string"), F.lit("salt")), 512
+            ).alias("pay"),
+        )
+        right = spark.range(500).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        j = left.join(right, "k")
+        # execute j itself (not a derived count) so ITS adaptive plan
+        # finalizes — a parent action leaves isFinalPlan=false here
+        assert len(j.collect()) == 40000
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+        # spot-check values against the broadcast plan (no skew path)
+        agg = j.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+        )
+        got = {(r["k"], r["n"], r["sv"]) for r in agg.collect()}
+        ref = (
+            left.join(F.broadcast(right), "k")
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv"))
+        )
+        assert got == {(r["k"], r["n"], r["sv"]) for r in ref.collect()}
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
