@@ -304,6 +304,15 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic Efraimidis-Spirakis weighted sample (priority
+    -ln(md5-uniform)/n_chars, k smallest win) — retry-stable,
+    rank-limit-pushed top-k."""
+    from two_tier_document_parser_spark.curation import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), k=50)
+
+
 def q_profile_columns(spark, sf_dir):
     """Data-quality profile of the documents table: per-column
     row/null/distinct counts + typed min/max, ONE table scan (all
@@ -1071,6 +1080,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shuffle_rank": q_shuffle_rank,
         "encode_tokens": q_encode_tokens,
         "profile_columns": q_profile_columns,
+        "weighted_sample": q_weighted_sample,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1249,6 +1259,16 @@ def oracle_sql() -> dict[str, str]:
             " row_number() OVER (ORDER BY"
             " md5(concat(CAST(doc_id AS VARCHAR), '|', '42')), doc_id)"
             " AS train_order FROM documents"
+        ),
+        "weighted_sample": (
+            "WITH s AS (SELECT doc_id, n_chars,"
+            " -ln(((('0x' || substring(md5(concat(CAST(doc_id AS VARCHAR),"
+            " '|', '42')), 1, 8))::UBIGINT) + 0.5) / 4294967296.0)"
+            " / greatest(CAST(n_chars AS DOUBLE), 1.0) AS score"
+            " FROM documents)"
+            " SELECT doc_id, n_chars, round(score, 6) AS score,"
+            " CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)"
+            " AS rk FROM s QUALIFY rk <= 50"
         ),
         "profile_columns": (
             " SELECT 'doc_id' AS col_name, count(*) AS n_rows,"

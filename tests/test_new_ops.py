@@ -70,6 +70,7 @@ NEW_SQL = [
     "shuffle_rank",
     "encode_tokens",
     "profile_columns",
+    "weighted_sample",
 ]
 
 
@@ -1004,3 +1005,31 @@ def test_profile_columns_single_scan(spark):
     }
     assert approx["doc_id"] in (3, 4, 5)
     assert approx["lang"] in (1, 2, 3)
+
+
+def test_weighted_sample_bias_determinism_and_plan(spark):
+    """Heavier docs must win far more often than light ones; the
+    selection must be identical under re-partitioning (hash
+    randomness, not rand(seed)); and the global top-k must be
+    rank-limited, never a data-sized single-partition sort."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.curation import weighted_sample
+
+    rows = [(i, 1000 if i < 500 else 10) for i in range(5000)]
+    docs = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_sample(docs, k=200)
+    sel = {r["doc_id"] for r in out.collect()}
+    heavy = sum(1 for d in sel if d < 500)
+    # 500 docs at weight 1000 vs 4500 at weight 10: the heavy tenth
+    # should dominate the sample (expected share >> uniform's 10%)
+    assert heavy >= 120, heavy
+    sel2 = {
+        r["doc_id"]
+        for r in weighted_sample(docs.repartition(17), k=200).collect()
+    }
+    assert sel == sel2
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert ("WindowGroupLimit" in plan) or (
+        "TakeOrderedAndProject" in plan
+    ), plan

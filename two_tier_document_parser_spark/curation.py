@@ -433,3 +433,57 @@ def shuffle_rank(
     return part.mapInArrow(
         assign, "doc_id long, shuffle_key string, train_order long"
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    k: int = 50,
+    weight_col: str = "n_chars",
+    seed: str = "42",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis exponential race): each document draws
+    u = hash-uniform(doc_id|seed) and a priority -ln(u)/w; the k
+    smallest priorities win, so selection probability scales with
+    weight — the "sample the corpus biased toward long/high-quality
+    documents" curation step, but retry-stable and partitioning-
+    independent because the randomness is md5, never rand(seed).
+
+    Scale shape: the global row_number-≤-k rank is rank-limit-pushed
+    (each map partition forwards at most k rows before the final
+    bounded merge — never a data-sized single-partition sort). The
+    uniform comes from the first 8 md5 hex digits (+0.5 to dodge
+    ln(0)); division/comparison are IEEE-exact cross-engine, ln is
+    libm-1ulp — far below the score gaps between distinct docs.
+
+    Returns (doc_id, <weight_col>, score, rk), rk = 1..k by priority.
+    """
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|", F.col("doc_id").cast("string"), F.lit(seed)
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("double")
+    u = (h + F.lit(0.5)) / F.lit(4294967296.0)
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1.0))
+    scored = docs.select(
+        "doc_id", weight_col, (-F.log(u) / w).alias("score")
+    )
+    rk = F.row_number().over(Window.orderBy("score", "doc_id"))
+    return (
+        scored.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= k)
+        .select(
+            "doc_id",
+            weight_col,
+            F.round("score", 6).alias("score"),
+            "rk",
+        )
+    )
