@@ -304,6 +304,19 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental crawl dedup: odd doc_ids are the 'new batch',
+    even the committed corpus — exact fingerprint join + MinHash
+    new-vs-old LSH (never old×old) + integer-Jaccard verify."""
+    from two_tier_document_parser_spark.dedup import dedup_incremental
+
+    d = _docs(spark, sf_dir)
+    return dedup_incremental(
+        d.filter(F.col("doc_id") % 2 == 1),
+        d.filter(F.col("doc_id") % 2 == 0),
+    )
+
+
 def q_weighted_sample(spark, sf_dir):
     """Deterministic Efraimidis-Spirakis weighted sample (priority
     -ln(md5-uniform)/n_chars, k smallest win) — retry-stable,
@@ -1081,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "encode_tokens": q_encode_tokens,
         "profile_columns": q_profile_columns,
         "weighted_sample": q_weighted_sample,
+        "dedup_incremental": q_dedup_incremental,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1260,6 +1274,7 @@ def oracle_sql() -> dict[str, str]:
             " md5(concat(CAST(doc_id AS VARCHAR), '|', '42')), doc_id)"
             " AS train_order FROM documents"
         ),
+        "dedup_incremental": _dedup_incremental_sql(),
         "weighted_sample": (
             "WITH s AS (SELECT doc_id, n_chars,"
             " -ln(((('0x' || substring(md5(concat(CAST(doc_id AS VARCHAR),"
@@ -2034,4 +2049,80 @@ SELECT query, candidate, CAST(rank AS INT) AS rank FROM (
          AS rank
   FROM sims
 ) WHERE rank <= {k}
+"""
+
+
+def _dedup_incremental_sql(threshold_x1000: int = 500, max_bucket: int = 50) -> str:
+    norm = (
+        "array_to_string(list_filter(regexp_split_to_array(lower(text),"
+        " '\\s+'), t -> t != ''), ' ')"
+    )
+    return f"""
+WITH newd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1),
+oldd AS (SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+nfp AS (SELECT doc_id AS key, md5({norm}) AS fp FROM newd),
+ofp AS (SELECT md5({norm}) AS fp, min(doc_id) AS exact_old
+        FROM oldd GROUP BY 1),
+tokn AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) - 1
+           AS pos,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+  FROM documents
+),
+tok AS (SELECT * FROM tokn WHERE t <> ''),
+shg AS (
+  SELECT doc_id, t || ' ' || lead(t, 1) OVER w || ' ' || lead(t, 2) OVER w AS sh
+  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sh2 AS (SELECT doc_id, sh FROM shg WHERE sh IS NOT NULL),
+bnd AS (
+  SELECT doc_id, band, sh FROM sh2
+  CROSS JOIN (SELECT unnest(range(4)) AS band) bands
+),
+sig AS (
+  SELECT doc_id AS key, band,
+         min(md5(CAST(band AS VARCHAR) || ':' || sh)) AS min_hash
+  FROM bnd GROUP BY doc_id, band
+),
+sign AS (SELECT * FROM sig WHERE key % 2 = 1),
+sigo AS (SELECT * FROM sig WHERE key % 2 = 0),
+sized AS (
+  SELECT band, min_hash FROM sigo GROUP BY band, min_hash
+  HAVING count(*) <= {max_bucket}
+),
+op AS (SELECT sigo.* FROM sigo JOIN sized USING (band, min_hash)),
+cand AS (
+  SELECT DISTINCT sign.key AS a, op.key AS b
+  FROM sign JOIN op USING (band, min_hash)
+),
+ts AS (SELECT DISTINCT doc_id, t FROM tok),
+sizes AS (SELECT doc_id, count(*) AS n FROM ts GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM cand p JOIN ts ta ON ta.doc_id = p.a
+  JOIN ts tb ON tb.doc_id = p.b AND tb.t = ta.t
+  GROUP BY p.a, p.b
+),
+jac AS (
+  SELECT p.a, p.b,
+         COALESCE(i.i, 0) * 1000 // (sa.n + sb.n - COALESCE(i.i, 0)) AS j
+  FROM cand p
+  JOIN sizes sa ON sa.doc_id = p.a
+  JOIN sizes sb ON sb.doc_id = p.b
+  LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+),
+near AS (
+  SELECT a AS key, min(b) AS near_old FROM jac
+  WHERE j >= {threshold_x1000} GROUP BY a
+),
+ex AS (SELECT n.key, o.exact_old FROM nfp n LEFT JOIN ofp o USING (fp))
+SELECT nd.doc_id,
+       CASE WHEN ex.exact_old IS NOT NULL THEN 'exact_dup'
+            WHEN near.near_old IS NOT NULL THEN 'near_dup'
+            ELSE 'new' END AS status,
+       COALESCE(ex.exact_old, near.near_old) AS matched_old
+FROM newd nd
+LEFT JOIN ex ON ex.key = nd.doc_id
+LEFT JOIN near ON near.key = nd.doc_id
 """

@@ -71,6 +71,7 @@ NEW_SQL = [
     "encode_tokens",
     "profile_columns",
     "weighted_sample",
+    "dedup_incremental",
 ]
 
 
@@ -1033,3 +1034,37 @@ def test_weighted_sample_bias_determinism_and_plan(spark):
     assert ("WindowGroupLimit" in plan) or (
         "TakeOrderedAndProject" in plan
     ), plan
+
+
+def test_dedup_incremental_statuses(spark):
+    """Hand corpus: exact dup matches minimal old key; near dup
+    verified by token Jaccard; unrelated doc stays 'new'; old-side
+    dups of each other never pair (no old-by-old work)."""
+    from two_tier_document_parser_spark.dedup import dedup_incremental
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    old = spark.createDataFrame(
+        [
+            (2, base),
+            (4, base),                      # old dup of old — irrelevant
+            (6, "totally different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                       # exact dup -> min old = 2
+            (3, base + " iota"),             # near dup of 2/4 (J=8/9)
+            (5, "nothing shared with any committed document at all"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["status"], r["matched_old"])
+        for r in dedup_incremental(new, old).collect()
+    }
+    assert got == {
+        1: ("exact_dup", 2),
+        3: ("near_dup", 2),
+        5: ("new", None),
+    }

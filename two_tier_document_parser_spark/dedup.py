@@ -492,3 +492,83 @@ def winnow_fingerprints(
         .select("key", "fp")
         .distinct()
     )
+
+
+def dedup_incremental(
+    new_docs: DataFrame,
+    old_docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    threshold_x1000: int = 500,
+    max_bucket: int = 50,
+) -> DataFrame:
+    """Incremental cross-batch dedup — the production shape where a
+    new crawl increment is checked against the already-committed
+    corpus WITHOUT re-pairing the committed corpus with itself:
+
+    1. exact layer: fingerprint equi-join new→old (a dup's match is
+       the minimal old key sharing its fingerprint);
+    2. near layer: MinHash band signatures for both sides, candidate
+       pairs from the new×old band join ONLY (never old×old — at
+       10^12 committed docs that self-join is the whole point of
+       doing this incrementally), old-side viral buckets capped at
+       `max_bucket` exactly like the self-join path, then integer
+       token-Jaccard verification at `threshold_x1000`.
+
+    Key spaces must be disjoint. Returns one row per NEW document:
+    (key_col, status in {'exact_dup','near_dup','new'}, matched_old =
+    minimal matching old key or NULL); exact wins over near.
+    """
+    key = F.col(key_col)
+    nf = new_docs.select(
+        key.alias("key"), fingerprint(F.col(text_col)).alias("fp")
+    )
+    ofp = (
+        old_docs.select(
+            key.alias("okey"), fingerprint(F.col(text_col)).alias("fp")
+        )
+        .groupBy("fp")
+        .agg(F.min("okey").alias("exact_old"))
+    )
+    exact = nf.join(ofp, "fp", "left").select("key", "exact_old")
+
+    sig_new = minhash_bands(new_docs, text_col, key_col)
+    sig_old = minhash_bands(old_docs, text_col, key_col)
+    sizes = sig_old.groupBy("band", "min_hash").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    old_pruned = sig_old.join(
+        sizes.filter(F.col("bn") <= max_bucket), ["band", "min_hash"]
+    ).drop("bn")
+    cand = (
+        sig_new.select("band", "min_hash", F.col("key").alias("a"))
+        .join(
+            old_pruned.select("band", "min_hash", F.col("key").alias("b")),
+            ["band", "min_hash"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    union_frame = new_docs.select(key_col, text_col).unionByName(
+        old_docs.select(key_col, text_col)
+    )
+    near = (
+        jaccard_pairs(union_frame, cand, text_col, key_col)
+        .filter(F.col("jaccard_x1000") >= threshold_x1000)
+        .groupBy("a")
+        .agg(F.min("b").alias("near_old"))
+        .withColumnRenamed("a", "key")
+    )
+    return (
+        new_docs.select(key.alias("key"))
+        .join(exact, "key", "left")
+        .join(near, "key", "left")
+        .select(
+            F.col("key").alias(key_col),
+            F.when(F.col("exact_old").isNotNull(), "exact_dup")
+            .when(F.col("near_old").isNotNull(), "near_dup")
+            .otherwise("new")
+            .alias("status"),
+            F.coalesce("exact_old", "near_old").alias("matched_old"),
+        )
+    )
