@@ -304,6 +304,21 @@ def q_bucketed_join(spark, sf_dir):
     )
 
 
+def q_model_score(spark, sf_dir):
+    """Hashed bag-of-words linear classifier scoring: token → md5
+    bucket → broadcast weight join → per-doc logit + sigmoid. The
+    model is a broadcast table; inference is map-side relational
+    algebra (no UDF)."""
+    from two_tier_document_parser_spark.textstats import (
+        demo_weights,
+        hashed_linear_score,
+    )
+
+    return hashed_linear_score(
+        _docs(spark, sf_dir), demo_weights(spark)
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental crawl dedup: odd doc_ids are the 'new batch',
     even the committed corpus — exact fingerprint join + MinHash
@@ -1095,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "profile_columns": q_profile_columns,
         "weighted_sample": q_weighted_sample,
         "dedup_incremental": q_dedup_incremental,
+        "model_score": q_model_score,
         # Spark-only (rows-only check; exactness via pytest goldens:
         # extract_synth_spans = the tier kernels on the synthetic
         # interleaved corpus have no ANSI-SQL form)
@@ -1275,6 +1291,20 @@ def oracle_sql() -> dict[str, str]:
             " AS train_order FROM documents"
         ),
         "dedup_incremental": _dedup_incremental_sql(),
+        "model_score": (
+            f"{_TOK_CTE}, b AS (SELECT doc_id,"
+            " (('0x' || substring(md5(lower(token)), 1, 8))::UBIGINT)"
+            " % 1024 AS bucket FROM tok),"
+            " w AS (SELECT i AS bucket,"
+            " (((i * 2654435761) % 2001) - 1000) / 1000.0 AS w FROM"
+            " (SELECT unnest(range(1024)) AS i)),"
+            " s AS (SELECT b.doc_id, count(*) AS n_tokens,"
+            " sum(COALESCE(w.w, 0.0)) AS logit FROM b"
+            " LEFT JOIN w USING (bucket) GROUP BY b.doc_id)"
+            " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+            " round(logit, 6) AS logit,"
+            " round(1.0 / (1.0 + exp(-logit)), 6) AS score FROM s"
+        ),
         "weighted_sample": (
             "WITH s AS (SELECT doc_id, n_chars,"
             " -ln(((('0x' || substring(md5(concat(CAST(doc_id AS VARCHAR),"

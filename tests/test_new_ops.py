@@ -72,6 +72,7 @@ NEW_SQL = [
     "profile_columns",
     "weighted_sample",
     "dedup_incremental",
+    "model_score",
 ]
 
 
@@ -1068,3 +1069,45 @@ def test_dedup_incremental_statuses(spark):
         3: ("near_dup", 2),
         5: ("new", None),
     }
+
+
+def test_hashed_linear_score_matches_scalar(spark):
+    """Broadcast-join inference: the plan must contain a
+    BroadcastHashJoin (model travels to the data) and the score must
+    equal an independent scalar computation of the same model."""
+    import hashlib
+    import math
+
+    from two_tier_document_parser_spark.textstats import (
+        demo_weights,
+        hashed_linear_score,
+    )
+
+    texts = {1: "Alpha beta GAMMA alpha", 2: "one", 3: ""}
+    docs = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    out = hashed_linear_score(docs, demo_weights(spark))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["logit"], r["score"])
+        for r in out.collect()
+    }
+
+    def w(i):
+        return ((i * 2654435761) % 2001 - 1000) / 1000.0
+
+    for doc_id, text in texts.items():
+        toks = text.lower().split()
+        if not toks:
+            assert doc_id not in got  # no tokens -> no row (groupBy)
+            continue
+        logit = sum(
+            w(int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024)
+            for t in toks
+        )
+        score = 1.0 / (1.0 + math.exp(-logit))
+        assert got[doc_id][0] == len(toks)
+        assert abs(got[doc_id][1] - round(logit, 6)) < 1e-9
+        assert abs(got[doc_id][2] - round(score, 6)) < 1e-9

@@ -271,3 +271,70 @@ def encode_tokens(
             ).alias("token_id"),
         )
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Model-based quality scoring with a hashed bag-of-words linear
+    classifier (the fasttext-style filter production pipelines run
+    over every document): each lowercased token hashes into one of
+    `n_buckets` feature buckets; the document's logit is the sum of
+    its tokens' bucket weights; score = sigmoid(logit).
+
+    `weights` is a (bucket:long, w:double) table — MODEL-SIZED, so it
+    travels as a BROADCAST and the scoring pass is map-side: explode →
+    broadcast hash join → per-doc sum. No UDF, no per-row Python —
+    inference is plain relational algebra the JVM executes, which is
+    the entire trick for running a small model over 100 TB.
+
+    Token→bucket uses the first 8 md5 hex digits mod n_buckets
+    (cross-engine exact; DuckDB oracle does the identical
+    arithmetic). Returns (doc_id, n_tokens, logit, score), logit/
+    score rounded to 6 decimals.
+    """
+    tok = df.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+    )
+    bucketed = tok.withColumn(
+        "bucket",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        ),
+    )
+    scored = (
+        bucketed.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("_logit"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("_logit", 6).alias("logit"),
+        F.round(
+            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_logit"))), 6
+        ).alias("score"),
+    )
+
+
+def demo_weights(spark, n_buckets: int = 1024) -> DataFrame:
+    """Deterministic stand-in weight vector (no trained artifacts in
+    this sandbox): w[i] = ((i * 2654435761) % 2001 - 1000) / 1000 —
+    a fixed pseudo-random spread in [-1, 1] both engines can
+    reproduce exactly. A real deployment swaps in trained weights;
+    the scoring plan is identical."""
+    return spark.range(n_buckets).select(
+        F.col("id").alias("bucket"),
+        (
+            ((F.col("id") * F.lit(2654435761)) % 2001 - 1000) / F.lit(1000.0)
+        ).alias("w"),
+    )
