@@ -276,23 +276,44 @@ def q_bucketed_join(spark, sf_dir):
     has ZERO Exchange nodes — the 100 TB pattern for dimension/fact
     tables joined every run. Plan shape pinned by
     tests/test_scale_machinery.py; values checked by the oracle."""
+    import atexit
     import hashlib
     import os
+    import shutil
     import tempfile
 
     from two_tier_document_parser_spark.table_io import write_bucketed
+    from two_tier_document_parser_spark.textstats import token_count
 
     docs = _docs(spark, sf_dir)
     feats = docs.select("doc_id", "lang", "source")
     stats = docs.select(
         "doc_id",
         "n_chars",
-        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
-        .cast("long")
-        .alias("n_tokens"),
+        token_count(F.col("text")).cast("long").alias("n_tokens"),
     )
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # per-process tag: concurrent harness runs on the same sf_dir must
+    # not overwrite each other's live bucket files mid-scan; artifacts
+    # are dropped at interpreter exit (repeat calls in ONE process
+    # reuse the same tables, so bench reps stay comparable)
+    tag = hashlib.md5(
+        f"{sf_dir}|{os.getpid()}".encode()
+    ).hexdigest()[:8]
     base = os.path.join(tempfile.gettempdir(), f"ttdp_bucketed_{tag}")
+    if not getattr(q_bucketed_join, "_cleanup_tags", None):
+        q_bucketed_join._cleanup_tags = set()
+
+    def _cleanup(tag=tag, base=base, spark=spark):
+        for t in (f"ttdp_bfeat_{tag}", f"ttdp_bstat_{tag}"):
+            try:
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+            except Exception:
+                pass
+        shutil.rmtree(base, ignore_errors=True)
+
+    if tag not in q_bucketed_join._cleanup_tags:
+        q_bucketed_join._cleanup_tags.add(tag)
+        atexit.register(_cleanup)
     bf = write_bucketed(
         spark, feats, f"ttdp_bfeat_{tag}", f"{base}/feat", 8, "doc_id"
     )
@@ -1296,14 +1317,15 @@ def oracle_sql() -> dict[str, str]:
             " (('0x' || substring(md5(lower(token)), 1, 8))::UBIGINT)"
             " % 1024 AS bucket FROM tok),"
             " w AS (SELECT i AS bucket,"
-            " (((i * 2654435761) % 2001) - 1000) / 1000.0 AS w FROM"
-            " (SELECT unnest(range(1024)) AS i)),"
+            " CAST(((i * 2654435761) % 2001) - 1000 AS BIGINT)"
+            " AS w_milli FROM (SELECT unnest(range(1024)) AS i)),"
             " s AS (SELECT b.doc_id, count(*) AS n_tokens,"
-            " sum(COALESCE(w.w, 0.0)) AS logit FROM b"
+            " CAST(sum(COALESCE(w.w_milli, 0)) AS BIGINT) AS lm FROM b"
             " LEFT JOIN w USING (bucket) GROUP BY b.doc_id)"
             " SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
-            " round(logit, 6) AS logit,"
-            " round(1.0 / (1.0 + exp(-logit)), 6) AS score FROM s"
+            " CAST(lm AS DOUBLE) / 1000.0 AS logit,"
+            " round(1.0 / (1.0 + exp(-(CAST(lm AS DOUBLE) / 1000.0))), 6)"
+            " AS score FROM s"
         ),
         "weighted_sample": (
             "WITH s AS (SELECT doc_id, n_chars,"

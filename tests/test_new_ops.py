@@ -1009,6 +1009,21 @@ def test_profile_columns_single_scan(spark):
     assert approx["lang"] in (1, 2, 3)
 
 
+def test_profile_columns_special_names(spark):
+    """A messy external drop has dotted/spaced column names; the
+    profiler must treat them as literal names, not struct paths."""
+    from two_tier_document_parser_spark.profiling import profile_columns
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None)], ["a.b", "has space"]
+    )
+    got = {
+        r["col_name"]: (r["n_rows"], r["n_nulls"], r["n_distinct"])
+        for r in profile_columns(df).collect()
+    }
+    assert got == {"a.b": (2, 0, 2), "has space": (2, 1, 1)}
+
+
 def test_weighted_sample_bias_determinism_and_plan(spark):
     """Heavier docs must win far more often than light ones; the
     selection must be identical under re-partitioning (hash
@@ -1095,19 +1110,22 @@ def test_hashed_linear_score_matches_scalar(spark):
         for r in out.collect()
     }
 
-    def w(i):
-        return ((i * 2654435761) % 2001 - 1000) / 1000.0
+    def w_milli(i):
+        return (i * 2654435761) % 2001 - 1000
 
     for doc_id, text in texts.items():
         toks = text.lower().split()
         if not toks:
             assert doc_id not in got  # no tokens -> no row (groupBy)
             continue
-        logit = sum(
-            w(int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024)
+        lm = sum(
+            w_milli(
+                int(hashlib.md5(t.encode()).hexdigest()[:8], 16) % 1024
+            )
             for t in toks
         )
+        logit = lm / 1000.0  # exact: integer milli sum, one division
         score = 1.0 / (1.0 + math.exp(-logit))
         assert got[doc_id][0] == len(toks)
-        assert abs(got[doc_id][1] - round(logit, 6)) < 1e-9
+        assert got[doc_id][1] == logit  # order-free integer sum
         assert abs(got[doc_id][2] - round(score, 6)) < 1e-9

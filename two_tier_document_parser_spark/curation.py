@@ -413,6 +413,7 @@ def shuffle_rank(
         acc += counts[pid]
 
     def assign(batches):
+        import numpy as np
         import pyarrow as pa
 
         pos = None
@@ -422,7 +423,7 @@ def shuffle_rank(
             if pos is None:
                 pos = offsets.get(b.column("pid")[0].as_py(), 0)
             order = pa.array(
-                range(pos + 1, pos + b.num_rows + 1), type=pa.int64()
+                np.arange(pos + 1, pos + 1 + b.num_rows, dtype=np.int64)
             )
             pos += b.num_rows
             yield pa.record_batch(

@@ -89,18 +89,25 @@ def minhash_bands(
     return bands.groupBy("key", "band").agg(F.min("h").alias("min_hash"))
 
 
+def _cap_buckets(sig: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop signature rows in (band, min_hash) buckets larger than
+    `max_bucket` — the viral-boilerplate-shingle skew guard shared by
+    the self-join and incremental LSH paths."""
+    bucket_sizes = sig.groupBy("band", "min_hash").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    return sig.join(
+        bucket_sizes.filter(F.col("bn") <= max_bucket), ["band", "min_hash"]
+    ).drop("bn")
+
+
 def lsh_candidate_pairs(
     sig: DataFrame, max_bucket: int = 50
 ) -> DataFrame:
     """Self-join band signatures -> distinct candidate pairs (a < b).
     Buckets larger than `max_bucket` are dropped (boilerplate-shingle
     skew guard — standard practice for web-scale LSH dedup)."""
-    bucket_sizes = sig.groupBy("band", "min_hash").agg(
-        F.count(F.lit(1)).alias("bn")
-    )
-    pruned = sig.join(
-        bucket_sizes.filter(F.col("bn") <= max_bucket), ["band", "min_hash"]
-    ).drop("bn")
+    pruned = _cap_buckets(sig, max_bucket)
     a = pruned.select(
         F.col("band"), F.col("min_hash"), F.col("key").alias("a")
     )
@@ -534,12 +541,7 @@ def dedup_incremental(
 
     sig_new = minhash_bands(new_docs, text_col, key_col)
     sig_old = minhash_bands(old_docs, text_col, key_col)
-    sizes = sig_old.groupBy("band", "min_hash").agg(
-        F.count(F.lit(1)).alias("bn")
-    )
-    old_pruned = sig_old.join(
-        sizes.filter(F.col("bn") <= max_bucket), ["band", "min_hash"]
-    ).drop("bn")
+    old_pruned = _cap_buckets(sig_old, max_bucket)
     cand = (
         sig_new.select("band", "min_hash", F.col("key").alias("a"))
         .join(
@@ -549,8 +551,17 @@ def dedup_incremental(
         .select("a", "b")
         .distinct()
     )
+    # verify touches ONLY docs that appear in a candidate pair — the
+    # committed corpus is semi-joined down to cand's old keys first,
+    # so the Jaccard token shuffle is bounded by the candidate set,
+    # never by the 10^12-doc history
+    old_hit = old_docs.join(
+        cand.select(F.col("b").alias(key_col)).distinct(),
+        key_col,
+        "left_semi",
+    )
     union_frame = new_docs.select(key_col, text_col).unionByName(
-        old_docs.select(key_col, text_col)
+        old_hit.select(key_col, text_col)
     )
     near = (
         jaccard_pairs(union_frame, cand, text_col, key_col)

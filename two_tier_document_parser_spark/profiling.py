@@ -34,13 +34,19 @@ def profile_columns(
     distinct_of = (
         F.countDistinct if exact_distinct else F.approx_count_distinct
     )
+    # backtick-quote so the EXACT column name resolves (dots, spaces —
+    # bare F.col("a.b") would mean struct access); intermediate aliases
+    # are positional so no user name ever appears in an identifier
+    def src(c):
+        return F.col("`" + c.replace("`", "``") + "`")
+
     aggs = [F.count(F.lit(1)).cast("long").alias("__rows")]
-    for c in cols:
+    for i, c in enumerate(cols):
         aggs += [
-            F.count(F.col(c)).cast("long").alias(f"{c}__nn"),
-            distinct_of(F.col(c)).cast("long").alias(f"{c}__nd"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            F.count(src(c)).cast("long").alias(f"__c{i}_nn"),
+            distinct_of(src(c)).cast("long").alias(f"__c{i}_nd"),
+            F.min(src(c)).cast("string").alias(f"__c{i}_min"),
+            F.max(src(c)).cast("string").alias(f"__c{i}_max"),
         ]
     one = df.agg(*aggs)
     packed = F.array(
@@ -48,14 +54,14 @@ def profile_columns(
             F.struct(
                 F.lit(c).alias("col_name"),
                 F.col("__rows").alias("n_rows"),
-                (F.col("__rows") - F.col(f"{c}__nn"))
+                (F.col("__rows") - F.col(f"__c{i}_nn"))
                 .cast("long")
                 .alias("n_nulls"),
-                F.col(f"{c}__nd").alias("n_distinct"),
-                F.col(f"{c}__min").alias("min_str"),
-                F.col(f"{c}__max").alias("max_str"),
+                F.col(f"__c{i}_nd").alias("n_distinct"),
+                F.col(f"__c{i}_min").alias("min_str"),
+                F.col(f"__c{i}_max").alias("max_str"),
             )
-            for c in cols
+            for i, c in enumerate(cols)
         ]
     )
     return one.select(F.explode(packed).alias("p")).select("p.*")

@@ -285,16 +285,23 @@ def hashed_linear_score(
     `n_buckets` feature buckets; the document's logit is the sum of
     its tokens' bucket weights; score = sigmoid(logit).
 
-    `weights` is a (bucket:long, w:double) table — MODEL-SIZED, so it
-    travels as a BROADCAST and the scoring pass is map-side: explode →
-    broadcast hash join → per-doc sum. No UDF, no per-row Python —
-    inference is plain relational algebra the JVM executes, which is
-    the entire trick for running a small model over 100 TB.
+    `weights` is a (bucket:long, w_milli:long) table — MODEL-SIZED,
+    so it travels as a BROADCAST and the scoring pass is map-side:
+    explode → broadcast hash join → per-doc sum. No UDF, no per-row
+    Python — inference is plain relational algebra the JVM executes,
+    which is the entire trick for running a small model over 100 TB.
+
+    Weights are INTEGER milli-units deliberately: a double sum is
+    non-associative, so its low bits depend on partition merge order
+    and a rounded logit can flip at a rounding boundary between runs
+    or engines; the integer sum is exact and order-free (the repo's
+    integer-score convention, SURVEY §7.7.4), and the single final
+    division by 1000 is IEEE-exact-identical everywhere.
 
     Token→bucket uses the first 8 md5 hex digits mod n_buckets
     (cross-engine exact; DuckDB oracle does the identical
-    arithmetic). Returns (doc_id, n_tokens, logit, score), logit/
-    score rounded to 6 decimals.
+    arithmetic). Returns (doc_id, n_tokens, logit, score), score
+    rounded to 6 decimals.
     """
     tok = df.select(
         "doc_id",
@@ -313,28 +320,32 @@ def hashed_linear_score(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.sum(F.coalesce(F.col("w"), F.lit(0.0))).alias("_logit"),
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(0)))
+            .cast("long")
+            .alias("_lm"),
         )
     )
+    logit = F.col("_lm") / F.lit(1000.0)
     return scored.select(
         "doc_id",
         "n_tokens",
-        F.round("_logit", 6).alias("logit"),
-        F.round(
-            F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("_logit"))), 6
-        ).alias("score"),
+        logit.alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+            "score"
+        ),
     )
 
 
 def demo_weights(spark, n_buckets: int = 1024) -> DataFrame:
     """Deterministic stand-in weight vector (no trained artifacts in
-    this sandbox): w[i] = ((i * 2654435761) % 2001 - 1000) / 1000 —
-    a fixed pseudo-random spread in [-1, 1] both engines can
-    reproduce exactly. A real deployment swaps in trained weights;
-    the scoring plan is identical."""
+    this sandbox): w_milli[i] = (i * 2654435761) % 2001 - 1000 — a
+    fixed pseudo-random spread of integer milli-weights in
+    [-1000, 1000] both engines reproduce exactly. A real deployment
+    quantizes its trained weights to milli-units; the scoring plan is
+    identical."""
     return spark.range(n_buckets).select(
         F.col("id").alias("bucket"),
-        (
-            ((F.col("id") * F.lit(2654435761)) % 2001 - 1000) / F.lit(1000.0)
-        ).alias("w"),
+        ((F.col("id") * F.lit(2654435761)) % 2001 - 1000)
+        .cast("long")
+        .alias("w_milli"),
     )
