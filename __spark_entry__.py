@@ -340,6 +340,52 @@ def q_model_score(spark, sf_dir):
     )
 
 
+def q_token_commonness(spark, sf_dir):
+    """Corpus-frequency quality signal: global token counts joined
+    back per doc — integer-only (sum/min of global counts, hapax
+    occurrences)."""
+    from two_tier_document_parser_spark.textstats import token_commonness
+
+    return token_commonness(_docs(spark, sf_dir))
+
+
+def q_snapshot_diff(spark, sf_dir):
+    """Snapshot reconciliation: two deterministic variants of the
+    corpus (md5-bucket: '0' absent from old, '1' text-mutated in old,
+    '2' absent from new) full-outer hash-compared to
+    added/changed/removed/unchanged per doc."""
+    from two_tier_document_parser_spark.curation import snapshot_diff
+
+    docs = _docs(spark, sf_dir)
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":snap:42"))),
+        1,
+        1,
+    )
+    old = docs.filter(h != "0").withColumn(
+        "text",
+        F.when(h == "1", F.upper(F.col("text"))).otherwise(F.col("text")),
+    )
+    new = docs.filter(h != "2")
+    return snapshot_diff(old, new)
+
+
+def q_caption_align(spark, sf_dir):
+    """Interleaved media-text alignment: every image span of the
+    extracted synthetic corpus paired with its nearest preceding and
+    following content span (caption candidates). Spans come from the
+    full two-tier cascade; no ANSI-SQL form (the synth corpus is not
+    SQL-constructible) — exactness is pytest-gated on a hand corpus,
+    the driver records the rows-only check."""
+    from two_tier_document_parser_spark.multimodal import caption_align
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    out = extract(spark, synth_spark(spark, 200, partitions=8))
+    return caption_align(out)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental crawl dedup: odd doc_ids are the 'new batch',
     even the committed corpus — exact fingerprint join + MinHash
@@ -1106,6 +1152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- group 1: never driver-attested (judge-verified locally
         #    in round 2; rotated into the checked window) --
+        "token_commonness": q_token_commonness,
+        "snapshot_diff": q_snapshot_diff,
         "html_ingest": q_html_ingest,
         "pdf_ingest": q_pdf_ingest,
         "simhash": q_simhash,
@@ -1133,9 +1181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "model_score": q_model_score,
         # Spark-only (rows-only check; exactness via pytest goldens:
-        # extract_synth_spans = the tier kernels on the synthetic
-        # interleaved corpus have no ANSI-SQL form)
+        # the synthetic interleaved corpus has no ANSI-SQL form)
         "extract_synth_spans": q_extract_synth_spans,
+        "caption_align": q_caption_align,
         # -- group 2: attested once (r02 only) --
         "asof_click_error": q_asof_click_error,
         "interval_error_view": q_interval_error_view,
@@ -1312,6 +1360,35 @@ def oracle_sql() -> dict[str, str]:
             " AS train_order FROM documents"
         ),
         "dedup_incremental": _dedup_incremental_sql(),
+        "token_commonness": (
+            f"{_TOK_CTE}, g AS (SELECT token, count(*) AS gfreq"
+            " FROM tok GROUP BY token)"
+            " SELECT tok.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+            " CAST(sum(g.gfreq) AS BIGINT) AS sum_freq,"
+            " CAST(min(g.gfreq) AS BIGINT) AS min_freq,"
+            " CAST(sum(CASE WHEN g.gfreq <= 1 THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_rare"
+            " FROM tok JOIN g USING (token) GROUP BY tok.doc_id"
+        ),
+        "snapshot_diff": (
+            "WITH h AS (SELECT doc_id,"
+            " substring(md5(CAST(doc_id AS VARCHAR) || ':snap:42'), 1, 1)"
+            " AS b, text FROM documents),"
+            " old AS (SELECT doc_id, md5(COALESCE(CAST("
+            "   CASE WHEN b = '1' THEN upper(text) ELSE text END"
+            "   AS VARCHAR), chr(1) || 'null') || chr(31)) AS old_hash"
+            "   FROM h WHERE b <> '0'),"
+            " new AS (SELECT doc_id, md5(COALESCE(CAST(text AS VARCHAR),"
+            "   chr(1) || 'null') || chr(31)) AS new_hash"
+            "   FROM h WHERE b <> '2')"
+            " SELECT doc_id,"
+            " CASE WHEN old_hash IS NULL THEN 'added'"
+            "      WHEN new_hash IS NULL THEN 'removed'"
+            "      WHEN old_hash = new_hash THEN 'unchanged'"
+            "      ELSE 'changed' END AS status,"
+            " old_hash, new_hash"
+            " FROM old FULL OUTER JOIN new USING (doc_id)"
+        ),
         "model_score": (
             f"{_TOK_CTE}, b AS (SELECT doc_id,"
             " (('0x' || substring(md5(lower(token)), 1, 8))::UBIGINT)"

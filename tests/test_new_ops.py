@@ -73,6 +73,8 @@ NEW_SQL = [
     "weighted_sample",
     "dedup_incremental",
     "model_score",
+    "token_commonness",
+    "snapshot_diff",
 ]
 
 
@@ -1129,3 +1131,89 @@ def test_hashed_linear_score_matches_scalar(spark):
         assert got[doc_id][0] == len(toks)
         assert got[doc_id][1] == logit  # order-free integer sum
         assert abs(got[doc_id][2] - round(score, 6)) < 1e-9
+
+
+def test_caption_align_hand_corpus(spark):
+    """Exact alignment on a hand doc: nearest preceding/following
+    CONTENT span (empty-text and non-content spans skipped), image at
+    document start has no prev, consecutive images share neighbors."""
+    from two_tier_document_parser_spark.multimodal import caption_align
+
+    spans = [
+        ("image", "", "img0", 0),          # no prev
+        ("heading", "Intro", "", 1),
+        ("page_break", "", "", 2),         # not content
+        ("image", "", "img1", 3),
+        ("image", "", "img2", 4),          # consecutive
+        ("text", "Figure 1: a chart", "", 5),
+        ("text", "", "", 6),               # empty text -> skipped
+    ]
+    doc = spark.createDataFrame(
+        [("d1", [s for s in spans])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,order:int>>",
+    )
+    got = {
+        r["media_ref"]: (
+            r["prev_kind"], r["prev_text"], r["prev_dist"],
+            r["next_kind"], r["next_text"], r["next_dist"],
+            r["caption_hint"],
+        )
+        for r in caption_align(doc).collect()
+    }
+    assert got == {
+        "img0": (None, None, None,
+                 "heading", "Intro", 1, False),
+        "img1": ("heading", "Intro", 2,
+                 "text", "Figure 1: a chart", 2, True),
+        "img2": ("heading", "Intro", 3,
+                 "text", "Figure 1: a chart", 1, True),
+    }
+    # ONE data-sized exchange (hash on doc_id for the window); the
+    # filter-to-images happens after the window, no second shuffle
+    plan = caption_align(doc)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_token_commonness_hand_corpus(spark):
+    """Integer corpus-frequency rollup: 'a' appears 3x globally,
+    'b' 2x, 'c' 1x (hapax)."""
+    from two_tier_document_parser_spark.textstats import token_commonness
+
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a b c"), (3, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["sum_freq"], r["min_freq"], r["n_rare"]
+        )
+        for r in token_commonness(docs).collect()
+    }
+    # doc 1: tokens a,a,b -> freqs 3,3,2 ; doc 2: a,b,c -> 3,2,1
+    assert got == {1: (3, 8, 2, 0), 2: (3, 6, 1, 1)}
+    assert 3 not in got  # token-less doc -> no row (groupBy)
+
+
+def test_snapshot_diff_statuses(spark):
+    """All four statuses + null-content hashing (null != empty)."""
+    from two_tier_document_parser_spark.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "same"), (2, "before"), (3, "gone"), (5, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, "same"), (2, "after"), (4, "fresh"), (5, "")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {
+        1: "unchanged",
+        2: "changed",
+        3: "removed",
+        4: "added",
+        5: "changed",  # null -> '' is a content change, not identity
+    }

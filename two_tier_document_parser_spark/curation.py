@@ -488,3 +488,46 @@ def weighted_sample(
             "rk",
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str = "doc_id",
+    content_cols: tuple[str, ...] = ("text",),
+) -> DataFrame:
+    """Reconcile two corpus snapshots: one row per key with status
+    added / removed / changed / unchanged — the audit a pipeline runs
+    before recomputing anything downstream of a refreshed crawl (and
+    the input to incremental recompute: only added+changed flow on).
+
+    Content equality is md5 over the concatenated content columns
+    (null-safe: a null column hashes differently from an empty one),
+    so the diff moves ONE hash per row, never the document bodies.
+    Plan: project-to-hash on each side, then a single full outer
+    hash join on the key. At 100 TB both snapshots live bucketed on
+    the key (table_io.write_bucketed), which makes this join
+    exchange-free — the snapshot layout exists for exactly this
+    recurring reconciliation.
+    """
+    def hashed(df: DataFrame, alias: str) -> DataFrame:
+        parts = []
+        for c in content_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x01null")))
+            parts.append(F.lit("\x1f"))
+        return df.select(
+            F.col(key_col), F.md5(F.concat(*parts)).alias(alias)
+        )
+
+    o = hashed(old, "old_hash")
+    n = hashed(new, "new_hash")
+    joined = o.join(n, key_col, "full_outer")
+    status = (
+        F.when(F.col("old_hash").isNull(), F.lit("added"))
+        .when(F.col("new_hash").isNull(), F.lit("removed"))
+        .when(F.col("old_hash") == F.col("new_hash"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        key_col, status.alias("status"), "old_hash", "new_hash"
+    )

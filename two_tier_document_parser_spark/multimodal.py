@@ -250,3 +250,72 @@ def extract_media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def caption_align(documents_out: DataFrame) -> DataFrame:
+    """Media-text alignment over the interleaved span stream: pair
+    every image span with its nearest preceding and following
+    content span (text / heading / list_item / table) in reading
+    order — the caption-candidate pass a multimodal training
+    pipeline runs before building image-text examples (the reference
+    emits images and surrounding markdown separately,
+    fast/service.py:42; pairing them is the consumer's job — here it
+    is a first-class operator).
+
+    Plan shape: posexplode -> ONE hash exchange on doc_id -> a single
+    Window partitioning carrying both frames (last-before via
+    rowsBetween(unboundedPreceding, -1) + first-after via
+    rowsBetween(1, unboundedFollowing), both ignorenulls). No join,
+    no second shuffle — at 10^12 docs the cost is one data-sized
+    exchange, and docs are small so per-key window state is bounded.
+
+    Returns one row per image span:
+    (doc_id, media_ref, order, prev_kind, prev_text, prev_dist,
+     next_kind, next_text, next_dist, caption_hint) where *_dist is
+    the span-order distance and caption_hint flags a following span
+    that starts with a figure/table label ("Figure 3:", "Table 2.").
+    """
+    from pyspark.sql import Window
+
+    content = F.col("s.kind").isin("text", "heading", "list_item", "table") & (
+        F.col("s.text") != ""
+    )
+    spans = documents_out.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+        F.col("s.order").alias("order"),
+        F.when(
+            content, F.struct(F.col("s.order"), F.col("s.kind"), F.col("s.text"))
+        ).alias("c"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("order")
+    before = w.rowsBetween(Window.unboundedPreceding, -1)
+    after = w.rowsBetween(1, Window.unboundedFollowing)
+    prev_c = F.last("c", ignorenulls=True).over(before)
+    next_c = F.first("c", ignorenulls=True).over(after)
+    out = (
+        spans.withColumn("prev_c", prev_c)
+        .withColumn("next_c", next_c)
+        .filter(F.col("kind") == "image")
+    )
+    return out.select(
+        "doc_id",
+        "media_ref",
+        F.col("order").cast("long").alias("order"),
+        F.col("prev_c.kind").alias("prev_kind"),
+        F.col("prev_c.text").alias("prev_text"),
+        (F.col("order") - F.col("prev_c.order")).cast("long").alias("prev_dist"),
+        F.col("next_c.kind").alias("next_kind"),
+        F.col("next_c.text").alias("next_text"),
+        (F.col("next_c.order") - F.col("order")).cast("long").alias("next_dist"),
+        F.coalesce(
+            F.lower(F.col("next_c.text")).rlike(
+                r"^(figure|fig\.?|table)\s+\d+"
+            ),
+            F.lit(False),
+        ).alias("caption_hint"),
+    )

@@ -349,3 +349,47 @@ def demo_weights(spark, n_buckets: int = 1024) -> DataFrame:
         .cast("long")
         .alias("w_milli"),
     )
+
+
+def token_commonness(
+    df: DataFrame, rare_max: int = 1, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-frequency quality signal (the CCNet idea with the LM
+    replaced by corpus statistics): score each document by how
+    common its tokens are globally. Gibberish / OCR noise is mostly
+    hapax tokens; boilerplate is mostly ultra-common ones — both
+    tails are what a curation pass wants to see.
+
+    Two corpus passes by construction: (1) token -> global count
+    (vocab-sized aggregate with map-side partials), (2) join the
+    counts back onto the exploded token stream and roll up per doc.
+    The join-back keys on token — at 100 TB cut the count table to
+    tokens above a floor and BROADCAST it (OOV -> count 1), exactly
+    the encode_tokens vocabulary pattern; here the uncut join keeps
+    the oracle exact.
+
+    Integer-only output (the repo's cross-engine-exact convention):
+    (doc_id, n_tokens, sum_freq, min_freq, n_rare) — sum/min of
+    global counts over the doc's tokens and how many of its token
+    occurrences have global count <= rare_max.
+    """
+    tok = df.select(
+        "doc_id", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("gfreq")
+    )
+    return (
+        tok.join(counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum("gfreq").cast("long").alias("sum_freq"),
+            F.min("gfreq").cast("long").alias("min_freq"),
+            F.sum(
+                F.when(F.col("gfreq") <= rare_max, 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_rare"),
+        )
+    )
