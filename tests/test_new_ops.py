@@ -1217,3 +1217,72 @@ def test_snapshot_diff_statuses(spark):
         4: "added",
         5: "changed",  # null -> '' is a content change, not identity
     }
+
+
+def test_caption_align_property_vs_reference(spark):
+    """Differential check: random interleaved span sequences, the
+    window-based distributed alignment must equal an O(n) single-pass
+    Python reference."""
+    import random
+
+    rng = random.Random(7)
+    kinds = ["text", "heading", "list_item", "table", "image",
+             "page_break", "boilerplate", "formula"]
+    docs = []
+    for d in range(30):
+        n = rng.randint(1, 25)
+        spans = []
+        for i in range(n):
+            k = rng.choice(kinds)
+            text = (
+                "" if k in ("image", "page_break")
+                else rng.choice(["", "word", "Figure 2: x", "Table 10."])
+            )
+            ref = f"m{d}_{i}" if k == "image" else ""
+            spans.append((k, text, ref, i))
+        docs.append((f"d{d}", spans))
+
+    def reference(spans):
+        content = [
+            (o, k, t)
+            for (k, t, _m, o) in spans
+            if k in ("text", "heading", "list_item", "table") and t != ""
+        ]
+        out = {}
+        for (k, t, m, o) in spans:
+            if k != "image":
+                continue
+            prev = max((c for c in content if c[0] < o), default=None)
+            nxt = min((c for c in content if c[0] > o), default=None)
+            hint = bool(nxt) and bool(
+                __import__("re").match(
+                    r"^(figure|fig\.?|table)\s+\d+", nxt[2].lower()
+                )
+            )
+            out[m] = (
+                prev[1] if prev else None, prev[2] if prev else None,
+                o - prev[0] if prev else None,
+                nxt[1] if nxt else None, nxt[2] if nxt else None,
+                nxt[0] - o if nxt else None, hint,
+            )
+        return out
+
+    from two_tier_document_parser_spark.multimodal import caption_align
+
+    df = spark.createDataFrame(
+        docs,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,order:int>>",
+    )
+    got = {
+        r["media_ref"]: (
+            r["prev_kind"], r["prev_text"], r["prev_dist"],
+            r["next_kind"], r["next_text"], r["next_dist"],
+            r["caption_hint"],
+        )
+        for r in caption_align(df).collect()
+    }
+    want = {}
+    for _d, spans in docs:
+        want.update(reference(spans))
+    assert got == want
