@@ -386,6 +386,17 @@ def q_caption_align(spark, sf_dir):
     return caption_align(out)
 
 
+def q_props_rollup(spark, sf_dir):
+    """Semi-structured extraction: one from_json parse of the events
+    props column (JVM-side, all fields in one pass) + per-type
+    integer rollup. Null-safe on malformed/missing keys."""
+    from two_tier_document_parser_spark.events import props_rollup
+
+    return props_rollup(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental crawl dedup: odd doc_ids are the 'new batch',
     even the committed corpus — exact fingerprint join + MinHash
@@ -1154,6 +1165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    in round 2; rotated into the checked window) --
         "token_commonness": q_token_commonness,
         "snapshot_diff": q_snapshot_diff,
+        "props_rollup": q_props_rollup,
         "html_ingest": q_html_ingest,
         "pdf_ingest": q_pdf_ingest,
         "simhash": q_simhash,
@@ -1360,6 +1372,17 @@ def oracle_sql() -> dict[str, str]:
             " AS train_order FROM documents"
         ),
         "dedup_incremental": _dedup_incremental_sql(),
+        "props_rollup": (
+            "WITH p AS (SELECT event_type,"
+            " CAST(json_extract_string(props, '$.k') AS INTEGER) AS k"
+            " FROM events)"
+            " SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,"
+            " CAST(count(k) AS BIGINT) AS n_with_k,"
+            " CAST(sum(k) AS BIGINT) AS sum_k,"
+            " CAST(min(k) AS BIGINT) AS min_k,"
+            " CAST(max(k) AS BIGINT) AS max_k"
+            " FROM p GROUP BY event_type"
+        ),
         "token_commonness": (
             f"{_TOK_CTE}, g AS (SELECT token, count(*) AS gfreq"
             " FROM tok GROUP BY token)"

@@ -75,6 +75,7 @@ NEW_SQL = [
     "model_score",
     "token_commonness",
     "snapshot_diff",
+    "props_rollup",
 ]
 
 
@@ -1286,3 +1287,32 @@ def test_caption_align_property_vs_reference(spark):
     for _d, spans in docs:
         want.update(reference(spans))
     assert got == want
+
+
+def test_props_rollup_null_safety(spark):
+    """from_json must null out malformed JSON, missing keys, and
+    wrong-typed values without throwing; the n_events/n_with_k gap
+    surfaces them."""
+    from two_tier_document_parser_spark.events import props_rollup
+
+    ev = spark.createDataFrame(
+        [
+            ("click", '{"k": 3}'),
+            ("click", '{"k": 5, "extra": "x"}'),
+            ("click", "not json at all"),
+            ("view", '{"other": 1}'),       # key missing
+            ("view", '{"k": "str"}'),       # wrong type -> null
+            ("view", None),                  # null props
+        ],
+        "event_type string, props string",
+    )
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_with_k"], r["sum_k"], r["min_k"], r["max_k"]
+        )
+        for r in props_rollup(ev).collect()
+    }
+    assert got == {
+        "click": (3, 2, 8, 3, 5),
+        "view": (3, 0, None, None, None),
+    }

@@ -183,3 +183,35 @@ def interval_join(
             (F.col("b_epoch") - F.col("a_epoch")).alias("delta_s"),
         )
     )
+
+
+def props_rollup(events: DataFrame, field: str = "k") -> DataFrame:
+    """Semi-structured extraction: events carry a JSON `props` string
+    (the universal event-pipeline pattern); parse it with an explicit
+    schema via `from_json` — JVM-side, whole-stage-codegen'd, one
+    parse per row for ALL fields (never per-field get_json_object
+    re-parses, never a Python UDF) — and roll the extracted integer
+    up per event_type.
+
+    Malformed JSON and missing keys parse to null (from_json never
+    throws — the error-channel contract), surfaced via the
+    n_events/n_with_k gap so silent schema drift is visible in the
+    rollup rather than swallowed.
+
+    Scale: parse is map-side in the scan stage; the rollup is one
+    key-hashed exchange with map-side partials. Returns
+    (event_type, n_events, n_with_k, sum_k, min_k, max_k).
+    """
+    parsed = events.select(
+        "event_type",
+        F.from_json(F.col("props"), f"{field} INT")
+        .getField(field)
+        .alias("k"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("k").cast("long").alias("n_with_k"),
+        F.sum("k").cast("long").alias("sum_k"),
+        F.min("k").cast("long").alias("min_k"),
+        F.max("k").cast("long").alias("max_k"),
+    )
