@@ -957,6 +957,38 @@ def q_semi_customers(spark, sf_dir):
     ).select("c_custkey", "c_mktsegment")
 
 
+def q_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-per-group join-back / correlated subquery):
+    cheapest supplier per part by integer-cent lineitem cost. The
+    argmin is `min(struct(cost, suppkey))` — lexicographic struct min
+    gives min cost with a deterministic suppkey tiebreak as ONE
+    mergeable aggregate (map-side partials), instead of a window sort
+    or a self-join back onto the min — the idiom that survives 100 TB.
+    Both dims broadcast."""
+    li = _tbl(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cost_c"
+        )
+    )
+    best = (
+        ps.groupBy("l_partkey")
+        .agg(F.min(F.struct("cost_c", "l_suppkey")).alias("m"))
+        .select(
+            "l_partkey",
+            F.col("m.cost_c").alias("cost_c"),
+            F.col("m.l_suppkey").alias("l_suppkey"),
+        )
+    )
+    p = _tbl(spark, sf_dir, "part")
+    s = _tbl(spark, sf_dir, "supplier")
+    return (
+        best.join(F.broadcast(p), best["l_partkey"] == p["p_partkey"])
+        .join(F.broadcast(s), best["l_suppkey"] == s["s_suppkey"])
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "cost_c")
+    )
+
+
 def q_curate(spark, sf_dir):
     """End-to-end corpus curation: exact dedup + LSH near-dup
     clusters + quality gate + language filter -> one keep/drop
@@ -1166,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_commonness": q_token_commonness,
         "snapshot_diff": q_snapshot_diff,
         "props_rollup": q_props_rollup,
+        "min_cost_supplier": q_min_cost_supplier,
         "html_ingest": q_html_ingest,
         "pdf_ingest": q_pdf_ingest,
         "simhash": q_simhash,
@@ -1372,6 +1405,20 @@ def oracle_sql() -> dict[str, str]:
             " AS train_order FROM documents"
         ),
         "dedup_incremental": _dedup_incremental_sql(),
+        "min_cost_supplier": (
+            "WITH ps AS (SELECT l_partkey, l_suppkey,"
+            " CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))"
+            " AS BIGINT) AS cost_c"
+            " FROM lineitem GROUP BY l_partkey, l_suppkey),"
+            " best AS (SELECT l_partkey, cost_c, l_suppkey,"
+            " row_number() OVER (PARTITION BY l_partkey"
+            " ORDER BY cost_c, l_suppkey) AS rn FROM ps)"
+            " SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name,"
+            " b.cost_c"
+            " FROM best b JOIN part p ON b.l_partkey = p.p_partkey"
+            " JOIN supplier s ON b.l_suppkey = s.s_suppkey"
+            " WHERE b.rn = 1"
+        ),
         "props_rollup": (
             "WITH p AS (SELECT event_type,"
             " CAST(json_extract_string(props, '$.k') AS INTEGER) AS k"

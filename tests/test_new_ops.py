@@ -76,6 +76,7 @@ NEW_SQL = [
     "token_commonness",
     "snapshot_diff",
     "props_rollup",
+    "min_cost_supplier",
 ]
 
 
