@@ -833,3 +833,115 @@ def test_aqe_splits_skewed_join_partition(spark):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_zorder_layout_skips_on_both_axes(spark, tmp_path):
+    """Z-order clustering must give multi-axis data skipping: for a
+    small (x, y) rectangle query, the number of files whose parquet
+    footer min/max overlaps the rectangle is small under the z-order
+    layout, while a linear x-sort layout overlaps EVERY file on a
+    y-only predicate (each x-slice file spans all y). Overlap is
+    measured directly from the footers — the exact stats the reader
+    prunes with — and values must round-trip exactly."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.table_io import write_zordered
+
+    grid = spark.createDataFrame(
+        [(x, y, x * 64 + y) for x in range(64) for y in range(64)],
+        "x long, y long, payload long",
+    )
+    zpath = str(tmp_path / "zord")
+    lpath = str(tmp_path / "linear")
+    write_zordered(grid, zpath, ["x", "y"], bits=6, files=16)
+    (
+        grid.repartitionByRange(16, "x")
+        .sortWithinPartitions("x")
+        .write.mode("overwrite")
+        .parquet(lpath)
+    )
+
+    def overlapping(path, lo, hi, col):
+        n = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(
+                md.row_group(g).column(idx).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            fmax = max(
+                md.row_group(g).column(idx).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            if fmax >= lo and fmin <= hi:
+                n += 1
+        return n
+
+    total = len(glob.glob(f"{zpath}/part-*.parquet"))
+    assert total >= 8  # layout actually split into many files
+    # y-predicate: linear x-sort cannot skip anything, z-order can
+    lin_hit = overlapping(lpath, 0, 7, "y")
+    z_hit = overlapping(zpath, 0, 7, "y")
+    assert lin_hit == len(glob.glob(f"{lpath}/part-*.parquet")), lin_hit
+    assert z_hit <= total // 2, (z_hit, total)
+    # and the x-axis still skips too (z-order trades, not loses)
+    assert overlapping(zpath, 0, 7, "x") <= total // 2
+
+    # exact values through the layout
+    got = {
+        (r["x"], r["y"])
+        for r in spark.read.parquet(zpath)
+        .filter((F.col("x") <= 7) & (F.col("y") <= 7))
+        .collect()
+    }
+    assert got == {(x, y) for x in range(8) for y in range(8)}
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
+    """Runtime-filter awareness: when a selective dim filter feeds a
+    shuffle join, Catalyst injects a Bloom filter on the fact side
+    (might_contain over a BloomFilter scalar subquery) so
+    non-matching fact rows die at the
+    scan instead of crossing the exchange — the 100 TB semi-join
+    reduction. Thresholds are lowered to make the tiny fixture
+    eligible; values must match the unfiltered reference."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    fact_path = str(tmp_path / "fact")
+    dim_path = str(tmp_path / "dim")
+    spark.range(200000).select(
+        (F.col("id") % 1000).alias("k"), F.col("id").alias("v")
+    ).write.mode("overwrite").parquet(fact_path)
+    spark.range(1000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    ).write.mode("overwrite").parquet(dim_path)
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.read.parquet(dim_path).filter(F.col("grp") == 3)
+        j = fact.join(dim, "k")
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan  # BloomFilterMightContain
+        got = {(r["k"], r["v"]) for r in j.select("k", "v").collect()}
+        want = {
+            (k, v)
+            for v in range(200000)
+            for k in [v % 1000]
+            if k % 7 == 3
+        }
+        assert got == want
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
