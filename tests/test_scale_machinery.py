@@ -945,3 +945,47 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark, tmp_path):
     finally:
         for k, v in prev.items():
             spark.conf.set(k, v)
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """A fragmented directory (one file per micro-batch per partition)
+    must compact to ceil(rows/target) files with identical values,
+    written as a NEW snapshot dir (source untouched); the sort_col
+    variant restores clustering (per-file disjoint ranges)."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.table_io import compact_parquet
+
+    src = str(tmp_path / "frag")
+    spark.range(10000).select(
+        F.col("id"), (F.col("id") % 97).alias("v")
+    ).repartition(64).write.mode("overwrite").parquet(src)
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64
+
+    out = str(tmp_path / "compacted")
+    stats = compact_parquet(
+        spark, src, out, target_rows_per_file=2500, sort_col="id"
+    )
+    assert stats == {"files_before": 64, "files_after": 4, "rows": 10000}
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 64  # source kept
+    a = {(r["id"], r["v"]) for r in spark.read.parquet(out).collect()}
+    assert a == {(i, i % 97) for i in range(10000)}
+    # clustering restored: per-file id ranges are disjoint
+    ranges = []
+    for f in glob.glob(f"{out}/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index("id")
+        ranges.append(
+            (
+                min(md.row_group(g).column(idx).statistics.min
+                    for g in range(md.num_row_groups)),
+                max(md.row_group(g).column(idx).statistics.max
+                    for g in range(md.num_row_groups)),
+            )
+        )
+    ranges.sort()
+    for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+        assert a1 < b0, ranges

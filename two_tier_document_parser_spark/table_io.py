@@ -237,3 +237,53 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_rows_per_file: int = 1_000_000,
+    sort_col: str | None = None,
+) -> dict:
+    """Small-file compaction — the maintenance pass every streaming
+    sink needs at scale: micro-batches write a file per trigger per
+    partition, and a 100 TB table read through a million tiny files
+    pays a task + footer + open() per file. Rewrite the directory
+    into ceil(rows/target) files (optionally re-clustered on
+    `sort_col` to restore row-group skipping), as a NEW snapshot
+    directory — the swap is atomic at the table-pointer level, the
+    same commit discipline as the engine's parquet+manifest sink
+    (checkpoint.py); never rewrite in place.
+
+    Returns {"files_before", "files_after", "rows"} so the caller can
+    assert/log the compaction ratio.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    rows = df.count()
+    files_before = df.select(
+        F.input_file_name().alias("f")
+    ).distinct().count()
+    n_files = max(1, math.ceil(rows / target_rows_per_file))
+    out = df
+    if sort_col is not None:
+        out = out.repartitionByRange(n_files, sort_col)
+        out = out.sortWithinPartitions(sort_col)
+    else:
+        out = out.coalesce(n_files)
+    out.write.mode("overwrite").parquet(out_path)
+    files_after = (
+        spark.read.parquet(out_path)
+        .select(F.input_file_name().alias("f"))
+        .distinct()
+        .count()
+    )
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows,
+    }
