@@ -1420,8 +1420,12 @@ def oracle_sql() -> dict[str, str]:
             " WHERE b.rn = 1"
         ),
         "props_rollup": (
+            # json_valid + TRY_CAST mirror from_json's never-throw
+            # null semantics (malformed JSON / wrong-typed k -> null)
             "WITH p AS (SELECT event_type,"
-            " CAST(json_extract_string(props, '$.k') AS INTEGER) AS k"
+            " CASE WHEN props IS NOT NULL AND json_valid(props)"
+            " THEN TRY_CAST(json_extract_string(props, '$.k')"
+            " AS INTEGER) END AS k"
             " FROM events)"
             " SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,"
             " CAST(count(k) AS BIGINT) AS n_with_k,"
@@ -1444,12 +1448,12 @@ def oracle_sql() -> dict[str, str]:
             "WITH h AS (SELECT doc_id,"
             " substring(md5(CAST(doc_id AS VARCHAR) || ':snap:42'), 1, 1)"
             " AS b, text FROM documents),"
-            " old AS (SELECT doc_id, md5(COALESCE(CAST("
+            " old AS (SELECT doc_id, COALESCE(md5(CAST("
             "   CASE WHEN b = '1' THEN upper(text) ELSE text END"
-            "   AS VARCHAR), chr(1) || 'null') || chr(31)) AS old_hash"
+            "   AS VARCHAR)), repeat('-', 32)) AS old_hash"
             "   FROM h WHERE b <> '0'),"
-            " new AS (SELECT doc_id, md5(COALESCE(CAST(text AS VARCHAR),"
-            "   chr(1) || 'null') || chr(31)) AS new_hash"
+            " new AS (SELECT doc_id, COALESCE(md5(CAST(text AS VARCHAR)),"
+            "   repeat('-', 32)) AS new_hash"
             "   FROM h WHERE b <> '2')"
             " SELECT doc_id,"
             " CASE WHEN old_hash IS NULL THEN 'added'"

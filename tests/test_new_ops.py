@@ -1317,3 +1317,35 @@ def test_props_rollup_null_safety(spark):
         "click": (3, 2, 8, 3, 5),
         "view": (3, 0, None, None, None),
     }
+
+
+def test_snapshot_diff_hash_is_injective(spark):
+    """Per-column-digest hashing: null vs a sentinel-looking string,
+    and separator-straddling multi-column values, must all read as
+    'changed' — the collisions naive concat-with-separator hashing
+    admits."""
+    from two_tier_document_parser_spark.curation import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, None), (2, "x\x1f")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "\x01null"), (2, "x")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: r["status"] for r in snapshot_diff(old, new).collect()
+    }
+    assert got == {1: "changed", 2: "changed"}
+
+    # multi-column: content moving across the column boundary changes
+    old2 = spark.createDataFrame(
+        [(1, "x\x1f", "y")], "doc_id long, a string, b string"
+    )
+    new2 = spark.createDataFrame(
+        [(1, "x", "\x1fy")], "doc_id long, a string, b string"
+    )
+    got2 = {
+        r["doc_id"]: r["status"]
+        for r in snapshot_diff(old2, new2, content_cols=("a", "b")).collect()
+    }
+    assert got2 == {1: "changed"}

@@ -989,3 +989,17 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     ranges.sort()
     for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
         assert a1 < b0, ranges
+
+
+def test_write_zordered_rejects_zkey_collision(spark, tmp_path):
+    """A pre-existing '_zkey' column must raise, not be silently
+    overwritten and dropped from the written table."""
+    import pytest as _pytest
+
+    from two_tier_document_parser_spark.table_io import write_zordered
+
+    df = spark.createDataFrame(
+        [(1, 2, 3)], "x long, y long, _zkey long"
+    )
+    with _pytest.raises(ValueError, match="_zkey"):
+        write_zordered(df, str(tmp_path / "z"), ["x", "y"])

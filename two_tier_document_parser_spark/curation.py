@@ -501,23 +501,28 @@ def snapshot_diff(
     before recomputing anything downstream of a refreshed crawl (and
     the input to incremental recompute: only added+changed flow on).
 
-    Content equality is md5 over the concatenated content columns
-    (null-safe: a null column hashes differently from an empty one),
-    so the diff moves ONE hash per row, never the document bodies.
-    Plan: project-to-hash on each side, then a single full outer
-    hash join on the key. At 100 TB both snapshots live bucketed on
-    the key (table_io.write_bucketed), which makes this join
-    exchange-free — the snapshot layout exists for exactly this
-    recurring reconciliation.
+    Content equality is md5 over the per-column digests: each column
+    hashes on its own first (null -> a 32-dash marker, which no hex
+    digest can equal), and the outer md5 runs over the concatenation
+    of those FIXED-WIDTH pieces — injective by construction, so no
+    separator/sentinel string occurring in real content can forge an
+    'unchanged' verdict (naive concat-with-separator hashing has
+    exactly that collision). The diff still moves ONE hash per row,
+    never the document bodies. Plan: project-to-hash on each side,
+    then a single full outer hash join on the key. At 100 TB both
+    snapshots live bucketed on the key (table_io.write_bucketed),
+    which makes this join exchange-free — the snapshot layout exists
+    for exactly this recurring reconciliation.
     """
     def hashed(df: DataFrame, alias: str) -> DataFrame:
-        parts = []
-        for c in content_cols:
-            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x01null")))
-            parts.append(F.lit("\x1f"))
-        return df.select(
-            F.col(key_col), F.md5(F.concat(*parts)).alias(alias)
-        )
+        parts = [
+            F.coalesce(
+                F.md5(F.col(c).cast("string")), F.lit("-" * 32)
+            )
+            for c in content_cols
+        ]
+        h = F.md5(F.concat(*parts)) if len(parts) > 1 else parts[0]
+        return df.select(F.col(key_col), h.alias(alias))
 
     o = hashed(old, "old_hash")
     n = hashed(new, "new_hash")

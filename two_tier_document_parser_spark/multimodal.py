@@ -262,12 +262,16 @@ def caption_align(documents_out: DataFrame) -> DataFrame:
     fast/service.py:42; pairing them is the consumer's job — here it
     is a first-class operator).
 
-    Plan shape: posexplode -> ONE hash exchange on doc_id -> a single
-    Window partitioning carrying both frames (last-before via
-    rowsBetween(unboundedPreceding, -1) + first-after via
-    rowsBetween(1, unboundedFollowing), both ignorenulls). No join,
+    Plan shape: posexplode -> ONE hash exchange on doc_id -> two
+    Window passes over the SAME partitioning: last-before on
+    ascending order, and next-after as last-before on DESCENDING
+    order — both running-state frames (rowsBetween(unboundedPreceding,
+    -1)), O(n) per partition. A first()-over-unboundedFollowing frame
+    would be O(n^2): Spark re-scans current-row..partition-end per
+    row, which stalls on a 50k-span giant document; the reversed sort
+    costs one extra in-partition sort and keeps it linear. No join,
     no second shuffle — at 10^12 docs the cost is one data-sized
-    exchange, and docs are small so per-key window state is bounded.
+    exchange.
 
     Returns one row per image span:
     (doc_id, media_ref, order, prev_kind, prev_text, prev_dist,
@@ -292,11 +296,18 @@ def caption_align(documents_out: DataFrame) -> DataFrame:
             content, F.struct(F.col("s.order"), F.col("s.kind"), F.col("s.text"))
         ).alias("c"),
     )
-    w = Window.partitionBy("doc_id").orderBy("order")
-    before = w.rowsBetween(Window.unboundedPreceding, -1)
-    after = w.rowsBetween(1, Window.unboundedFollowing)
+    before = (
+        Window.partitionBy("doc_id")
+        .orderBy("order")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    after = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("order"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     prev_c = F.last("c", ignorenulls=True).over(before)
-    next_c = F.first("c", ignorenulls=True).over(after)
+    next_c = F.last("c", ignorenulls=True).over(after)
     out = (
         spans.withColumn("prev_c", prev_c)
         .withColumn("next_c", next_c)

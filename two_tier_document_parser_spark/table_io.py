@@ -227,8 +227,11 @@ def write_zordered(
     does not overlap — pinned by tests/test_scale_machinery.py, which
     measures overlap directly from the parquet footers against a
     linear-sort control."""
-    from pyspark.sql import functions as F  # noqa: F401
-
+    if "_zkey" in df.columns:
+        raise ValueError(
+            "input already has a '_zkey' column; rename it first "
+            "(write_zordered would silently overwrite and drop it)"
+        )
     (
         df.withColumn("_zkey", zorder_key(cols, bits))
         .repartitionByRange(files, "_zkey")
@@ -263,11 +266,30 @@ def compact_parquet(
 
     from pyspark.sql import functions as F
 
+    def _list_parquet(p: str) -> list[str]:
+        if os.path.isdir(p):
+            return [
+                f
+                for f in os.listdir(p)
+                if f.startswith("part-") and f.endswith(".parquet")
+            ]
+        return []
+
     df = spark.read.parquet(path)
-    rows = df.count()
-    files_before = df.select(
-        F.input_file_name().alias("f")
-    ).distinct().count()
+    # on the advertised input (a million tiny files) every extra data
+    # scan pays a task + open + footer per file — so rows and
+    # files_before come from ONE combined pass, and file counts come
+    # from directory listings when the path is a plain directory
+    listing = _list_parquet(path)
+    if listing:
+        files_before = len(listing)
+        rows = df.count()  # parquet metadata-only count, no row scan
+    else:
+        stats = df.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.countDistinct(F.input_file_name()).alias("nf"),
+        ).collect()[0]
+        rows, files_before = stats["rows"], stats["nf"]
     n_files = max(1, math.ceil(rows / target_rows_per_file))
     out = df
     if sort_col is not None:
@@ -276,7 +298,7 @@ def compact_parquet(
     else:
         out = out.coalesce(n_files)
     out.write.mode("overwrite").parquet(out_path)
-    files_after = (
+    files_after = len(_list_parquet(out_path)) or (
         spark.read.parquet(out_path)
         .select(F.input_file_name().alias("f"))
         .distinct()
