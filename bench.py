@@ -212,6 +212,10 @@ def main() -> int:
         "pricing_summary",
         "tfidf_top_terms",
         "curate",
+        # round-3b additions (n_timed tracks the growing suite)
+        "token_commonness",
+        "snapshot_diff",
+        "caption_align",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 
