@@ -386,6 +386,34 @@ def q_caption_align(spark, sf_dir):
     return caption_align(out)
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance: the stored (lang, n_docs,
+    sum_chars) aggregate of the old snapshot is updated from the
+    snapshot diff only — removed/changed contributions subtracted,
+    added/changed added — and must equal a from-scratch recompute
+    over the new snapshot (the oracle recomputes; the engine
+    maintains). Old snapshot: docs with md5 bucket '2' present (they
+    get removed), bucket '0' absent (they get added), bucket '1'
+    carrying a stale n_chars (+7, so 'changed' deltas are
+    non-trivial)."""
+    from two_tier_document_parser_spark.curation import (
+        incremental_agg_update,
+    )
+
+    docs = _docs(spark, sf_dir)
+    h = F.substring(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":snap:42"))),
+        1,
+        1,
+    )
+    old = docs.filter(h != "0").withColumn(
+        "n_chars",
+        F.when(h == "1", F.col("n_chars") + 7).otherwise(F.col("n_chars")),
+    )
+    new = docs.filter(h != "2")
+    return incremental_agg_update(old, new)
+
+
 def q_props_rollup(spark, sf_dir):
     """Semi-structured extraction: one from_json parse of the events
     props column (JVM-side, all fields in one pass) + per-type
@@ -1199,6 +1227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "props_rollup": q_props_rollup,
         "min_cost_supplier": q_min_cost_supplier,
+        "incremental_agg": q_incremental_agg,
         "html_ingest": q_html_ingest,
         "pdf_ingest": q_pdf_ingest,
         "simhash": q_simhash,
@@ -1405,6 +1434,15 @@ def oracle_sql() -> dict[str, str]:
             " AS train_order FROM documents"
         ),
         "dedup_incremental": _dedup_incremental_sql(),
+        # the engine MAINTAINS the aggregate from the diff; the oracle
+        # RECOMPUTES it from scratch over the new snapshot — equality
+        # is the incremental-view-maintenance correctness property
+        "incremental_agg": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,"
+            " CAST(sum(n_chars) AS BIGINT) AS sum_value FROM documents"
+            " WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':snap:42'),"
+            " 1, 1) <> '2' GROUP BY lang"
+        ),
         "min_cost_supplier": (
             "WITH ps AS (SELECT l_partkey, l_suppkey,"
             " CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))"

@@ -77,6 +77,7 @@ NEW_SQL = [
     "snapshot_diff",
     "props_rollup",
     "min_cost_supplier",
+    "incremental_agg",
 ]
 
 
@@ -1349,3 +1350,39 @@ def test_snapshot_diff_hash_is_injective(spark):
         for r in snapshot_diff(old2, new2, content_cols=("a", "b")).collect()
     }
     assert got2 == {1: "changed"}
+
+
+def test_incremental_agg_update_matches_recompute(spark):
+    """IVM correctness on a hand corpus covering every delta shape:
+    a doc that changes VALUE, one that MOVES group (subtract from the
+    old group, add to the new), a removed doc that empties its group
+    (group must drop out), and an added doc creating a new group."""
+    from two_tier_document_parser_spark.curation import (
+        incremental_agg_update,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, "en", 10),
+            (2, "en", 20),   # value changes to 25
+            (3, "fr", 30),   # moves to de
+            (4, "it", 40),   # removed -> 'it' group empties
+        ],
+        "doc_id long, lang string, n_chars long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, "en", 10),
+            (2, "en", 25),
+            (3, "de", 30),
+            (5, "es", 50),   # added, new group
+        ],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {
+        r["lang"]: (r["n_docs"], r["sum_value"])
+        for r in incremental_agg_update(old, new).collect()
+    }
+    # must equal a from-scratch recompute over `new`
+    assert got == {"en": (2, 35), "de": (1, 30), "es": (1, 50)}
+    assert "it" not in got and "fr" not in got
