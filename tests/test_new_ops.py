@@ -1386,3 +1386,68 @@ def test_incremental_agg_update_matches_recompute(spark):
     # must equal a from-scratch recompute over `new`
     assert got == {"en": (2, 35), "de": (1, 30), "es": (1, 50)}
     assert "it" not in got and "fr" not in got
+
+
+@needs_testdata
+def test_stream_agg_maintenance_across_restarts(spark, tmp_path):
+    """The streamed-maintained aggregate must equal a from-scratch
+    batch recompute after every drain, including a restart that
+    appends new files to the same checkpoint: incremental merge,
+    never a corpus rescan."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.streaming import (
+        run_stream_agg_maintenance,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    inp = str(tmp_path / "in")
+    # three files -> three micro-batches (maxFilesPerTrigger=1)
+    for i in range(3):
+        docs.filter(F.col("doc_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(inp)
+
+    agg_dir = str(tmp_path / "agg")
+    ckpt = str(tmp_path / "ckpt")
+    got = {
+        r["lang"]: (r["n_docs"], r["sum_value"])
+        for r in run_stream_agg_maintenance(
+            spark, inp, agg_dir, ckpt
+        ).collect()
+    }
+    want = {
+        r["lang"]: (r["n"], r["s"])
+        for r in docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # restart: append a fourth slice, drain with the SAME checkpoint —
+    # only the new file is processed, the merge picks up from the
+    # maintained snapshot
+    extra = docs.filter(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 10_000_000
+    )
+    extra.coalesce(1).write.mode("append").parquet(inp)
+    got2 = {
+        r["lang"]: (r["n_docs"], r["sum_value"])
+        for r in run_stream_agg_maintenance(
+            spark, inp, agg_dir, ckpt
+        ).collect()
+    }
+    all_docs = docs.unionByName(extra)
+    want2 = {
+        r["lang"]: (r["n"], r["s"])
+        for r in all_docs.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("n_chars").cast("long").alias("s"),
+        )
+        .collect()
+    }
+    assert got2 == want2

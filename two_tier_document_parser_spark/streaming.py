@@ -267,3 +267,101 @@ def run_stream_event_counts(
     )
     q.awaitTermination()
     return spark.sql(f"SELECT * FROM {query_name}")
+
+
+def run_stream_agg_maintenance(
+    spark: SparkSession,
+    input_dir: str,
+    agg_dir: str,
+    checkpoint: str,
+    group_col: str = "lang",
+    value_col: str = "n_chars",
+) -> DataFrame:
+    """Streaming MERGE pattern: maintain a materialized
+    (group, n_docs, sum_value) aggregate across micro-batches —
+    the continuous form of curation.incremental_agg_update, and the
+    standard replacement for nightly full recomputes once ingest is
+    a stream.
+
+    Each foreachBatch merges the batch's delta into the CURRENT
+    maintained snapshot and writes the result as a NEW snapshot dir
+    `snap_<batch_id>`, then atomically swaps a pointer file
+    (os.replace) — readers never see a half-written aggregate, the
+    same table-pointer discipline as checkpoint.py/compact_parquet.
+    Exactly-once across restarts: the streaming checkpoint replays an
+    unacknowledged batch with the SAME batch_id, which rewrites
+    snap_<batch_id> idempotently from the pre-batch snapshot (the
+    pointer only ever moves after a complete write). Work per batch
+    is batch-sized + aggregate-sized — never corpus-sized.
+    Cross-restart equality with a from-scratch recompute is pinned by
+    tests/test_new_ops.py."""
+    import json as _json
+    import os
+
+    schema = spark.read.parquet(input_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one file = one micro-batch
+        .parquet(input_dir)
+        .select(group_col, value_col)
+    )
+    pointer = os.path.join(agg_dir, "_LATEST")
+
+    def _current(batch_spark) -> DataFrame | None:
+        if not os.path.exists(pointer):
+            return None
+        snap = _json.loads(open(pointer).read())["snapshot"]
+        return batch_spark.read.parquet(os.path.join(agg_dir, snap))
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        delta = batch_df.groupBy(group_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(value_col).cast("long").alias("sum_value"),
+        )
+        base = _current(batch_df.sparkSession)
+        if base is not None:
+            merged = (
+                base.withColumnRenamed("n_docs", "b_n")
+                .withColumnRenamed("sum_value", "b_s")
+                .join(delta, group_col, "full_outer")
+                .select(
+                    group_col,
+                    (
+                        F.coalesce(F.col("b_n"), F.lit(0))
+                        + F.coalesce(F.col("n_docs"), F.lit(0))
+                    ).alias("n_docs"),
+                    (
+                        F.coalesce(F.col("b_s"), F.lit(0))
+                        + F.coalesce(F.col("sum_value"), F.lit(0))
+                    ).alias("sum_value"),
+                )
+            )
+        else:
+            merged = delta
+        snap = f"snap_{batch_id}"
+        merged.write.mode("overwrite").parquet(
+            os.path.join(agg_dir, snap)
+        )
+        tmp = pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(_json.dumps({"snapshot": snap}))
+        os.replace(tmp, pointer)  # atomic pointer swap
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return read_maintained_agg(spark, agg_dir)
+
+
+def read_maintained_agg(spark: SparkSession, agg_dir: str) -> DataFrame:
+    """Read the maintained aggregate through its pointer file."""
+    import json as _json
+    import os
+
+    pointer = os.path.join(agg_dir, "_LATEST")
+    snap = _json.loads(open(pointer).read())["snapshot"]
+    return spark.read.parquet(os.path.join(agg_dir, snap))
