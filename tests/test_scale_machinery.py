@@ -1003,3 +1003,74 @@ def test_write_zordered_rejects_zkey_collision(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="_zkey"):
         write_zordered(df, str(tmp_path / "z"), ["x", "y"])
+
+
+def test_dynamic_partition_pruning(spark, tmp_path):
+    """Runtime DPP: joining a Hive-partitioned fact to a FILTERED dim
+    must inject dynamicpruning on the fact's partition column, so
+    only matching partition directories are read — decided at
+    runtime from the dim's rows, which static partition pruning
+    cannot do. The 100 TB date/tenant-partitioned-fact ⋈ dim staple."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.dynamicPartitionPruning.enabled": "true",
+        # let the filtered dim broadcast so DPP reuses its exchange
+        "spark.sql.autoBroadcastJoinThreshold": "10MB",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    fact_path = str(tmp_path / "factp")
+    spark.range(20000).select(
+        (F.col("id") % 20).alias("part_key"), F.col("id").alias("v")
+    ).write.partitionBy("part_key").mode("overwrite").parquet(fact_path)
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.read.parquet(fact_path)
+        dim = spark.range(20).select(
+            F.col("id").alias("part_key"), (F.col("id") % 5).alias("grp")
+        ).filter(F.col("grp") == 2)  # part_keys {2,7,12,17}
+        j = fact.join(dim, "part_key")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        rows = j.select("part_key", "v", F.input_file_name().alias("f")).collect()
+        touched = {r["f"] for r in rows}
+        assert touched and all(
+            any(f"part_key={k}/" in f for k in (2, 7, 12, 17))
+            for f in touched
+        ), touched
+        assert {r["part_key"] for r in rows} == {2, 7, 12, 17}
+        assert len(rows) == 4000  # 20000/20 per partition x 4
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+def test_wholestage_codegen_covers_hot_aggregate(spark):
+    """The TPC-H-Q1-shaped hot path (scan -> filter -> partial agg)
+    must run inside WholeStageCodegen spans with zero Python
+    evaluation nodes — the JVM-side guarantee the engine's relational
+    surface is built on."""
+    import __spark_entry__ as e
+
+    df = e.queries()["pricing_summary"](spark, "/root/testdata/sf0.001")
+    df.collect()  # finalize the adaptive plan (codegen ids appear then)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(N)' prefixes are WholeStageCodegen span ids in toString form
+    assert "*(1)" in plan, plan
+    # every Filter/Project/HashAggregate OPERATOR in the final plan
+    # carries a codegen span id (nothing runs interpreted); operator
+    # position is '+- <op>' — scan-line attribute text like
+    # 'DataFilters:' must not match
+    import re as _re
+
+    final = plan.split("== Initial Plan ==")[0]
+    ops = _re.findall(
+        r"\+- (\*\(\d+\) )?(Filter|Project|HashAggregate)\b", final
+    )
+    assert ops, final
+    for star, node in ops:
+        assert star, (node, final)
+    for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                "PythonUDF"):
+        assert bad not in plan, plan
