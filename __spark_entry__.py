@@ -1458,10 +1458,16 @@ def oracle_sql() -> dict[str, str]:
             " WHERE b.rn = 1"
         ),
         "props_rollup": (
-            # json_valid + TRY_CAST mirror from_json's never-throw
-            # null semantics (malformed JSON / wrong-typed k -> null)
+            # json_valid + json_type + TRY_CAST mirror from_json's
+            # never-throw strict null semantics: malformed JSON,
+            # missing key, quoted numerics ('{"k":"7"}' -> VARCHAR),
+            # and floats (DOUBLE) all -> null; only integer-typed
+            # JSON values (UBIGINT/BIGINT) survive, like Spark's
+            # non-coercing k INT parse
             "WITH p AS (SELECT event_type,"
             " CASE WHEN props IS NOT NULL AND json_valid(props)"
+            " AND json_type(json_extract(props, '$.k'))"
+            " IN ('UBIGINT', 'BIGINT')"
             " THEN TRY_CAST(json_extract_string(props, '$.k')"
             " AS INTEGER) END AS k"
             " FROM events)"

@@ -1297,27 +1297,53 @@ def test_props_rollup_null_safety(spark):
     surfaces them."""
     from two_tier_document_parser_spark.events import props_rollup
 
-    ev = spark.createDataFrame(
-        [
-            ("click", '{"k": 3}'),
-            ("click", '{"k": 5, "extra": "x"}'),
-            ("click", "not json at all"),
-            ("view", '{"other": 1}'),       # key missing
-            ("view", '{"k": "str"}'),       # wrong type -> null
-            ("view", None),                  # null props
-        ],
-        "event_type string, props string",
-    )
+    rows = [
+        ("click", '{"k": 3}'),
+        ("click", '{"k": 5, "extra": "x"}'),
+        ("click", "not json at all"),
+        ("click", '{"k": -4}'),             # negative int survives
+        ("view", '{"other": 1}'),           # key missing
+        ("view", '{"k": "str"}'),           # wrong type -> null
+        ("view", '{"k": "7"}'),             # QUOTED numeric -> null
+        ("view", '{"k": 3.5}'),             # float -> null (k INT)
+        ("view", None),                      # null props
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, props string")
     got = {
         r["event_type"]: (
             r["n_events"], r["n_with_k"], r["sum_k"], r["min_k"], r["max_k"]
         )
         for r in props_rollup(ev).collect()
     }
-    assert got == {
-        "click": (3, 2, 8, 3, 5),
-        "view": (3, 0, None, None, None),
+    want = {
+        "click": (4, 3, 4, -4, 5),
+        "view": (5, 0, None, None, None),
     }
+    assert got == want
+    # the DuckDB oracle must agree on the SAME adversarial rows (the
+    # driver fixture is clean; this is where the null semantics bite)
+    import duckdb
+
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE events AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%s, %s)"
+            % (
+                "'" + t + "'",
+                "NULL" if p is None else "'" + p.replace("'", "''") + "'",
+            )
+            for t, p in rows
+        )
+        + ") AS t(event_type, props)"
+    )
+    oracle = {
+        r[0]: tuple(r[1:])
+        for r in con.sql(e.oracle_sql()["props_rollup"]).fetchall()
+    }
+    assert oracle == want
 
 
 def test_snapshot_diff_hash_is_injective(spark):
@@ -1388,6 +1414,41 @@ def test_incremental_agg_update_matches_recompute(spark):
     assert "it" not in got and "fr" not in got
 
 
+def test_incremental_agg_null_group_and_null_sum(spark):
+    """SQL corner cases the merge must reproduce exactly: a NULL
+    group is ONE group (null-safe merge join, like GROUP BY), and a
+    group whose surviving values are all NULL reports sum NULL — not
+    0 — matching a from-scratch recompute."""
+    from two_tier_document_parser_spark.curation import (
+        incremental_agg_update,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, None, 10),    # NULL group, survives
+            (2, None, 20),    # NULL group, removed
+            (3, "en", 7),     # en's only non-null value — removed
+            (4, "en", None),
+        ],
+        "doc_id long, lang string, n_chars long",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, None, 10),
+            (4, "en", None),
+            (5, None, 5),     # added into the NULL group
+        ],
+        "doc_id long, lang string, n_chars long",
+    )
+    got = {
+        r["lang"]: (r["n_docs"], r["sum_value"])
+        for r in incremental_agg_update(old, new).collect()
+    }
+    # recompute over new: NULL-group = 2 docs sum 15 (ONE row);
+    # en = 1 doc, all values NULL -> sum NULL
+    assert got == {None: (2, 15), "en": (1, None)}
+
+
 @needs_testdata
 def test_stream_agg_maintenance_across_restarts(spark, tmp_path):
     """The streamed-maintained aggregate must equal a from-scratch
@@ -1413,7 +1474,7 @@ def test_stream_agg_maintenance_across_restarts(spark, tmp_path):
     got = {
         r["lang"]: (r["n_docs"], r["sum_value"])
         for r in run_stream_agg_maintenance(
-            spark, inp, agg_dir, ckpt
+            spark, inp, agg_dir, ckpt, max_files_per_trigger=1
         ).collect()
     }
     want = {
@@ -1437,7 +1498,7 @@ def test_stream_agg_maintenance_across_restarts(spark, tmp_path):
     got2 = {
         r["lang"]: (r["n_docs"], r["sum_value"])
         for r in run_stream_agg_maintenance(
-            spark, inp, agg_dir, ckpt
+            spark, inp, agg_dir, ckpt, max_files_per_trigger=1
         ).collect()
     }
     all_docs = docs.unionByName(extra)

@@ -538,6 +538,88 @@ def snapshot_diff(
     )
 
 
+def group_stats(
+    df: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Internal additive representation of a (group, count, sum)
+    aggregate: (group, n_docs, n_vals, sum0) where n_vals counts
+    NON-NULL values and sum0 is the null-coalesced integer sum. The
+    triple is closed under addition/negation, which is what makes
+    incremental maintenance exact — including SQL's sum-of-all-NULLs
+    = NULL rule, reconstructed at finalize time from n_vals."""
+    return df.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(value_col).cast("long").alias("n_vals"),
+        F.coalesce(F.sum(value_col).cast("long"), F.lit(0)).alias(
+            "sum0"
+        ),
+    )
+
+
+def merge_group_stats(
+    base: DataFrame, delta: DataFrame, group_col: str
+) -> DataFrame:
+    """Add two additive aggregates group-wise. The join is
+    NULL-SAFE on the group key (eqNullSafe): a NULL group is one
+    group, exactly as GROUP BY treats it — a plain column join would
+    leave NULL-group rows unmatched and duplicate them. Shared by the
+    batch (incremental_agg_update) and streaming
+    (run_stream_agg_maintenance) maintenance paths so their merge
+    semantics cannot diverge."""
+    b = base.select(
+        F.col(group_col).alias("_bg"),
+        F.col("n_docs").alias("_bn"),
+        F.col("n_vals").alias("_bv"),
+        F.col("sum0").alias("_bs"),
+    )
+    d = delta.select(
+        F.col(group_col).alias("_dg"),
+        F.col("n_docs").alias("_dn"),
+        F.col("n_vals").alias("_dv"),
+        F.col("sum0").alias("_ds"),
+    )
+    return b.join(
+        d, F.col("_bg").eqNullSafe(F.col("_dg")), "full_outer"
+    ).select(
+        F.coalesce(F.col("_bg"), F.col("_dg")).alias(group_col),
+        (
+            F.coalesce(F.col("_bn"), F.lit(0))
+            + F.coalesce(F.col("_dn"), F.lit(0))
+        ).alias("n_docs"),
+        (
+            F.coalesce(F.col("_bv"), F.lit(0))
+            + F.coalesce(F.col("_dv"), F.lit(0))
+        ).alias("n_vals"),
+        (
+            F.coalesce(F.col("_bs"), F.lit(0))
+            + F.coalesce(F.col("_ds"), F.lit(0))
+        ).alias("sum0"),
+    )
+
+
+def finalize_group_stats(df: DataFrame, group_col: str) -> DataFrame:
+    """Additive representation -> public (group, n_docs, sum_value):
+    empty groups drop, and a group whose surviving values are all
+    NULL reports sum_value NULL (n_vals == 0), bit-matching a
+    from-scratch GROUP BY recompute."""
+    return df.filter(F.col("n_docs") > 0).select(
+        group_col,
+        "n_docs",
+        F.when(F.col("n_vals") > 0, F.col("sum0"))
+        .otherwise(F.lit(None).cast("long"))
+        .alias("sum_value"),
+    )
+
+
+def negate_group_stats(df: DataFrame, group_col: str) -> DataFrame:
+    return df.select(
+        group_col,
+        (-F.col("n_docs")).alias("n_docs"),
+        (-F.col("n_vals")).alias("n_vals"),
+        (-F.col("sum0")).alias("sum0"),
+    )
+
+
 def incremental_agg_update(
     old: DataFrame,
     new: DataFrame,
@@ -556,18 +638,16 @@ def incremental_agg_update(
     changed keys, add the new-side contribution of added + changed
     keys. Both streams are LEFT-SEMI bounded by the diff's key set,
     so the only corpus-sized work is snapshot_diff's one-hash-per-row
-    join; counts and sums are integers, so the maintained aggregate
-    is bit-equal to a full recompute (pinned by the DuckDB oracle,
-    which recomputes from scratch). Groups whose count reaches zero
-    drop out, matching recompute semantics. (Here `base` is computed
-    from `old` to keep the operator self-contained; production reads
-    it from the stored aggregate table.)
+    join; the additive (count, non-null count, coalesced sum) triple
+    makes the maintained aggregate bit-equal to a full recompute —
+    including NULL groups (null-safe merge join) and all-NULL-value
+    groups (sum_value reconstructs SQL's NULL-sum rule) — pinned by
+    the DuckDB oracle, which recomputes from scratch. Groups whose
+    count reaches zero drop out. (Here `base` is computed from `old`
+    to keep the operator self-contained; production reads it from the
+    stored aggregate table.)
     """
-    agg = lambda df: df.groupBy(group_col).agg(  # noqa: E731
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.sum(value_col).cast("long").alias("sum_value"),
-    )
-    base = agg(old)
+    base = group_stats(old, group_col, value_col)
     diff = snapshot_diff(old, new, key_col, (group_col, value_col))
     rem_keys = diff.filter(
         F.col("status").isin("removed", "changed")
@@ -575,29 +655,24 @@ def incremental_agg_update(
     add_keys = diff.filter(
         F.col("status").isin("added", "changed")
     ).select(key_col)
-    neg = agg(old.join(rem_keys, key_col, "left_semi")).select(
+    neg = negate_group_stats(
+        group_stats(
+            old.join(rem_keys, key_col, "left_semi"), group_col, value_col
+        ),
         group_col,
-        (-F.col("n_docs")).alias("n_docs"),
-        (-F.col("sum_value")).alias("sum_value"),
     )
-    pos = agg(new.join(add_keys, key_col, "left_semi"))
+    pos = group_stats(
+        new.join(add_keys, key_col, "left_semi"), group_col, value_col
+    )
     delta = (
         neg.unionByName(pos)
         .groupBy(group_col)
         .agg(
-            F.sum("n_docs").alias("d_n"),
-            F.sum("sum_value").alias("d_s"),
+            F.sum("n_docs").cast("long").alias("n_docs"),
+            F.sum("n_vals").cast("long").alias("n_vals"),
+            F.sum("sum0").cast("long").alias("sum0"),
         )
     )
-    updated = base.join(delta, group_col, "full_outer").select(
-        group_col,
-        (
-            F.coalesce(F.col("n_docs"), F.lit(0))
-            + F.coalesce(F.col("d_n"), F.lit(0))
-        ).alias("n_docs"),
-        (
-            F.coalesce(F.col("sum_value"), F.lit(0))
-            + F.coalesce(F.col("d_s"), F.lit(0))
-        ).alias("sum_value"),
+    return finalize_group_stats(
+        merge_group_stats(base, delta, group_col), group_col
     )
-    return updated.filter(F.col("n_docs") > 0)

@@ -276,69 +276,73 @@ def run_stream_agg_maintenance(
     checkpoint: str,
     group_col: str = "lang",
     value_col: str = "n_chars",
+    max_files_per_trigger: int = 64,
 ) -> DataFrame:
     """Streaming MERGE pattern: maintain a materialized
     (group, n_docs, sum_value) aggregate across micro-batches —
-    the continuous form of curation.incremental_agg_update, and the
-    standard replacement for nightly full recomputes once ingest is
-    a stream.
+    the continuous form of curation.incremental_agg_update, sharing
+    its merge helpers (group_stats/merge_group_stats) so the batch
+    and streaming paths cannot diverge. Snapshots store the ADDITIVE
+    triple (n_docs, n_vals, sum0); read_maintained_agg finalizes.
 
     Each foreachBatch merges the batch's delta into the CURRENT
     maintained snapshot and writes the result as a NEW snapshot dir
     `snap_<batch_id>`, then atomically swaps a pointer file
-    (os.replace) — readers never see a half-written aggregate, the
-    same table-pointer discipline as checkpoint.py/compact_parquet.
-    Exactly-once across restarts: the streaming checkpoint replays an
-    unacknowledged batch with the SAME batch_id, which rewrites
-    snap_<batch_id> idempotently from the pre-batch snapshot (the
-    pointer only ever moves after a complete write). Work per batch
-    is batch-sized + aggregate-sized — never corpus-sized.
-    Cross-restart equality with a from-scratch recompute is pinned by
-    tests/test_new_ops.py."""
+    (os.replace) and deletes superseded snapshots. Exactly-once
+    across restarts: if the pointer already names snap_<batch_id>,
+    the replayed batch is a no-op (the crash happened after the swap
+    but before the streaming commit) — without this guard a replay
+    would merge the batch into its own output and double-count; if
+    the crash happened before the swap, the half-written snap dir is
+    rewritten from the pre-batch snapshot. The pointer only ever
+    moves after a complete write, so readers never see a torn
+    aggregate. Work per batch is batch-sized + aggregate-sized —
+    never corpus-sized.
+
+    `agg_dir` must be a driver-visible filesystem path (the pointer
+    swap uses os.replace); a production deployment keeps the pointer
+    in its table catalog instead. Cross-restart equality with a
+    from-scratch recompute is pinned by tests/test_new_ops.py."""
     import json as _json
     import os
+    import re
+    import shutil
 
+    from .curation import group_stats, merge_group_stats
+
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", agg_dir):
+        raise ValueError(
+            "agg_dir must be a driver-local filesystem path (the "
+            "snapshot pointer uses os.replace); got a URI: " + agg_dir
+        )
+    os.makedirs(agg_dir, exist_ok=True)
     schema = spark.read.parquet(input_dir).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)  # one file = one micro-batch
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(input_dir)
         .select(group_col, value_col)
     )
     pointer = os.path.join(agg_dir, "_LATEST")
 
-    def _current(batch_spark) -> DataFrame | None:
+    def _pointed() -> str | None:
         if not os.path.exists(pointer):
             return None
-        snap = _json.loads(open(pointer).read())["snapshot"]
-        return batch_spark.read.parquet(os.path.join(agg_dir, snap))
+        return _json.loads(open(pointer).read())["snapshot"]
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        delta = batch_df.groupBy(group_col).agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(value_col).cast("long").alias("sum_value"),
-        )
-        base = _current(batch_df.sparkSession)
-        if base is not None:
-            merged = (
-                base.withColumnRenamed("n_docs", "b_n")
-                .withColumnRenamed("sum_value", "b_s")
-                .join(delta, group_col, "full_outer")
-                .select(
-                    group_col,
-                    (
-                        F.coalesce(F.col("b_n"), F.lit(0))
-                        + F.coalesce(F.col("n_docs"), F.lit(0))
-                    ).alias("n_docs"),
-                    (
-                        F.coalesce(F.col("b_s"), F.lit(0))
-                        + F.coalesce(F.col("sum_value"), F.lit(0))
-                    ).alias("sum_value"),
-                )
+        snap = f"snap_{batch_id}"
+        current = _pointed()
+        if current == snap:
+            return  # replay after swap-but-before-commit: already applied
+        delta = group_stats(batch_df, group_col, value_col)
+        if current is not None:
+            base = batch_df.sparkSession.read.parquet(
+                os.path.join(agg_dir, current)
             )
+            merged = merge_group_stats(base, delta, group_col)
         else:
             merged = delta
-        snap = f"snap_{batch_id}"
         merged.write.mode("overwrite").parquet(
             os.path.join(agg_dir, snap)
         )
@@ -346,6 +350,9 @@ def run_stream_agg_maintenance(
         with open(tmp, "w") as fh:
             fh.write(_json.dumps({"snapshot": snap}))
         os.replace(tmp, pointer)  # atomic pointer swap
+        for d in os.listdir(agg_dir):  # drop superseded snapshots
+            if d.startswith("snap_") and d != snap:
+                shutil.rmtree(os.path.join(agg_dir, d), ignore_errors=True)
 
     q = (
         stream.writeStream.foreachBatch(sink)
@@ -358,10 +365,18 @@ def run_stream_agg_maintenance(
 
 
 def read_maintained_agg(spark: SparkSession, agg_dir: str) -> DataFrame:
-    """Read the maintained aggregate through its pointer file."""
+    """Read the maintained aggregate through its pointer file and
+    finalize the additive triple to (group, n_docs, sum_value)."""
     import json as _json
     import os
 
+    from .curation import finalize_group_stats
+
     pointer = os.path.join(agg_dir, "_LATEST")
     snap = _json.loads(open(pointer).read())["snapshot"]
-    return spark.read.parquet(os.path.join(agg_dir, snap))
+    stored = spark.read.parquet(os.path.join(agg_dir, snap))
+    group_col = [
+        c for c in stored.columns
+        if c not in ("n_docs", "n_vals", "sum0")
+    ][0]
+    return finalize_group_stats(stored, group_col)
