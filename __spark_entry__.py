@@ -755,6 +755,38 @@ def q_length_quantiles(spark, sf_dir):
     )
 
 
+def q_sketch_heavy_hitters(spark, sf_dir):
+    """Sketch swap-in for exact top-k tokens (the 100 TB path):
+    `freqItems` (Karp/Misra-Gries family, single pass, mergeable,
+    <= 1/support candidates) beside the exact count. The sketch's
+    mathematical guarantee — every item with frequency > support*N is
+    returned — is the driver-attested contract: for the exact top-5
+    tokens emit `sketch_holds` = (not heavy) OR (token in sketch set),
+    which the guarantee forces TRUE regardless of partition order (the
+    sketch's false positives never matter). The candidate set is
+    driver-collected but bounded at 1/support = 100 items — sketch-
+    sized, never corpus-sized."""
+    tok = _tokens_df(spark, sf_dir).select("token")
+    total = tok.count()
+    items = set(
+        tok.stat.freqItems(["token"], support=0.01).collect()[0][0]
+    )
+    top5 = (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(5)
+    )
+    return top5.select(
+        "token",
+        "n",
+        (
+            (F.col("n") * 100 <= F.lit(total))
+            | F.col("token").isin(sorted(items))
+        ).alias("sketch_holds"),
+    )
+
+
 def q_sketch_quantiles(spark, sf_dir):
     """Sketch swap-in for `length_quantiles` (the 100 TB path): Spark's
     `percentile_approx` (Greenwald-Khanna / KLL-style mergeable sketch,
@@ -1240,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-3 additions — never attested, keep inside the 50-window
         "sketch_quantiles": q_sketch_quantiles,
         "sketch_distinct_hll": q_sketch_distinct_hll,
+        "sketch_heavy_hitters": q_sketch_heavy_hitters,
         "redact_pii": q_redact_pii,
         "gopher_quality": q_gopher_quality,
         "dataset_split": q_dataset_split,
@@ -1652,6 +1685,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT lang, CAST(count(DISTINCT source || '|' || md5(text))"
             " AS BIGINT) AS exact_distinct, TRUE AS hll_in_tol"
             " FROM documents GROUP BY lang"
+        ),
+        "sketch_heavy_hitters": (
+            f"{_TOK_CTE} SELECT token, CAST(count(*) AS BIGINT) AS n,"
+            " TRUE AS sketch_holds FROM tok GROUP BY token"
+            " ORDER BY n DESC, token ASC LIMIT 5"
         ),
         "pivot_source_lang": _pivot_sql(),
         "tfidf_top_terms": (

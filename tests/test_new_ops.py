@@ -59,6 +59,7 @@ NEW_SQL = [
     # deterministic dataset split
     "sketch_quantiles",
     "sketch_distinct_hll",
+    "sketch_heavy_hitters",
     "redact_pii",
     "gopher_quality",
     "dataset_split",
