@@ -425,6 +425,18 @@ def q_props_rollup(spark, sf_dir):
     )
 
 
+def q_funnel_counts(spark, sf_dir):
+    """Ordered funnel over events: signup -> view (after the user's
+    first signup) -> purchase (after that view); per-step completing
+    user counts. Each step anchors on the earliest qualifying
+    occurrence; shrinking per-user survivor joins, no window pass."""
+    from two_tier_document_parser_spark.events import funnel_counts
+
+    return funnel_counts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental crawl dedup: odd doc_ids are the 'new batch',
     even the committed corpus — exact fingerprint join + MinHash
@@ -1260,6 +1272,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "props_rollup": q_props_rollup,
         "min_cost_supplier": q_min_cost_supplier,
         "incremental_agg": q_incremental_agg,
+        "funnel_counts": q_funnel_counts,
         "html_ingest": q_html_ingest,
         "pdf_ingest": q_pdf_ingest,
         "simhash": q_simhash,
@@ -1475,6 +1488,24 @@ def oracle_sql() -> dict[str, str]:
             " CAST(sum(n_chars) AS BIGINT) AS sum_value FROM documents"
             " WHERE substring(md5(CAST(doc_id AS VARCHAR) || ':snap:42'),"
             " 1, 1) <> '2' GROUP BY lang"
+        ),
+        "funnel_counts": (
+            "WITH ev AS (SELECT user_id, event_type,"
+            " CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events),"
+            " s1 AS (SELECT user_id, min(epoch) AS t FROM ev"
+            "   WHERE event_type = 'signup' GROUP BY user_id),"
+            " s2 AS (SELECT ev.user_id, min(ev.epoch) AS t FROM ev"
+            "   JOIN s1 ON ev.user_id = s1.user_id AND ev.epoch >= s1.t"
+            "   WHERE ev.event_type = 'view' GROUP BY ev.user_id),"
+            " s3 AS (SELECT ev.user_id, min(ev.epoch) AS t FROM ev"
+            "   JOIN s2 ON ev.user_id = s2.user_id AND ev.epoch >= s2.t"
+            "   WHERE ev.event_type = 'purchase' GROUP BY ev.user_id)"
+            " SELECT 1 AS step, 'signup' AS step_name,"
+            " CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users"
+            " UNION ALL SELECT 2, 'view',"
+            " CAST((SELECT count(*) FROM s2) AS BIGINT)"
+            " UNION ALL SELECT 3, 'purchase',"
+            " CAST((SELECT count(*) FROM s3) AS BIGINT)"
         ),
         "min_cost_supplier": (
             "WITH ps AS (SELECT l_partkey, l_suppkey,"

@@ -79,6 +79,7 @@ NEW_SQL = [
     "props_rollup",
     "min_cost_supplier",
     "incremental_agg",
+    "funnel_counts",
 ]
 
 
@@ -1513,3 +1514,49 @@ def test_stream_agg_maintenance_across_restarts(spark, tmp_path):
         .collect()
     }
     assert got2 == want2
+
+
+def test_funnel_counts_ordering_semantics(spark):
+    """Funnel order is strict-by-anchor: a view BEFORE the user's
+    first signup doesn't count; an equal timestamp does (inclusive);
+    a user skipping a middle step can't complete later steps; an
+    all-users-drop step still emits a zero row."""
+    import datetime as dt
+
+    from two_tier_document_parser_spark.events import funnel_counts
+
+    t0 = dt.datetime(2024, 1, 1)
+    s = lambda sec: t0 + dt.timedelta(seconds=sec)
+    rows = [
+        # user 1: full ordered funnel
+        (1, 1, s(10), "signup"), (2, 1, s(20), "view"),
+        (3, 1, s(30), "purchase"),
+        # user 2: view BEFORE signup only -> completes step 1 only
+        (4, 2, s(5), "view"), (5, 2, s(10), "signup"),
+        # user 3: signup + view at the SAME second (inclusive) but
+        # purchase BEFORE the view -> steps 1,2 only
+        (6, 3, s(10), "signup"), (7, 3, s(10), "view"),
+        (8, 3, s(5), "purchase"),
+        # user 4: signup + purchase, no view -> step 1 only
+        (9, 4, s(10), "signup"), (10, 4, s(50), "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        rows, ["event_id", "user_id", "ts", "event_type"]
+    )
+    got = {
+        r["step"]: (r["step_name"], r["n_users"])
+        for r in funnel_counts(ev).collect()
+    }
+    assert got == {
+        1: ("signup", 4),
+        2: ("view", 2),      # users 1 and 3
+        3: ("purchase", 1),  # user 1 only
+    }
+    # zero-survivor tail step still emits a row
+    got2 = {
+        r["step"]: r["n_users"]
+        for r in funnel_counts(
+            ev, steps=("signup", "view", "error")
+        ).collect()
+    }
+    assert got2 == {1: 4, 2: 2, 3: 0}

@@ -215,3 +215,53 @@ def props_rollup(events: DataFrame, field: str = "k") -> DataFrame:
         F.min("k").cast("long").alias("min_k"),
         F.max("k").cast("long").alias("max_k"),
     )
+
+
+def funnel_counts(
+    events: DataFrame, steps: tuple[str, ...] = ("signup", "view", "purchase")
+) -> DataFrame:
+    """Ordered funnel analysis — the sequential-pattern staple: how
+    many users completed step 1, then step 2 AFTER their first step 1,
+    then step 3 after that, etc. (each step's anchor is the EARLIEST
+    qualifying occurrence, the standard funnel definition; equal
+    timestamps count as completing — inclusive boundary like
+    asof_join).
+
+    Plan: one filtered per-user min-aggregate per step, each joined to
+    the survivors of the previous step — k key-hashed joins whose
+    right side only SHRINKS (survivors), so later stages broadcast as
+    the funnel narrows; no window pass, no per-user event-list
+    collection. Integer epochs end-to-end. Returns
+    (step int, step_name, n_users) with one row per step.
+    """
+    ev = events.select(
+        "user_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("epoch"),
+    )
+    out_rows = []
+    survivors = None
+    for i, step in enumerate(steps):
+        cur = ev.filter(F.col("event_type") == step)
+        if survivors is not None:
+            cur = cur.join(survivors, "user_id").filter(
+                F.col("epoch") >= F.col("_prev_t")
+            )
+        survivors = cur.groupBy("user_id").agg(
+            F.min("epoch").alias("_t")
+        ).select("user_id", F.col("_t").alias("_prev_t"))
+        out_rows.append(
+            # global agg (no groupBy): an empty survivor set still
+            # yields ONE row with n_users = 0, like the oracle's count
+            survivors.agg(
+                F.count(F.lit(1)).cast("long").alias("n_users")
+            ).select(
+                F.lit(i + 1).alias("step"),
+                F.lit(step).alias("step_name"),
+                "n_users",
+            )
+        )
+    result = out_rows[0]
+    for df in out_rows[1:]:
+        result = result.unionByName(df)
+    return result
