@@ -1560,3 +1560,36 @@ def test_funnel_counts_ordering_semantics(spark):
         ).collect()
     }
     assert got2 == {1: 4, 2: 2, 3: 0}
+
+
+def test_merge_agg_batch_replay_is_idempotent(spark, tmp_path):
+    """The exactly-once guard: re-applying the SAME batch id (crash
+    between pointer swap and streaming commit) must be a no-op — no
+    double count, no self-overwrite crash; a NEW batch id still
+    merges."""
+    from two_tier_document_parser_spark.streaming import (
+        merge_agg_batch,
+        read_maintained_agg,
+    )
+
+    agg = str(tmp_path / "agg")
+    import os
+
+    os.makedirs(agg)
+    b0 = spark.createDataFrame(
+        [("en", 10), ("fr", 20)], "lang string, n_chars long"
+    )
+    merge_agg_batch(b0, 0, agg, "lang", "n_chars")
+    merge_agg_batch(b0, 0, agg, "lang", "n_chars")  # replay: no-op
+    got = {
+        r["lang"]: (r["n_docs"], r["sum_value"])
+        for r in read_maintained_agg(spark, agg).collect()
+    }
+    assert got == {"en": (1, 10), "fr": (1, 20)}
+    b1 = spark.createDataFrame([("en", 5)], "lang string, n_chars long")
+    merge_agg_batch(b1, 1, agg, "lang", "n_chars")
+    got2 = {
+        r["lang"]: (r["n_docs"], r["sum_value"])
+        for r in read_maintained_agg(spark, agg).collect()
+    }
+    assert got2 == {"en": (2, 15), "fr": (1, 20)}

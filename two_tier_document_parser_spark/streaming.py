@@ -269,6 +269,57 @@ def run_stream_event_counts(
     return spark.sql(f"SELECT * FROM {query_name}")
 
 
+def merge_agg_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    agg_dir: str,
+    group_col: str,
+    value_col: str,
+) -> None:
+    """One maintenance step, module-level so its replay idempotence is
+    directly testable: merge the batch's additive delta into the
+    currently-pointed snapshot, write snap_<batch_id>, swap the
+    pointer atomically, drop superseded snapshots. If the pointer
+    already names snap_<batch_id>, the batch was fully applied (crash
+    landed between swap and streaming commit) and the call is a no-op
+    — without this, a replay would merge the batch into its own
+    output (double count / self-overwrite).
+
+    agg_dir and the streaming checkpoint are a PAIRED unit: pointing
+    a FRESH checkpoint at an existing agg_dir replays old input as
+    new batch ids over an aggregate that already contains it. Wipe or
+    fork agg_dir whenever the checkpoint is reset."""
+    import json as _json
+    import os
+    import shutil
+
+    from .curation import group_stats, merge_group_stats
+
+    pointer = os.path.join(agg_dir, "_LATEST")
+    current = None
+    if os.path.exists(pointer):
+        current = _json.loads(open(pointer).read())["snapshot"]
+    snap = f"snap_{batch_id}"
+    if current == snap:
+        return  # replayed batch: already applied
+    delta = group_stats(batch_df, group_col, value_col)
+    if current is not None:
+        base = batch_df.sparkSession.read.parquet(
+            os.path.join(agg_dir, current)
+        )
+        merged = merge_group_stats(base, delta, group_col)
+    else:
+        merged = delta
+    merged.write.mode("overwrite").parquet(os.path.join(agg_dir, snap))
+    tmp = pointer + ".tmp"
+    with open(tmp, "w") as fh:
+        fh.write(_json.dumps({"snapshot": snap}))
+    os.replace(tmp, pointer)  # atomic pointer swap
+    for d in os.listdir(agg_dir):  # drop superseded snapshots
+        if d.startswith("snap_") and d != snap:
+            shutil.rmtree(os.path.join(agg_dir, d), ignore_errors=True)
+
+
 def run_stream_agg_maintenance(
     spark: SparkSession,
     input_dir: str,
@@ -303,12 +354,8 @@ def run_stream_agg_maintenance(
     swap uses os.replace); a production deployment keeps the pointer
     in its table catalog instead. Cross-restart equality with a
     from-scratch recompute is pinned by tests/test_new_ops.py."""
-    import json as _json
     import os
     import re
-    import shutil
-
-    from .curation import group_stats, merge_group_stats
 
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", agg_dir):
         raise ValueError(
@@ -323,36 +370,8 @@ def run_stream_agg_maintenance(
         .parquet(input_dir)
         .select(group_col, value_col)
     )
-    pointer = os.path.join(agg_dir, "_LATEST")
-
-    def _pointed() -> str | None:
-        if not os.path.exists(pointer):
-            return None
-        return _json.loads(open(pointer).read())["snapshot"]
-
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        snap = f"snap_{batch_id}"
-        current = _pointed()
-        if current == snap:
-            return  # replay after swap-but-before-commit: already applied
-        delta = group_stats(batch_df, group_col, value_col)
-        if current is not None:
-            base = batch_df.sparkSession.read.parquet(
-                os.path.join(agg_dir, current)
-            )
-            merged = merge_group_stats(base, delta, group_col)
-        else:
-            merged = delta
-        merged.write.mode("overwrite").parquet(
-            os.path.join(agg_dir, snap)
-        )
-        tmp = pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(_json.dumps({"snapshot": snap}))
-        os.replace(tmp, pointer)  # atomic pointer swap
-        for d in os.listdir(agg_dir):  # drop superseded snapshots
-            if d.startswith("snap_") and d != snap:
-                shutil.rmtree(os.path.join(agg_dir, d), ignore_errors=True)
+        merge_agg_batch(batch_df, batch_id, agg_dir, group_col, value_col)
 
     q = (
         stream.writeStream.foreachBatch(sink)
