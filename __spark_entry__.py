@@ -778,10 +778,11 @@ def q_sketch_heavy_hitters(spark, sf_dir):
     sketch's false positives never matter). The candidate set is
     driver-collected but bounded at 1/support = 100 items — sketch-
     sized, never corpus-sized."""
+    support = 0.01  # heaviness threshold and sketch support MUST be
+    # the same constant or the guarantee gate silently breaks
     tok = _tokens_df(spark, sf_dir).select("token")
-    total = tok.count()
     items = set(
-        tok.stat.freqItems(["token"], support=0.01).collect()[0][0]
+        tok.stat.freqItems(["token"], support=support).collect()[0][0]
     )
     top5 = (
         tok.groupBy("token")
@@ -789,11 +790,14 @@ def q_sketch_heavy_hitters(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("token"))
         .limit(5)
     )
-    return top5.select(
+    # total folds into the plan as a 1-row cross join — no separate
+    # eager count job (a third full tokenization pass otherwise)
+    total = tok.agg(F.count(F.lit(1)).cast("long").alias("_total"))
+    return top5.crossJoin(total).select(
         "token",
         "n",
         (
-            (F.col("n") * 100 <= F.lit(total))
+            (F.col("n") <= F.col("_total") * F.lit(support))
             | F.col("token").isin(sorted(items))
         ).alias("sketch_holds"),
     )

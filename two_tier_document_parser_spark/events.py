@@ -234,6 +234,8 @@ def funnel_counts(
     collection. Integer epochs end-to-end. Returns
     (step int, step_name, n_users) with one row per step.
     """
+    if not steps:
+        raise ValueError("steps must be non-empty")
     ev = events.select(
         "user_id",
         "event_type",
