@@ -370,6 +370,24 @@ def q_snapshot_diff(spark, sf_dir):
     return snapshot_diff(old, new)
 
 
+def q_media_text_pairs(spark, sf_dir):
+    """Image-text example export over the extracted synthetic
+    interleaved corpus: caption_align context + media_side_table PNG
+    payloads, joined once on (doc_id, media_ref). Rows-only (synth
+    has no SQL form); the caption policy and payload reality are
+    pytest-pinned."""
+    from two_tier_document_parser_spark.multimodal import media_text_pairs
+    from two_tier_document_parser_spark.pipeline import extract, ship_package
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    ship_package(spark)
+    out = extract(spark, synth_spark(spark, 200, partitions=8))
+    return media_text_pairs(out).select(
+        "doc_id", "media_ref", "caption", "caption_source",
+        F.length("payload").alias("payload_bytes"),
+    )
+
+
 def q_caption_align(spark, sf_dir):
     """Interleaved media-text alignment: every image span of the
     extracted synthetic corpus paired with its nearest preceding and
@@ -1308,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the synthetic interleaved corpus has no ANSI-SQL form)
         "extract_synth_spans": q_extract_synth_spans,
         "caption_align": q_caption_align,
+        "media_text_pairs": q_media_text_pairs,
         # -- group 2: attested once (r02 only) --
         "asof_click_error": q_asof_click_error,
         "interval_error_view": q_interval_error_view,

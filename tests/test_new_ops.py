@@ -1593,3 +1593,39 @@ def test_merge_agg_batch_replay_is_idempotent(spark, tmp_path):
         for r in read_maintained_agg(spark, agg).collect()
     }
     assert got2 == {"en": (2, 15), "fr": (1, 20)}
+
+
+def test_media_text_pairs_caption_policy(spark):
+    """Export policy: explicit figure label wins; otherwise nearest
+    context (prefer preceding on tie); context-free image exports
+    with a null caption; every image payload is a real PNG."""
+    from two_tier_document_parser_spark.multimodal import media_text_pairs
+    from two_tier_document_parser_spark.png import png_dims
+
+    bb = [0, 0, 4, 4]
+    docs = spark.createDataFrame(
+        [
+            ("d1", [
+                ("text", "before", "", 0, bb),
+                ("image", "", "img_a", 1, bb),     # tie prev/next -> prev
+                ("text", "after", "", 2, bb),
+                ("image", "", "img_b", 3, bb),     # next is labeled
+                ("text", "Figure 1: chart", "", 4, bb),
+            ]),
+            ("d2", [
+                ("image", "", "img_c", 0, bb),     # no context at all
+                ("page_break", "", "", 1, bb),
+            ]),
+        ],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,order:int,bbox:array<int>>>",
+    )
+    rows = {r["media_ref"]: r for r in media_text_pairs(docs).collect()}
+    assert (rows["img_a"]["caption"], rows["img_a"]["caption_source"]) == (
+        "before", "preceding")
+    assert (rows["img_b"]["caption"], rows["img_b"]["caption_source"]) == (
+        "Figure 1: chart", "labeled_caption")
+    assert (rows["img_c"]["caption"], rows["img_c"]["caption_source"]) == (
+        None, "none")
+    for r in rows.values():
+        assert png_dims(bytes(r["payload"])) is not None  # real PNG

@@ -330,3 +330,54 @@ def caption_align(documents_out: DataFrame) -> DataFrame:
             F.lit(False),
         ).alias("caption_hint"),
     )
+
+
+def media_text_pairs(
+    documents_out: DataFrame, page_rasters: DataFrame | None = None
+) -> DataFrame:
+    """Image-text training-example export — the END PRODUCT of the
+    interleaved pipeline: one row per image with its chosen caption
+    and the real PNG payload, ready to feed a multimodal trainer.
+    Composes caption_align (context discovery) with media_side_table
+    (payload assembly, pixel-true when page rasters exist).
+
+    Caption policy (deterministic): a following span that looks like
+    an explicit figure/table label wins (caption_hint); otherwise the
+    NEARER of the two context spans by span-order distance, preferring
+    the preceding one on ties and on one-sided documents. Images with
+    no text context at all export with a null caption (the trainer's
+    drop/keep decision, not ours).
+
+    Plan: caption_align's single window exchange + media_side_table's
+    map-side payload projection, joined on (doc_id, media_ref) — one
+    additional key-hashed join, payload bytes move exactly once.
+
+    Returns (doc_id, media_ref, caption, caption_source, payload).
+    """
+    cap = caption_align(documents_out)
+    media = media_side_table(documents_out, page_rasters).filter(
+        F.col("kind") == "image"
+    )
+    prefer_next = F.col("caption_hint") | (
+        F.col("prev_text").isNull()
+        | (
+            F.col("next_text").isNotNull()
+            & (F.col("next_dist") < F.col("prev_dist"))
+        )
+    )
+    caption = F.when(prefer_next, F.col("next_text")).otherwise(
+        F.col("prev_text")
+    )
+    source = (
+        F.when(F.col("caption_hint"), F.lit("labeled_caption"))
+        .when(caption.isNull(), F.lit("none"))
+        .when(prefer_next, F.lit("following"))
+        .otherwise(F.lit("preceding"))
+    )
+    return cap.join(media, ["doc_id", "media_ref"]).select(
+        "doc_id",
+        "media_ref",
+        caption.alias("caption"),
+        source.alias("caption_source"),
+        "payload",
+    )
