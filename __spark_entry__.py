@@ -381,9 +381,13 @@ def q_media_text_pairs(spark, sf_dir):
     from two_tier_document_parser_spark.synth import synth_spark
 
     ship_package(spark)
-    out = extract(spark, synth_spark(spark, 200, partitions=8))
+    # both branches of the export consume the extraction output —
+    # checkpoint so the cascade runs ONCE, not once per branch
+    out = extract(
+        spark, synth_spark(spark, 200, partitions=8)
+    ).localCheckpoint()
     return media_text_pairs(out).select(
-        "doc_id", "media_ref", "caption", "caption_source",
+        "doc_id", "media_ref", "order", "caption", "caption_source",
         F.length("payload").alias("payload_bytes"),
     )
 

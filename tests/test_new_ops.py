@@ -1596,9 +1596,12 @@ def test_merge_agg_batch_replay_is_idempotent(spark, tmp_path):
 
 
 def test_media_text_pairs_caption_policy(spark):
-    """Export policy: explicit figure label wins; otherwise nearest
-    context (prefer preceding on tie); context-free image exports
-    with a null caption; every image payload is a real PNG."""
+    """Export policy: explicit figure label wins; otherwise the
+    NEARER context span (following when strictly closer, preceding on
+    ties); context-free image exports with a null caption; a doc
+    referencing the SAME asset twice still yields exactly one row per
+    image span (order-disambiguated join, no fan-out); every image
+    payload is a real PNG."""
     from two_tier_document_parser_spark.multimodal import media_text_pairs
     from two_tier_document_parser_spark.png import png_dims
 
@@ -1616,16 +1619,33 @@ def test_media_text_pairs_caption_policy(spark):
                 ("image", "", "img_c", 0, bb),     # no context at all
                 ("page_break", "", "", 1, bb),
             ]),
+            ("d3", [
+                ("text", "far", "", 0, bb),
+                ("page_break", "", "", 1, bb),
+                ("image", "", "img_d", 2, bb),     # next strictly nearer
+                ("text", "near caption", "", 3, bb),
+            ]),
+            # SAME media_ref twice in one doc: must stay 1:1
+            ("d4", [
+                ("text", "left", "", 0, bb),
+                ("image", "", "dup", 1, bb),
+                ("text", "mid", "", 2, bb),
+                ("image", "", "dup", 3, bb),
+                ("text", "right", "", 4, bb),
+            ]),
         ],
         "doc_id string, spans array<struct<kind:string,text:string,"
         "media_ref:string,order:int,bbox:array<int>>>",
     )
-    rows = {r["media_ref"]: r for r in media_text_pairs(docs).collect()}
-    assert (rows["img_a"]["caption"], rows["img_a"]["caption_source"]) == (
-        "before", "preceding")
-    assert (rows["img_b"]["caption"], rows["img_b"]["caption_source"]) == (
-        "Figure 1: chart", "labeled_caption")
-    assert (rows["img_c"]["caption"], rows["img_c"]["caption_source"]) == (
-        None, "none")
-    for r in rows.values():
+    out = media_text_pairs(docs).collect()
+    rows = {(r["doc_id"], r["media_ref"], r["order"]): r for r in out}
+    assert len(out) == len(rows) == 6  # 1 row per image span, no fan-out
+    get = lambda k: (rows[k]["caption"], rows[k]["caption_source"])
+    assert get(("d1", "img_a", 1)) == ("before", "preceding")
+    assert get(("d1", "img_b", 3)) == ("Figure 1: chart", "labeled_caption")
+    assert get(("d2", "img_c", 0)) == (None, "none")
+    assert get(("d3", "img_d", 2)) == ("near caption", "following")
+    assert get(("d4", "dup", 1)) == ("left", "preceding")
+    assert get(("d4", "dup", 3)) == ("mid", "preceding")
+    for r in out:
         assert png_dims(bytes(r["payload"])) is not None  # real PNG

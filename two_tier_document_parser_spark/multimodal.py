@@ -33,7 +33,9 @@ FEATURE_SCHEMA = (
 
 
 def media_side_table(
-    documents_out: DataFrame, page_rasters: DataFrame | None = None
+    documents_out: DataFrame,
+    page_rasters: DataFrame | None = None,
+    with_order: bool = False,
 ) -> DataFrame:
     """Artifact side table keyed (doc_id, artifact id): one row per
     image/formula/table span of the extraction output.
@@ -83,6 +85,7 @@ def media_side_table(
             "doc_id",
             F.col("s.media_ref").alias("media_ref"),
             F.col("s.kind").alias("kind"),
+            F.col("s.order").alias("order"),
             F.col("s.text").alias("_text"),
             F.col("s.bbox").alias("_bbox"),
         )
@@ -103,10 +106,13 @@ def media_side_table(
         )
     else:
         arts = arts.withColumn("_raster", F.lit(None).cast("binary"))
+    cols = ["doc_id", "media_ref", "kind"]
+    if with_order:
+        # span order disambiguates repeated asset refs within a doc
+        # (media_text_pairs joins on it to stay 1:1)
+        cols.append("order")
     return arts.select(
-        "doc_id",
-        "media_ref",
-        "kind",
+        *cols,
         F.when(
             F.col("kind") == "image",
             png_udf(F.col("_text"), F.col("_bbox"), F.col("_raster")),
@@ -349,15 +355,21 @@ def media_text_pairs(
     drop/keep decision, not ours).
 
     Plan: caption_align's single window exchange + media_side_table's
-    map-side payload projection, joined on (doc_id, media_ref) — one
-    additional key-hashed join, payload bytes move exactly once.
+    map-side payload projection, joined on (doc_id, media_ref, order)
+    — the span order keeps the join 1:1 even when a doc references
+    the same asset twice (repeated refs are normal in real corpora);
+    payload bytes move exactly once. BOTH branches consume
+    documents_out, so the caller should persist / localCheckpoint it
+    first or the upstream plan (the full extraction cascade, in the
+    driver query) executes twice.
 
-    Returns (doc_id, media_ref, caption, caption_source, payload).
+    Returns (doc_id, media_ref, order, caption, caption_source,
+    payload).
     """
     cap = caption_align(documents_out)
-    media = media_side_table(documents_out, page_rasters).filter(
-        F.col("kind") == "image"
-    )
+    media = media_side_table(
+        documents_out, page_rasters, with_order=True
+    ).filter(F.col("kind") == "image")
     prefer_next = F.col("caption_hint") | (
         F.col("prev_text").isNull()
         | (
@@ -374,9 +386,10 @@ def media_text_pairs(
         .when(prefer_next, F.lit("following"))
         .otherwise(F.lit("preceding"))
     )
-    return cap.join(media, ["doc_id", "media_ref"]).select(
+    return cap.join(media, ["doc_id", "media_ref", "order"]).select(
         "doc_id",
         "media_ref",
+        "order",
         caption.alias("caption"),
         source.alias("caption_source"),
         "payload",
