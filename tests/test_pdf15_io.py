@@ -497,3 +497,109 @@ def test_incremental_update_newest_wins():
     got = parse_pdf(pdf + inc)
     assert got is not None
     assert [s["text"] for s in got["spans"]] == ["updated body"]
+
+def test_appended_trailer_adding_encrypt_takes_effect():
+    """§7.5.6: an incremental update appends a WHOLE new trailer; a
+    reader must honor the newest one. An update whose trailer adds
+    /Encrypt (a re-encrypted file) must flip the document to the
+    encryption path — with an unsupported handler that means
+    quarantine, NOT parsing ciphertext through the stale first
+    trailer (round-3 advice: first-match-return inverted this)."""
+    import re
+
+    from two_tier_document_parser_spark.pdf_io import parse_pdf, render_pdf
+
+    doc = {
+        "doc_id": "d1",
+        "doc_class": "pdf",
+        "spans": [
+            {"kind": "text", "text": "plain body", "media_ref": "",
+             "offset": 0}
+        ],
+    }
+    pdf = render_pdf(doc)
+    assert parse_pdf(pdf) is not None
+    root = re.search(rb"/Root (\d+) 0 R", pdf).group(1)
+    startxref_old = int(re.search(rb"startxref\s+(\d+)", pdf).group(1))
+    off = len(pdf)
+    # V5/R6 (AES-256) is deliberately outside the supported handler set
+    enc = (
+        b"99 0 obj\n<< /Filter /Standard /V 5 /R 6 >>\nendobj\n"
+    )
+    inc = enc + (
+        b"xref\n99 1\n%010d 00000 n \n"
+        b"trailer\n<< /Size 100 /Root %s 0 R /Encrypt 99 0 R /Prev %d >>\n"
+        b"startxref\n%d\n%%%%EOF\n"
+        % (off, root, startxref_old, off + len(enc))
+    )
+    assert parse_pdf(pdf + inc) is None
+
+
+def test_appended_trailer_moving_root_takes_effect():
+    """An incremental update that installs a NEW catalog (moves /Root
+    to a different object number) must be read through the new root,
+    not the stale first trailer. Also pins classic-trailer precedence
+    over the base file's xref-stream dict on hybrid updates."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    base = build_pdf15(
+        _page_objs(b"BT /F1 12 Tf 72 700 Td (original root) Tj ET"),
+        root=1,
+    )
+    content = b"BT /F1 12 Tf 72 700 Td (moved root) Tj ET"
+    upd = (
+        b"53 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+        + b"52 0 obj\n<< /Type /Page /Parent 51 0 R"
+        b" /MediaBox [0 0 612 792] /Contents 53 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        + b"51 0 obj\n<< /Type /Pages /Kids [ 52 0 R ] /Count 1 >>\nendobj\n"
+        + b"50 0 obj\n<< /Type /Catalog /Pages 51 0 R >>\nendobj\n"
+        + b"trailer\n<< /Size 100 /Root 50 0 R >>\nstartxref\n0\n%%EOF\n"
+    )
+    got = parse_pdf(base + upd)
+    assert got is not None
+    assert [s["text"] for s in got["spans"]] == ["moved root"]
+
+
+def test_objstm_update_shadows_toplevel_object():
+    """§7.5.6 last-definition-wins must hold even when the newer
+    definition arrives INSIDE a /Type /ObjStm appended by an update:
+    a member object shadows an older top-level body of the same
+    number (round-3 advice: the `onum not in objs` guard made
+    compressed updates unable to shadow anything)."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    base = build_pdf15(
+        _page_objs(b"BT /F1 12 Tf 72 700 Td (old page) Tj ET"), root=1
+    )
+    # replacement Page (object 3) delivered via a NEW ObjStm, pointing
+    # at a NEW top-level content stream (streams can't live in ObjStm)
+    content = b"BT /F1 12 Tf 72 700 Td (new page) Tj ET"
+    member = (
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 10 0 R /Resources << /Font << /F1 5 0 R >> >> >>"
+    )
+    header = b"3 0 "
+    payload = header + member
+    upd = (
+        b"10 0 obj\n<< /Length %d >>\nstream\n%s\nendstream\nendobj\n"
+        % (len(content), content)
+        + b"11 0 obj\n<< /Type /ObjStm /N 1 /First %d /Length %d >>\n"
+        b"stream\n%s\nendstream\nendobj\n"
+        % (len(header), len(payload), payload)
+        + b"trailer\n<< /Size 100 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    )
+    got = parse_pdf(base + upd)
+    assert got is not None
+    assert [s["text"] for s in got["spans"]] == ["new page"]
+    # and the inverse ordering still holds: a LATER top-level body
+    # appended after an ObjStm keeps winning
+    later = (
+        b"3 0 obj\n<< /Type /Page /Parent 2 0 R"
+        b" /MediaBox [0 0 612 792] /Contents 4 0 R"
+        b" /Resources << /Font << /F1 5 0 R >> >> >>\nendobj\n"
+        b"trailer\n<< /Size 100 /Root 1 0 R >>\nstartxref\n0\n%%EOF\n"
+    )
+    got2 = parse_pdf(base + upd + later)
+    assert [s["text"] for s in got2["spans"]] == ["old page"]

@@ -18,9 +18,10 @@ image codecs DCT/JPX/CCITT/JBIG2), WinAnsi decoding for non-BOM
 strings (Annex D.2), and ToUnicode CMaps for composite-font text
 (§9.10.3). Incremental updates (§7.5.6, appended replacement objects
 with a /Prev trailer chain) are honored for free: the sequential
-object scan is last-definition-wins and the trailer pick is
-last-with-/Root, which is exactly newest-generation semantics
-(regression-pinned in tests/test_pdf15_io.py). Encrypted files
+object scan is last-definition-wins BY FILE ORDER (including
+members of later /ObjStm containers) and classic trailers merge
+with later keys winning, which is exactly newest-generation
+semantics (regression-pinned in tests/test_pdf15_io.py). Encrypted files
 (/Encrypt in the trailer) are detected and quarantine cleanly —
 decryption remains out of scope. No third-party PDF library is used
 or consulted.
@@ -726,14 +727,27 @@ def parse_pdf(payload: bytes) -> dict | None:
         return None
 
 
-def _scan_objects(data: bytes) -> dict[int, bytes]:
+class _ObjMap(dict):
+    """Object-number -> body map plus the byte offset each definition
+    was found at (`pos`), so later passes can arbitrate collisions by
+    FILE ORDER — the §7.5.6 last-definition-wins rule — even between
+    top-level bodies and /ObjStm-delivered ones."""
+
+    __slots__ = ("pos",)
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.pos: dict[int, int] = {}
+
+
+def _scan_objects(data: bytes) -> _ObjMap:
     """Sequential object scan that steps OVER stream payloads using
     /Length, so 'endobj' or 'N 0 obj' byte sequences inside stream
     data (text content, or compressed bytes — probabilistically
     certain across a large corpus) cannot truncate an object body or
     fabricate a phantom object. Falls back to keyword search when
     /Length is indirect or invalid."""
-    objs: dict[int, bytes] = {}
+    objs = _ObjMap()
     pos = 0
     n = len(data)
     while True:
@@ -758,21 +772,30 @@ def _scan_objects(data: bytes) -> dict[int, bytes]:
                 es = data.find(b"endstream", seek_from)
                 end = (es + len(b"endstream")) if es != -1 else n
         eo = data.find(b"endobj", end)
-        objs[int(h.group(1))] = data[body_start : eo if eo != -1 else end]
+        num = int(h.group(1))
+        objs[num] = data[body_start : eo if eo != -1 else end]
+        objs.pos[num] = h.start()
         pos = (eo + len(b"endobj")) if eo != -1 else end
 
 
-def _expand_object_streams(objs: dict[int, bytes]) -> None:
+def _expand_object_streams(objs: _ObjMap) -> None:
     """Lift compressed objects out of /Type /ObjStm streams
     (ISO 32000 §7.5.7) into the object map. The stream payload is
     N pairs of `objnum offset` integers (offsets relative to /First)
     followed by the object bodies; each body becomes a regular
-    entry parseable by _parse_obj. Top-level definitions win over
-    compressed ones on collision."""
-    for num in list(objs):
+    entry parseable by _parse_obj. Collisions resolve by FILE ORDER
+    (later definition wins, a member inheriting its container's
+    offset) — the same §7.5.6 newest-generation rule the top-level
+    scan applies, so an incremental update delivered via a NEW
+    ObjStm correctly shadows an older top-level body (round-3
+    advice: the old `onum not in objs` guard inverted this)."""
+    containers = sorted(
+        (num for num, body in objs.items() if b"/ObjStm" in body),
+        key=lambda num: objs.pos.get(num, 0),
+    )
+    pos = objs.pos
+    for num in containers:
         body = objs[num]
-        if b"/ObjStm" not in body:
-            continue
         try:
             d, _ = _parse_obj(body, 0)
         except Exception:
@@ -784,20 +807,32 @@ def _expand_object_streams(objs: dict[int, bytes]) -> None:
         first = _resolve(objs, d.get("First"))
         if not (isinstance(n, int) and isinstance(first, int)) or not data:
             continue
+        my_pos = pos.get(num, 0)
         nums = [int(x) for x in re.findall(rb"\d+", data[:first])[: 2 * n]]
         pairs = list(zip(nums[0::2], nums[1::2]))
         bounds = [off for _, off in pairs] + [len(data) - first]
         for i, (onum, off) in enumerate(pairs):
-            if onum not in objs and 0 <= off < bounds[i + 1]:
+            if 0 <= off < bounds[i + 1] and (
+                onum not in objs or pos.get(onum, -1) <= my_pos
+            ):
                 objs[onum] = data[first + off : first + bounds[i + 1]]
+                pos[onum] = my_pos
 
 
 def _find_trailer(data: bytes, objs: dict[int, bytes]) -> dict | None:
-    """The trailer dict: the `trailer` keyword when present (classic
-    table xref), else the LAST /Type /XRef cross-reference STREAM
-    dict (PDF 1.5+, §7.5.8 — its dict carries /Root and /Info; the
-    entry table itself is redundant here because objects are found by
-    sequential scan)."""
+    """The trailer dict: the classic `trailer` keyword dicts when
+    present (table xref), else the LAST /Type /XRef cross-reference
+    STREAM dict (PDF 1.5+, §7.5.8 — its dict carries /Root and
+    /Info; the entry table itself is redundant here because objects
+    are found by sequential scan).
+
+    Classic trailers MERGE in file order with later keys winning
+    (§7.5.6 incremental updates append a whole new trailer; §7.5.5
+    says updates should copy all prior entries but readers must honor
+    the newest) — so an appended update that adds /Encrypt or moves
+    /Root takes effect instead of being read through the stale first
+    trailer (round-3 advice: first-match-return inverted this)."""
+    merged: dict | None = None
     for tm in _TRAILER_RE.finditer(data):
         # a compressed stream can contain the bytes `trailer <<..>>`
         # by chance; only accept a dict that actually parses and
@@ -807,7 +842,12 @@ def _find_trailer(data: bytes, objs: dict[int, bytes]) -> dict | None:
         except Exception:
             continue
         if isinstance(t, dict) and "Root" in t:
-            return t
+            if merged is None:
+                merged = dict(t)
+            else:
+                merged.update(t)
+    if merged is not None:
+        return merged
     trailer = None
     for body in objs.values():
         if b"/XRef" not in body:
