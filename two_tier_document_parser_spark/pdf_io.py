@@ -21,10 +21,14 @@ with a /Prev trailer chain) are honored for free: the sequential
 object scan is last-definition-wins BY FILE ORDER (including
 members of later /ObjStm containers) and classic trailers merge
 with later keys winning, which is exactly newest-generation
-semantics (regression-pinned in tests/test_pdf15_io.py). Encrypted files
-(/Encrypt in the trailer) are detected and quarantine cleanly —
-decryption remains out of scope. No third-party PDF library is used
-or consulted.
+semantics (regression-pinned in tests/test_pdf15_io.py). Encrypted
+files (/Encrypt in the trailer) are decrypted via the standard
+security handler with an EMPTY user password (ISO 32000 §7.6.3:
+RC4-40/128 for V1/V2/R2/R3 and /V2 crypt filters, AES-128-CBC for
+/AESV2 — see pdfcrypt.py; the reference gets this via PyMuPDF,
+fast/service.py:42); password-protected or V5/AES-256 files
+quarantine cleanly. No third-party PDF or crypto library is used or
+consulted — AES is built from FIPS-197, key algorithms from §7.6.3.
 
 Span lift = two layers, mirroring how real extractors work:
 
@@ -181,7 +185,9 @@ _ESCAPES = {
 }
 
 
-def _parse_literal_string(b: bytes, i: int):
+def _parse_literal_raw(b: bytes, i: int) -> tuple[bytes, int]:
+    """Literal string at `i` -> (unescaped RAW bytes, end offset) —
+    the byte layer shared by text decoding and string decryption."""
     out = bytearray()
     depth = 1
     i += 1
@@ -213,7 +219,12 @@ def _parse_literal_string(b: bytes, i: int):
         else:
             out += c
             i += 1
-    return _decode_pdf_string(bytes(out)), i
+    return bytes(out), i
+
+
+def _parse_literal_string(b: bytes, i: int):
+    raw, i = _parse_literal_raw(b, i)
+    return _decode_pdf_string(raw), i
 
 
 # WinAnsiEncoding (ISO 32000 Annex D.2) agrees with windows-1252 on
@@ -707,6 +718,17 @@ def _stream_bytes(objs: dict[int, bytes], ref) -> bytes:
         else:
             em = _STREAM_RE.search(body)
             data = em.group(1) if em else b""
+        crypt = getattr(objs, "crypt", None)
+        if (
+            crypt is not None
+            and data
+            and ref.num not in crypt.exempt
+            and d.get("Type") != "XRef"  # §7.5.8.2: never encrypted
+        ):
+            try:
+                data = crypt.dec(data, ref.num)
+            except Exception:
+                return b""
         try:
             data = _apply_filters(data, d, objs)
         except Exception:
@@ -731,13 +753,17 @@ class _ObjMap(dict):
     """Object-number -> body map plus the byte offset each definition
     was found at (`pos`), so later passes can arbitrate collisions by
     FILE ORDER — the §7.5.6 last-definition-wins rule — even between
-    top-level bodies and /ObjStm-delivered ones."""
+    top-level bodies and /ObjStm-delivered ones. `crypt` holds the
+    verified StdCrypt context for encrypted files (None otherwise) —
+    attached here so _stream_bytes sees it everywhere without
+    threading a parameter through every call site."""
 
-    __slots__ = ("pos",)
+    __slots__ = ("pos", "crypt")
 
     def __init__(self) -> None:
         super().__init__()
         self.pos: dict[int, int] = {}
+        self.crypt = None
 
 
 def _scan_objects(data: bytes) -> _ObjMap:
@@ -861,16 +887,140 @@ def _find_trailer(data: bytes, objs: dict[int, bytes]) -> dict | None:
     return trailer
 
 
+def _setup_crypt(objs: _ObjMap, trailer: dict):
+    """Resolve the /Encrypt dict into a verified StdCrypt context
+    (standard security handler, EMPTY user password), or None when
+    the file uses an unsupported handler / revision / crypt filter or
+    a real password — the caller quarantines. ISO 32000 §7.6.3."""
+    from .pdfcrypt import StdCrypt, check_user_password, file_key
+
+    ref = trailer.get("Encrypt")
+    exempt = frozenset({ref.num} if isinstance(ref, Ref) else ())
+    enc = _obj_dict(objs, ref) if isinstance(ref, Ref) else (
+        ref if isinstance(ref, dict) else None
+    )
+    if not isinstance(enc, dict) or enc.get("Filter") != "Standard":
+        return None
+    v, r = enc.get("V"), enc.get("R")
+    nbits = enc.get("Length", 40)
+    aes = False
+    if v == 4:
+        # crypt filters (§7.6.5): support one named filter applied to
+        # BOTH strings and streams, /V2 (RC4) or /AESV2 (AES-128-CBC)
+        stmf, strf = enc.get("StmF", "Identity"), enc.get("StrF", "Identity")
+        cf = enc.get("CF")
+        cfd = cf.get(stmf) if isinstance(cf, dict) else None
+        if stmf != strf or not isinstance(cfd, dict):
+            return None
+        cfm = cfd.get("CFM")
+        if cfm == "AESV2":
+            aes = True
+        elif cfm != "V2":
+            return None
+        cflen = cfd.get("Length")
+        if isinstance(cflen, int):
+            # producers disagree on the unit here: bytes per spec,
+            # bits in the wild — <= 40 can only be bytes
+            nbits = cflen * 8 if cflen <= 40 else cflen
+    elif v not in (1, 2) or r not in (2, 3):
+        return None
+    o, u, p = enc.get("O"), enc.get("U"), enc.get("P")
+    ids = trailer.get("ID")
+    id0 = ids[0].raw if isinstance(ids, list) and ids else b""
+    if not (
+        isinstance(o, _PdfStr) and isinstance(u, _PdfStr)
+        and isinstance(p, int) and r in (2, 3, 4)
+    ):
+        return None
+    key = file_key(
+        o.raw, p, id0, r, nbits,
+        encrypt_metadata=bool(enc.get("EncryptMetadata", True)),
+    )
+    if not check_user_password(key, u.raw, id0, r):
+        return None  # non-empty user password: quarantine
+    return StdCrypt(key, aes, exempt)
+
+
+def _decrypt_body_strings(body: bytes, dec) -> bytes:
+    """Rewrite every string token in the non-stream region of one
+    object body with its decrypted value (re-encoded as a hex
+    string, always syntax-safe). Stream payloads are left alone —
+    _stream_bytes decrypts those wholesale (§7.6.2: strings and
+    streams encrypt independently, each under the per-object key)."""
+    sm = _STREAM_KW_RE.search(body)
+    head = body[: sm.start()] if sm else body
+    if b"(" not in head and b"<" not in head.replace(b"<<", b""):
+        return body
+    tail = body[sm.start():] if sm else b""
+    out = bytearray()
+    i, n = 0, len(head)
+    while i < n:
+        two = head[i : i + 2]
+        if two == b"<<" or two == b">>":
+            out += two
+            i += 2
+            continue
+        c = head[i : i + 1]
+        if c == b"(":
+            raw, j = _parse_literal_raw(head, i)
+            try:
+                raw = dec(raw)
+            except Exception:
+                pass  # undecryptable string: keep ciphertext
+            out += b"<" + raw.hex().encode() + b">"
+            i = j
+        elif c == b"<":
+            m = _HEXSTR_RE.match(head, i)
+            if m:
+                hexs = _WSB_RE.sub(b"", m.group(1))
+                if len(hexs) % 2:
+                    hexs += b"0"
+                raw = bytes.fromhex(hexs.decode())
+                try:
+                    raw = dec(raw)
+                except Exception:
+                    pass
+                out += b"<" + raw.hex().encode() + b">"
+                i = m.end()
+            else:
+                out += c
+                i += 1
+        else:
+            out += c
+            i += 1
+    return bytes(out) + tail
+
+
+def _decrypt_strings(objs: _ObjMap, crypt) -> None:
+    """Decrypt object-level strings in every TOP-LEVEL body (members
+    later lifted out of ObjStms are already plaintext — the whole
+    container stream was decrypted). The Encrypt dict itself is
+    exempt (§7.6.2: its strings are never encrypted)."""
+    for num in list(objs):
+        if num in crypt.exempt:
+            continue
+        objs[num] = _decrypt_body_strings(
+            objs[num], lambda raw, _n=num: crypt.dec(raw, _n)
+        )
+
+
 def _parse_pdf_inner(data: bytes) -> dict | None:
     objs = _scan_objects(data)
-    _expand_object_streams(objs)
     trailer = _find_trailer(data, objs)
     if trailer is None:
         return None
     if trailer.get("Encrypt") is not None:
-        # encrypted file: strings/streams are RC4/AES ciphertext —
-        # quarantine cleanly instead of lifting mojibake spans
-        return None
+        # standard security handler, empty user password (RC4-40/128,
+        # AES-128): derive + verify the file key, then decryption
+        # happens in-line (strings here, streams in _stream_bytes).
+        # Anything else quarantines cleanly instead of lifting
+        # ciphertext spans.
+        crypt = _setup_crypt(objs, trailer)
+        if crypt is None:
+            return None
+        objs.crypt = crypt
+        _decrypt_strings(objs, crypt)
+    _expand_object_streams(objs)
     root = _obj_dict(objs, trailer.get("Root"))
     if not root:
         return None
@@ -1128,6 +1278,137 @@ def render_pdf(doc: dict) -> bytes:
     return w.finish(root, info)
 
 
+def _ser_obj(v, enc=None) -> bytes:
+    """Serialize a parsed PDF value back to bytes; strings re-emit as
+    hex, run through `enc` (the per-object encryptor) when given.
+    Producer/fixture side of the encryption round trip."""
+    if isinstance(v, _PdfStr):
+        raw = enc(v.raw) if enc is not None else v.raw
+        return b"<" + raw.hex().encode() + b">"
+    if isinstance(v, bool):
+        return b"true" if v else b"false"
+    if isinstance(v, str):  # a parsed /Name
+        return b"/" + v.encode("latin-1")
+    if isinstance(v, Ref):
+        return b"%d 0 R" % v.num
+    if isinstance(v, int):
+        return b"%d" % v
+    if isinstance(v, float):
+        return repr(v).encode()
+    if isinstance(v, list):
+        return b"[ " + b" ".join(_ser_obj(x, enc) for x in v) + b" ]"
+    if isinstance(v, dict):
+        return (
+            b"<< "
+            + b" ".join(
+                b"/" + k.encode("latin-1") + b" " + _ser_obj(x, enc)
+                for k, x in v.items()
+            )
+            + b" >>"
+        )
+    if v is None:
+        return b"null"
+    raise ValueError(f"unserializable PDF value {v!r}")
+
+
+def encrypt_pdf(
+    data: bytes,
+    cipher: str = "rc4",
+    nbits: int = 128,
+    owner_pw: bytes = b"owner",
+    user_pw: bytes = b"",
+) -> bytes:
+    """Producer/test-harness inverse of the decryption path: re-emit
+    a parsed PDF with every string and stream encrypted under the
+    §7.6.3 standard security handler (empty user password unless
+    given). cipher='rc4' -> V1/R2 at 40 bits or V2/R3 above;
+    cipher='aes' -> V4/R4 with an /AESV2 crypt filter. Deterministic
+    (IVs derive from the per-object key) so fixtures and oracle
+    corpora are stable across runs."""
+    import hashlib
+
+    from .pdfcrypt import StdCrypt, compute_o, compute_u, file_key
+
+    if cipher == "aes":
+        v, r, aes, nbits = 4, 4, True, 128
+    elif nbits > 40:
+        v, r, aes = 2, 3, False
+    else:
+        v, r, aes = 1, 2, False
+    objs = _scan_objects(data)
+    trailer = _find_trailer(data, objs)
+    if trailer is None:
+        raise ValueError("input is not a parseable PDF")
+    id0 = hashlib.md5(data).digest()
+    o = compute_o(owner_pw, user_pw, r, nbits)
+    p = -44
+    fkey = file_key(o, p, id0, r, nbits, password=user_pw)
+    u = compute_u(fkey, id0, r)
+    crypt = StdCrypt(fkey, aes, frozenset())
+
+    out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for num in sorted(objs):
+        body = objs[num]
+        d, end = _parse_obj(body, 0)
+        sm = _STREAM_KW_RE.match(body, _skip_ws(body, end))
+        enc = lambda raw, _n=num: crypt.enc(raw, _n)  # noqa: E731
+        if isinstance(d, dict) and sm:
+            length = d.get("Length")
+            if isinstance(length, int) and length <= len(body) - sm.end():
+                payload = body[sm.end() : sm.end() + length]
+            else:
+                em = _STREAM_RE.search(body)
+                payload = em.group(1) if em else b""
+            ct = crypt.enc(payload, num)
+            d["Length"] = len(ct)
+            new_body = (
+                _ser_obj(d, enc) + b"\nstream\n" + ct + b"\nendstream"
+            )
+        else:
+            new_body = _ser_obj(d, enc)
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + new_body + b"\nendobj\n"
+
+    enc_num = max(objs) + 1
+    enc_dict = (
+        b"<< /Filter /Standard /V %d /R %d /Length %d /P %d"
+        b" /O <%s> /U <%s>" % (v, r, nbits, p, o.hex().encode(),
+                               u.hex().encode())
+    )
+    if v == 4:
+        enc_dict += (
+            b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+        )
+    enc_dict += b" >>"
+    offsets[enc_num] = len(out)
+    out += b"%d 0 obj\n" % enc_num + enc_dict + b"\nendobj\n"
+
+    xref_pos = len(out)
+    n = enc_num + 1
+    lines = [b"xref\n", b"0 %d\n" % n, b"0000000000 65535 f \n"]
+    for i in range(1, n):
+        lines.append(
+            b"%010d 00000 n \n" % offsets.get(i, 0)
+            if i in offsets
+            else b"0000000000 65535 f \n"
+        )
+    t = dict(trailer)
+    t.pop("Prev", None)
+    t.pop("ID", None)
+    t["Size"] = n
+    t["Encrypt"] = Ref(enc_num)
+    idhex = b"<" + id0.hex().encode() + b">"
+    out += b"".join(lines)
+    out += (
+        b"trailer\n" + _ser_obj(t)[:-3]
+        + b" /ID [ " + idhex + b" " + idhex + b" ] >>\n"
+        + b"startxref\n%d\n%%%%EOF\n" % xref_pos
+    )
+    return bytes(out)
+
+
 # ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
@@ -1159,6 +1440,33 @@ def render_batches(
             ],
             names=["doc_id", "payload"],
         )
+
+
+def encrypt_table(bin_df, cipher: str = "rc4", nbits: int = 128):
+    """(doc_id, payload binary) of plaintext PDFs -> the same files
+    encrypted under the §7.6.3 standard security handler (empty user
+    password). Map-only mapInArrow, same scale shape as the parsers;
+    producer half of the encrypted-ingest correctness gate."""
+
+    def _enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            if batch.num_rows == 0:
+                continue
+            payloads = [
+                encrypt_pdf(p.as_py(), cipher=cipher, nbits=nbits)
+                for p in batch.column("payload")
+            ]
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pa.array(payloads, type=pa.binary()),
+                ],
+                names=["doc_id", "payload"],
+            )
+
+    return bin_df.select("doc_id", "payload").mapInArrow(
+        _enc, "doc_id string, payload binary"
+    )
 
 
 def render_table(raw):
