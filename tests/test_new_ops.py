@@ -1649,3 +1649,44 @@ def test_media_text_pairs_caption_policy(spark):
     assert get(("d4", "dup", 3)) == ("mid", "preceding")
     for r in out:
         assert png_dims(bytes(r["payload"])) is not None  # real PNG
+
+
+def test_jpeg_media_real_dims_and_resize(spark):
+    """Round-3 verdict task #4 closure at the Spark surface: a
+    baseline-JPEG payload gets REAL dims from the SOF0 header in
+    extract_media_features (not the hash stub), and resize_media
+    decodes real pixels (T.81 huffman+IDCT) and nearest-neighbor
+    resamples them — output is a PNG with the reported dims whose
+    pixels equal the NN-sample of the JPEG decode."""
+    import sys
+    from pathlib import Path
+
+    import numpy as np
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_jpeg import _test_image, encode_gray_jpeg
+
+    from two_tier_document_parser_spark.jpeg import decode_jpeg_gray
+    from two_tier_document_parser_spark.multimodal import (
+        extract_media_features,
+        resize_media,
+    )
+    from two_tier_document_parser_spark.png import decode_png_gray, png_dims
+
+    img = _test_image(24, 48, seed=11)
+    payload = encode_gray_jpeg(img)
+    media = spark.createDataFrame(
+        [("d1", "page_0_img_0", "image", payload)],
+        "doc_id string, media_ref string, kind string, payload binary",
+    )
+    (f,) = extract_media_features(media).collect()
+    assert (f["width"], f["height"]) == (48, 24)  # real SOF0 dims
+
+    (r,) = resize_media(media, max_side=16).collect()
+    assert (r["width"], r["height"]) == (16, 8)
+    assert png_dims(bytes(r["payload"])) == (16, 8)
+    got = decode_png_gray(bytes(r["payload"]))
+    src = decode_jpeg_gray(payload)
+    rows = (np.arange(8) * 24) // 8
+    cols = (np.arange(16) * 48) // 16
+    assert np.array_equal(got, src[rows][:, cols])
