@@ -270,3 +270,31 @@ def test_html5_sibling_implied_closes_and_rawtext():
     assert k(b"<p>5 < 6 and x > y</p>") == [("text", "5 < 6 and x > y")]
     assert k(b'<div data-boxed="1">t</div>') == [("text", "t")]
     assert k(b"<p>one<p>two") == [("text", "one"), ("text", "two")]
+
+
+def test_binary_junk_quarantines_without_nul():
+    """Round-3 advice: the total w1252 fallback must not turn NUL-free
+    binary fragments into mojibake 'html' documents. C0/C1 control
+    density gates the unlabeled fallback; real legacy text (sparse or
+    zero controls) still decodes."""
+    from two_tier_document_parser_spark.html_io import (
+        decode_html_bytes,
+        parse_html,
+    )
+
+    # JPEG-ish header + dense low bytes, no NUL anywhere
+    junk = b"\xff\xd8\xff\xe0" + bytes(range(1, 9)) * 40 + b"\xff\x80?"
+    assert b"\x00" not in junk
+    assert parse_html(junk) is None
+    # the original round-2 weakened case now quarantines again
+    assert decode_html_bytes(b"\x01\x02\x03\x04\x05\x06\x07\x08" * 16) is None
+    # legacy cp1252 text with curly quotes and an accented char still
+    # decodes through the fallback (no control density)
+    legacy = b"<p>caf\xe9 \x93quoted\x94 \x97 dash</p>"
+    got = parse_html(b"<html><body>" + legacy + b"</body></html>")
+    assert got is not None
+    assert "caf\xe9" in got["spans"][0]["text"]
+    # a lone stray control char in otherwise-real text stays below
+    # the threshold
+    mostly_text = b"<p>" + b"real words here " * 40 + b"\x01</p>"
+    assert decode_html_bytes(mostly_text) is not None

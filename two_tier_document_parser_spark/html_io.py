@@ -52,8 +52,9 @@ Subset semantics (documented, deterministic):
   spaces.
 - Bytes are decoded via WHATWG-style sniffing (decode_html_bytes):
   BOM first, then a <meta charset> prescan of the first 1024 bytes,
-  then strict UTF-8, then the total windows-1252 fallback — only
-  truly undecodable streams (odd-length UTF-16) quarantine.
+  then strict UTF-8, then the total windows-1252 fallback —
+  undecodable streams (odd-length UTF-16) and NUL-free binary
+  fragments (C0/C1 control-density gate, round-3 advice) quarantine.
 - n_pages = 1 + count(page_break); doc_class comes from the <html
   data-doc-class=".."> attribute, defaulting to "html".
 
@@ -127,6 +128,35 @@ def _decode_w1252(payload: bytes) -> str:
     return payload.decode("latin-1").translate(_W1252_MAP)
 
 
+# binary-junk gates (round-3 advice: w1252 is total over bytes, so
+# without these any NUL-free binary fragment misrouted here became a
+# mojibake 'html' document). Two alphabets:
+# - C0 controls that never appear in text (below 0x20 except
+#   \t \n \f \r): safe on ANY payload — UTF-8 multibyte sequences
+#   use only bytes >= 0x80, so C0 density reads the same before and
+#   after a successful UTF-8 decode.
+# - plus the five w1252 hole bytes (C1 controls) for the UNLABELED
+#   w1252 fallback only — they are mojibake there, but legitimate
+#   continuation bytes in CJK UTF-8, so they must not gate streams
+#   that might still decode as UTF-8.
+# Real text sits near 0; compressed/binary data near 31/256 ≈ 12%.
+_C0_BYTES = frozenset(range(0x20)) - {9, 10, 12, 13}
+_C0_TABLE = bytes(1 if b in _C0_BYTES else 0 for b in range(256))
+_BIN_TABLE = bytes(
+    1 if (b in _C0_BYTES or b in (0x81, 0x8D, 0x8F, 0x90, 0x9D)) else 0
+    for b in range(256)
+)
+
+
+def _looks_binary(
+    payload: bytes, table: bytes = _C0_TABLE, threshold: float = 0.05
+) -> bool:
+    sample = payload[:4096]
+    if not sample:
+        return False
+    return sum(sample.translate(table)) / len(sample) > threshold
+
+
 def decode_html_bytes(payload: bytes) -> str | None:
     """Sniff + decode raw HTML bytes. Returns None only for truly
     undecodable streams (e.g. a UTF-16 BOM followed by an odd byte
@@ -144,6 +174,12 @@ def decode_html_bytes(payload: bytes) -> str | None:
             return payload[2:].decode("utf-16-le")
         except UnicodeDecodeError:
             return None
+    if _looks_binary(payload):
+        # non-BOM stream with binary-grade C0-control density:
+        # JPEG/zip fragments, not a document — quarantine before any
+        # charset guess can mojibake it (BOM'd UTF-16 is handled
+        # above; its NUL bytes never reach this check)
+        return None
     m = _CHARSET_RE.search(payload[:1024])
     if m:
         label = m.group(1).decode("ascii", "replace").strip().lower()
@@ -166,6 +202,10 @@ def decode_html_bytes(payload: bytes) -> str | None:
     try:
         return payload.decode("utf-8")
     except UnicodeDecodeError:
+        if _looks_binary(payload, table=_BIN_TABLE):
+            # unlabeled, non-UTF-8, C1-hole-dense: mojibake, not
+            # legacy text — quarantine instead of w1252-decoding
+            return None
         return _decode_w1252(payload)
 
 

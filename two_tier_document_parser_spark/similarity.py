@@ -204,13 +204,33 @@ def lsh_near_dup_pairs(
     dedup.lsh_candidate_pairs): a degenerate signature that captures
     the whole corpus would expand O(n^2) pairs; buckets above the cap
     are dropped — at sane plane counts only near-constant vectors land
-    there, and the multi-table OR-construction recovers the recall."""
+    there, and the multi-table OR-construction recovers the recall.
+    The drop is NOT silent (round-3 advice / the repo's no-silent-caps
+    convention): the returned DataFrame carries a `lsh_dropped`
+    attribute — a LAZY one-row diagnostics DataFrame
+    (dropped_buckets, dropped_ids) the caller can collect to alert
+    when a capped bucket actually occurred (an Observation would be
+    free, but Spark 4.1's Observation.get breaks when a distinct
+    follows the observe node, so this recomputes the signature pass
+    on demand instead). Pass max_bucket=None for the uncapped
+    exact-recall behavior."""
     sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables)
-    buckets = (
+    grouped = (
         sigs.groupBy("tbl", "sig")
         .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter((F.size("ids") > 1) & (F.size("ids") <= max_bucket))
+        .filter(F.size("ids") > 1)
     )
+    dropped = None
+    if max_bucket is not None:
+        dropped = grouped.filter(F.size("ids") > max_bucket).agg(
+            F.count(F.lit(1)).alias("dropped_buckets"),
+            F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias(
+                "dropped_ids"
+            ),
+        )
+        buckets = grouped.filter(F.size("ids") <= max_bucket)
+    else:
+        buckets = grouped
     cand = (
         buckets.select(
             F.explode(
@@ -230,7 +250,7 @@ def lsh_near_dup_pairs(
     )
     va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
     vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
-    return (
+    out = (
         cand.join(va, "a")
         .join(vb, "b")
         .filter(
@@ -239,6 +259,8 @@ def lsh_near_dup_pairs(
         )
         .select("a", "b")
     )
+    out.lsh_dropped = dropped
+    return out
 
 
 TRAIN_SAMPLE_PER_CELL = 64
