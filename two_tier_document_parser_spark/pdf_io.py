@@ -78,6 +78,7 @@ from typing import Iterator
 
 import pyarrow as pa
 
+from . import pdf_fonts
 from .schemas import RAW_SCHEMA
 
 HEADING_PT = 16     # >= this text size -> heading
@@ -394,15 +395,22 @@ def _interp_page(
     cur_cmap: tuple | None = None
 
     def dec(x: object) -> str:
-        """Apply the selected font's ToUnicode CMap to a shown string
-        (BOM'd UTF-16 text strings bypass it — they are already
-        Unicode by construction)."""
+        """Apply the selected font's decode map — ToUnicode CMap,
+        /Differences encoding, or embedded-TrueType map — to a shown
+        string (BOM'd UTF-16 text strings bypass it — they are
+        already Unicode by construction). A symbolic font with NO
+        recoverable mapping quarantines the document: emitting the
+        WinAnsi default there would be silent mojibake."""
         if (
             cur_cmap is None
             or not isinstance(x, _PdfStr)
             or x.raw[:2] == b"\xfe\xff"
         ):
             return str(x)
+        if cur_cmap is pdf_fonts.UNMAPPABLE:
+            raise ValueError(
+                "text shown with an unmappable symbolic font"
+            )
         s = _cmap_decode(x.raw, *cur_cmap)
         return s if s else str(x)
 
@@ -1004,6 +1012,53 @@ def _decrypt_strings(objs: _ObjMap, crypt) -> None:
         )
 
 
+def _font_decoder(objs: dict[int, bytes], fd: dict | None, cmap_cache: dict):
+    """Resolve ONE font dict to its decode map — a (cmap, widths)
+    tuple compatible with _cmap_decode, pdf_fonts.UNMAPPABLE for a
+    symbolic font with no recoverable mapping (shown text
+    quarantines the document instead of silently mis-mapping to
+    WinAnsi), or None for the WinAnsi default path.
+
+    Priority: /ToUnicode CMap > /Encoding name-or-dict (with
+    /Differences, resolved through the Adobe Glyph List) > embedded
+    TrueType program cmap+post tables. ISO 32000 §9.6.6, §9.10.3;
+    the reference engine gets this breadth via PyMuPDF
+    (fast/service.py:42)."""
+    if not fd:
+        return None
+    tu = fd.get("ToUnicode")
+    if isinstance(tu, Ref):
+        if tu.num not in cmap_cache:
+            try:
+                cmap_cache[tu.num] = _parse_tounicode(
+                    _stream_bytes(objs, tu)
+                )
+            except Exception:
+                cmap_cache[tu.num] = None
+        parsed = cmap_cache[tu.num]
+        if parsed and parsed[0]:
+            return parsed
+    enc_map = pdf_fonts.encoding_cmap(_resolve(objs, fd.get("Encoding")))
+    if enc_map:
+        return {(1, c): ch for c, ch in enc_map.items()}, [1]
+    desc = _obj_dict(objs, fd.get("FontDescriptor"))
+    if desc:
+        ff = desc.get("FontFile2")
+        if isinstance(ff, Ref):
+            try:
+                tt_map = pdf_fonts.truetype_code_map(
+                    _stream_bytes(objs, ff)
+                )
+            except Exception:
+                tt_map = None
+            if tt_map:
+                return {(1, c): ch for c, ch in tt_map.items()}, [1]
+        flags = desc.get("Flags")
+        if isinstance(flags, (int, float)) and int(flags) & 4:
+            return pdf_fonts.UNMAPPABLE
+    return None
+
+
 def _parse_pdf_inner(data: bytes) -> dict | None:
     objs = _scan_objects(data)
     trailer = _find_trailer(data, objs)
@@ -1048,7 +1103,7 @@ def _parse_pdf_inner(data: bytes) -> dict | None:
 
     spans: list[tuple[str, str, str]] = []
     cmap_cache: dict[int, tuple | None] = {}
-    font_cache: dict[int, Ref | None] = {}
+    font_cache: dict[int, object] = {}
     for p_idx, page in enumerate(pages):
         if p_idx:
             spans.append(("page_break", "", ""))
@@ -1062,35 +1117,26 @@ def _parse_pdf_inner(data: bytes) -> dict | None:
                     d = _parse_obj(body, 0)[0]
                     if isinstance(d, dict):
                         xobjects[nm] = d
-        # fonts with a usable ToUnicode CMap (§9.10.3); both the font
-        # dict resolution and the parsed CMap are cached by object
-        # number — font objects repeat on every page
-        fonts: dict[str, tuple] = {}
+        # font decode maps, priority ToUnicode CMap (§9.10.3) >
+        # /Encoding + /Differences (§9.6.6.3) > embedded symbolic
+        # TrueType cmap/post (round-3 verdict task #6). Font dicts
+        # repeat on every page, so decoders cache by object number.
+        fonts: dict[str, object] = {}
         fo_map = _resolve(objs, res.get("Font")) or {}
         if isinstance(fo_map, dict):
             for nm, fref in fo_map.items():
                 if isinstance(fref, Ref):
                     if fref.num not in font_cache:
-                        fd = _obj_dict(objs, fref)
-                        tu = fd.get("ToUnicode") if fd else None
-                        font_cache[fref.num] = (
-                            tu if isinstance(tu, Ref) else None
+                        font_cache[fref.num] = _font_decoder(
+                            objs, _obj_dict(objs, fref), cmap_cache
                         )
-                    tu = font_cache[fref.num]
+                    dec_map = font_cache[fref.num]
+                elif isinstance(fref, dict):
+                    dec_map = _font_decoder(objs, fref, cmap_cache)
                 else:
-                    tu = fref.get("ToUnicode") if isinstance(fref, dict) else None
-                if not isinstance(tu, Ref):
-                    continue
-                if tu.num not in cmap_cache:
-                    try:
-                        cmap_cache[tu.num] = _parse_tounicode(
-                            _stream_bytes(objs, tu)
-                        )
-                    except Exception:
-                        cmap_cache[tu.num] = None
-                parsed = cmap_cache[tu.num]
-                if parsed and parsed[0]:
-                    fonts[nm] = parsed
+                    dec_map = None
+                if dec_map is not None:
+                    fonts[nm] = dec_map
         contents = page.get("Contents")
         content_refs = contents if isinstance(contents, list) else [contents]
         content = b"".join(
