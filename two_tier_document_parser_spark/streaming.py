@@ -278,46 +278,36 @@ def merge_agg_batch(
 ) -> None:
     """One maintenance step, module-level so its replay idempotence is
     directly testable: merge the batch's additive delta into the
-    currently-pointed snapshot, write snap_<batch_id>, swap the
-    pointer atomically, drop superseded snapshots. If the pointer
-    already names snap_<batch_id>, the batch was fully applied (crash
-    landed between swap and streaming commit) and the call is a no-op
-    — without this, a replay would merge the batch into its own
-    output (double count / self-overwrite).
+    current committed snapshot and commit the result through the
+    SAME staging-dir + manifest protocol as the batch sink
+    (table_io.ParquetManifestIO.replace — round-3 verdict task #8),
+    so batch and streaming maintenance share one commit story. If
+    the manifest already names snap_<batch_id> as the committed run,
+    the batch was fully applied (crash landed between the manifest
+    swap and the streaming commit) and the call is a no-op — without
+    this, a replay would merge the batch into its own output (double
+    count / self-overwrite).
 
     agg_dir and the streaming checkpoint are a PAIRED unit: pointing
     a FRESH checkpoint at an existing agg_dir replays old input as
     new batch ids over an aggregate that already contains it. Wipe or
     fork agg_dir whenever the checkpoint is reset."""
-    import json as _json
-    import os
-    import shutil
-
     from .curation import group_stats, merge_group_stats
+    from .table_io import ParquetManifestIO
 
-    pointer = os.path.join(agg_dir, "_LATEST")
-    current = None
-    if os.path.exists(pointer):
-        current = _json.loads(open(pointer).read())["snapshot"]
+    io = ParquetManifestIO(batch_df.sparkSession, agg_dir)
     snap = f"snap_{batch_id}"
-    if current == snap:
+    runs = io.committed_runs()
+    if runs and runs[-1] == snap:
         return  # replayed batch: already applied
     delta = group_stats(batch_df, group_col, value_col)
-    if current is not None:
-        base = batch_df.sparkSession.read.parquet(
-            os.path.join(agg_dir, current)
-        )
-        merged = merge_group_stats(base, delta, group_col)
-    else:
-        merged = delta
-    merged.write.mode("overwrite").parquet(os.path.join(agg_dir, snap))
-    tmp = pointer + ".tmp"
-    with open(tmp, "w") as fh:
-        fh.write(_json.dumps({"snapshot": snap}))
-    os.replace(tmp, pointer)  # atomic pointer swap
-    for d in os.listdir(agg_dir):  # drop superseded snapshots
-        if d.startswith("snap_") and d != snap:
-            shutil.rmtree(os.path.join(agg_dir, d), ignore_errors=True)
+    base = io.read() if runs else None
+    merged = (
+        merge_group_stats(base, delta, group_col)
+        if base is not None
+        else delta
+    )
+    io.replace(merged, snap)
 
 
 def run_stream_agg_maintenance(
@@ -337,30 +327,32 @@ def run_stream_agg_maintenance(
     triple (n_docs, n_vals, sum0); read_maintained_agg finalizes.
 
     Each foreachBatch merges the batch's delta into the CURRENT
-    maintained snapshot and writes the result as a NEW snapshot dir
-    `snap_<batch_id>`, then atomically swaps a pointer file
-    (os.replace) and deletes superseded snapshots. Exactly-once
-    across restarts: if the pointer already names snap_<batch_id>,
-    the replayed batch is a no-op (the crash happened after the swap
-    but before the streaming commit) — without this guard a replay
-    would merge the batch into its own output and double-count; if
-    the crash happened before the swap, the half-written snap dir is
-    rewritten from the pre-batch snapshot. The pointer only ever
-    moves after a complete write, so readers never see a torn
-    aggregate. Work per batch is batch-sized + aggregate-sized —
-    never corpus-sized.
+    committed snapshot and commits the result as run `snap_<batch_id>`
+    through table_io.ParquetManifestIO.replace — the SAME staging-dir
+    + atomic-manifest-swap protocol the batch sink uses, so both
+    maintenance paths share one commit story. Exactly-once across
+    restarts: if the manifest already names snap_<batch_id>, the
+    replayed batch is a no-op (the crash happened after the manifest
+    swap but before the streaming commit) — without this guard a
+    replay would merge the batch into its own output and
+    double-count; if the crash happened before the swap, the
+    orphaned staging/run dirs are dead and rebuilt from the
+    pre-batch snapshot. The manifest only ever moves after a
+    complete write, so readers never see a torn aggregate. Work per
+    batch is batch-sized + aggregate-sized — never corpus-sized.
 
-    `agg_dir` must be a driver-visible filesystem path (the pointer
-    swap uses os.replace); a production deployment keeps the pointer
-    in its table catalog instead. Cross-restart equality with a
-    from-scratch recompute is pinned by tests/test_new_ops.py."""
+    `agg_dir` must be a driver-visible filesystem path (the manifest
+    swap uses os.replace); a production deployment keeps the
+    manifest in its table catalog instead. Cross-restart equality
+    with a from-scratch recompute is pinned by
+    tests/test_new_ops.py."""
     import os
     import re
 
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", agg_dir):
         raise ValueError(
             "agg_dir must be a driver-local filesystem path (the "
-            "snapshot pointer uses os.replace); got a URI: " + agg_dir
+            "manifest swap uses os.replace); got a URI: " + agg_dir
         )
     os.makedirs(agg_dir, exist_ok=True)
     schema = spark.read.parquet(input_dir).schema
@@ -384,16 +376,16 @@ def run_stream_agg_maintenance(
 
 
 def read_maintained_agg(spark: SparkSession, agg_dir: str) -> DataFrame:
-    """Read the maintained aggregate through its pointer file and
+    """Read the maintained aggregate through its manifest and
     finalize the additive triple to (group, n_docs, sum_value)."""
-    import json as _json
-    import os
-
     from .curation import finalize_group_stats
+    from .table_io import ParquetManifestIO
 
-    pointer = os.path.join(agg_dir, "_LATEST")
-    snap = _json.loads(open(pointer).read())["snapshot"]
-    stored = spark.read.parquet(os.path.join(agg_dir, snap))
+    stored = ParquetManifestIO(spark, agg_dir).read()
+    if stored is None:
+        raise FileNotFoundError(
+            f"no committed snapshot in {agg_dir} (empty manifest)"
+        )
     group_col = [
         c for c in stored.columns
         if c not in ("n_docs", "n_vals", "sum0")

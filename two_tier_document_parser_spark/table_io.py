@@ -91,6 +91,37 @@ class ParquetManifestIO:
         os.replace(tmp, self._manifest)  # atomic commit point
         return run_id
 
+    def replace(self, df: DataFrame, run_id: str) -> str:
+        """Snapshot-REPLACE commit: the new run supersedes every
+        prior run (maintenance snapshots, compaction results). Same
+        commit point as append() — the atomic manifest swap — so
+        readers never observe a torn or half-superseded table, and
+        the streaming maintenance path (streaming.merge_agg_batch)
+        shares one commit story with the batch sink. Crash windows:
+        before the data move, replay overwrites the staging dir;
+        between move and manifest swap, the orphaned final dir is
+        dead by definition (committed ids short-circuit in the
+        caller) and is rebuilt; after the swap, the caller's
+        last-run guard makes the replay a no-op."""
+        staging = os.path.join(self.path, f"_staging_{run_id}")
+        final = os.path.join(self.path, "runs", run_id)
+        df.write.mode("overwrite").parquet(staging)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staging, final)  # atomic on one filesystem
+        tmp = self._manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"runs": [run_id]}, f)
+        os.replace(tmp, self._manifest)  # atomic commit point
+        runs_dir = os.path.join(self.path, "runs")
+        for name in os.listdir(runs_dir):  # superseded = garbage
+            if name != run_id:
+                shutil.rmtree(
+                    os.path.join(runs_dir, name), ignore_errors=True
+                )
+        return run_id
+
     def read(self) -> DataFrame | None:
         runs = self.committed_runs()
         if not runs:
