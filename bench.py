@@ -30,9 +30,53 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 BENCH_DOCS = 100_000
 
 
+def _load_snapshot() -> dict:
+    """1-min loadavg + cumulative /proc/stat ticks. This VM shares a
+    hypervisor; a capture window is only comparable round-over-round
+    when the box was calm (round-3 verdict What's-wrong #2), so the
+    bench records the evidence instead of leaving readers to guess."""
+    snap: dict[str, float] = {}
+    try:
+        snap["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except OSError:
+        pass
+    try:
+        parts = open("/proc/stat").readline().split()
+        ticks = [int(x) for x in parts[1:]]
+        snap["ticks_total"] = sum(ticks)
+        snap["ticks_steal"] = ticks[7] if len(ticks) > 7 else 0
+        snap["ticks_idle"] = ticks[3] if len(ticks) > 3 else 0
+    except (OSError, ValueError):
+        pass
+    return snap
+
+
+def _load_meta(start: dict, end: dict) -> dict:
+    meta = {
+        "loadavg_1m_start": start.get("loadavg_1m"),
+        "loadavg_1m_end": end.get("loadavg_1m"),
+    }
+    dt = end.get("ticks_total", 0) - start.get("ticks_total", 0)
+    if dt > 0:
+        meta["steal_pct"] = round(
+            100.0
+            * (end.get("ticks_steal", 0) - start.get("ticks_steal", 0))
+            / dt,
+            2,
+        )
+        meta["idle_pct"] = round(
+            100.0
+            * (end.get("ticks_idle", 0) - start.get("ticks_idle", 0))
+            / dt,
+            2,
+        )
+    return meta
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    load_start = _load_snapshot()
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -272,6 +316,7 @@ def main() -> int:
             "queries": timings,
             "sf": sf_dir.rstrip("/").split("/")[-1],
             "cpus": cpus,
+            "load": _load_meta(load_start, _load_snapshot()),
             **extras,
             **({"scaling": scaling_summary} if scaling_summary else {}),
         }
