@@ -246,6 +246,39 @@ def q_dataset_split(spark, sf_dir):
     return dataset_split(_docs(spark, sf_dir))
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher repetition rules (Rae et al. 2021 A1.1) on 2-grams:
+    within-document duplicate-2-gram and top-2-gram fractions,
+    integer-scaled, with the repetitive flag — the loop/keyword-
+    stuffing filter of a web-scale curation pipeline."""
+    from two_tier_document_parser_spark.textstats import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_substring_overlap(spark, sf_dir):
+    """Exact-substring overlap pairs (distributed analogue of
+    suffix-array dedup, Lee et al. 2021): documents sharing >= 2
+    distinct 4-token shingles, boilerplate-capped. Catches verbatim
+    partial copies that whole-document Jaccard dilutes away."""
+    from two_tier_document_parser_spark.dedup import substring_overlap
+
+    return substring_overlap(_docs(spark, sf_dir))
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Language-rebalancing sampler: per-stratum deterministic
+    hash-bucket keep rates (en 10%, zh 50%, default 30%) — the
+    multilingual mix-adjustment step, engine-stable and auditable."""
+    from two_tier_document_parser_spark.textstats import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf_dir),
+        rates_permille={"en": 100, "zh": 500},
+        default_permille=300,
+    )
+
+
 def q_ngram_boilerplate(spark, sf_dir):
     from two_tier_document_parser_spark.curation import ngram_boilerplate
 
@@ -1326,6 +1359,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round-3 advice).
     return {
         # -- group 1: new this round, never attested --
+        "repetition_stats": q_repetition_stats,
+        "substring_overlap": q_substring_overlap,
+        "stratified_sample": q_stratified_sample,
         "pdf_encrypted_ingest": q_pdf_encrypted_ingest,
         # -- group 2: last attested r01/r02 (rotate back into the
         #    window per round-3 verdict task #5) --
@@ -1376,12 +1412,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "shuffle_rank": q_shuffle_rank,
         "profile_columns": q_profile_columns,
-        "dedup_incremental": q_dedup_incremental,
-        "encode_tokens": q_encode_tokens,
-        "bucketed_join": q_bucketed_join,
         # ---- entries from here on sit at/after position 50 (the
         # observed driver cap) — all r03-attested; parity_harness
         # still value-checks every one at sf0.01 ----
+        "dedup_incremental": q_dedup_incremental,
+        "encode_tokens": q_encode_tokens,
+        "bucketed_join": q_bucketed_join,
         "token_commonness": q_token_commonness,
         "snapshot_diff": q_snapshot_diff,
         "props_rollup": q_props_rollup,
@@ -1525,6 +1561,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "redact_pii": _redact_pii_sql(),
+        "repetition_stats": _repetition_sql(),
+        "substring_overlap": _substring_overlap_sql(),
+        "stratified_sample": _stratified_sql(),
         "gopher_quality": _gopher_quality_sql(),
         "ngram_boilerplate": _ngram_boilerplate_sql(),
         "decontaminate": _decontaminate_sql(),
@@ -2139,6 +2178,87 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.a
 JOIN sizes sb ON sb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+
+def _repetition_sql() -> str:
+    return """
+WITH t AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) - 1
+           AS pos,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+tk AS (SELECT * FROM t WHERE tok <> ''),
+bg AS (
+  SELECT doc_id,
+         tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS bg
+  FROM tk
+),
+per AS (SELECT doc_id, bg, count(*) AS c FROM bg WHERE bg IS NOT NULL
+        GROUP BY doc_id, bg),
+st AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n, count(*) AS nd,
+              max(c) AS top_c
+       FROM per GROUP BY doc_id),
+fin AS (
+  SELECT d.doc_id,
+         CAST(coalesce(st.n, 0) AS BIGINT) AS n_2grams,
+         CAST(CASE WHEN st.n > 0 THEN (st.n - st.nd) * 1000 // st.n
+              ELSE 0 END AS BIGINT) AS dup_2gram_x1000,
+         CAST(CASE WHEN st.n > 0 THEN st.top_c * 1000 // st.n
+              ELSE 0 END AS BIGINT) AS top_2gram_x1000,
+         coalesce(st.top_c, 0) AS top_c
+  FROM documents d LEFT JOIN st USING (doc_id)
+)
+SELECT doc_id, n_2grams, dup_2gram_x1000, top_2gram_x1000,
+       (dup_2gram_x1000 > 600
+        OR (top_2gram_x1000 > 200 AND top_c >= 2)) AS repetitive
+FROM fin
+"""
+
+
+def _substring_overlap_sql(k: int = 4, min_shared: int = 2, cap: int = 50) -> str:
+    gram = " || ' ' || ".join(
+        ["tok"] + [f"lead(tok, {j}) OVER w" for j in range(1, k)]
+    )
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) - 1
+           AS pos,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+tk AS (SELECT * FROM t WHERE tok <> ''),
+sh0 AS (
+  SELECT DISTINCT doc_id, {gram} AS sh
+  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+shn AS (SELECT * FROM sh0 WHERE sh IS NOT NULL),
+freq AS (SELECT sh, count(*) AS c FROM shn GROUP BY sh),
+keep AS (SELECT shn.doc_id, shn.sh FROM shn JOIN freq USING (sh)
+         WHERE freq.c <= {cap})
+SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+FROM keep a JOIN keep b ON a.sh = b.sh AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {min_shared}
+"""
+
+
+def _stratified_sql() -> str:
+    def thr(permille: int) -> str:
+        return format(permille * 65536 // 1000, "04x")
+
+    return f"""
+SELECT doc_id, lang FROM (
+  SELECT doc_id, lang,
+         substring(md5(lang || ':' || CAST(doc_id AS VARCHAR)
+                       || ':strat:42'), 1, 4) AS h4
+  FROM documents
+) s
+WHERE CASE WHEN lang = 'en' THEN h4 < '{thr(100)}'
+           WHEN lang = 'zh' THEN h4 < '{thr(500)}'
+           ELSE h4 < '{thr(300)}' END
 """
 
 

@@ -80,6 +80,9 @@ NEW_SQL = [
     "min_cost_supplier",
     "incremental_agg",
     "funnel_counts",
+    "repetition_stats",
+    "substring_overlap",
+    "stratified_sample",
 ]
 
 
@@ -1731,3 +1734,111 @@ def test_lsh_near_dup_cap_is_observable(spark):
     ok.count()
     (m2,) = ok.lsh_dropped.collect()
     assert m2["dropped_buckets"] == 0 and m2["dropped_ids"] == 0
+
+
+def test_minhash_kernel_equals_relational(spark):
+    """The map-only mapInPandas MinHash kernel must be bit-identical
+    to the relational (oracle-shaped) form — same ASCII whitespace
+    split, same lowercasing, same md5 hex lexicographic min — on both
+    string and bigint keys, including short docs (< k tokens emit no
+    signature) and Unicode whitespace (Java \\s is ASCII-only; a
+    NBSP-joined pair must stay ONE token in both forms)."""
+    from two_tier_document_parser_spark.dedup import (
+        minhash_bands,
+        minhash_bands_relational,
+    )
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta gamma"),
+        (2, "alpha beta"),  # < k tokens: no signature rows
+        (3, "one two three four five"),  # NBSP is NOT a separator
+        (4, "Tab\tand  newline\nsplit like spark does"),
+        (5, ""),
+    ]
+    d = spark.createDataFrame(rows, "doc_id bigint, text string")
+    a = minhash_bands(d)
+    b = minhash_bands_relational(d)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.filter("key = 2").count() == 0
+    s = spark.createDataFrame(
+        [(str(k), t) for k, t in rows], "doc_id string, text string"
+    )
+    a2, b2 = minhash_bands(s), minhash_bands_relational(s)
+    assert a2.exceptAll(b2).count() == 0 and b2.exceptAll(a2).count() == 0
+    assert [f.dataType for f in a2.schema.fields] == [
+        f.dataType for f in b2.schema.fields
+    ]
+
+
+def test_repetition_stats_hand_docs(spark):
+    from two_tier_document_parser_spark.textstats import repetition_stats
+
+    d = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),   # 5 2-grams: "a b" x3, "b a" x2
+            (2, "x y z w"),       # 3 distinct 2-grams, no repetition
+            (3, "solo"),          # < 2 tokens -> zeros
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in repetition_stats(d).collect()}
+    assert got[1]["n_2grams"] == 5
+    assert got[1]["dup_2gram_x1000"] == 600   # (5-2)*1000 div 5
+    assert got[1]["top_2gram_x1000"] == 600   # 3*1000 div 5
+    assert got[1]["repetitive"] is True
+    assert got[2]["n_2grams"] == 3
+    assert got[2]["dup_2gram_x1000"] == 0
+    assert got[2]["repetitive"] is False
+    assert got[3]["n_2grams"] == 0 and got[3]["repetitive"] is False
+
+
+def test_substring_overlap_hand_docs(spark):
+    from two_tier_document_parser_spark.dedup import substring_overlap
+
+    # docs 1/2 share the verbatim run "p q r s t" (two distinct
+    # 4-shingles); doc 3 shares only ONE shingle with doc 1 (below
+    # min_shared); doc 4 is disjoint
+    d = spark.createDataFrame(
+        [
+            (1, "p q r s t u v"),
+            (2, "z z p q r s t"),
+            (3, "q r s t nine eight"),  # shares "q r s t" only
+            (4, "completely different words here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    got = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in substring_overlap(d, k=4, min_shared=2).collect()
+    }
+    assert got == {(1, 2): 2}
+    # min_shared=1 admits the single-shingle pairs too
+    got1 = {
+        (r["a"], r["b"])
+        for r in substring_overlap(d, k=4, min_shared=1).collect()
+    }
+    assert got1 == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.textstats import stratified_sample
+
+    d = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(4000)],
+        "doc_id bigint, lang string",
+    )
+    kept = stratified_sample(
+        d, rates_permille={"en": 100}, default_permille=500
+    )
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # 2000 per stratum; en ~10% and fr ~50% within sampling noise
+    assert 130 <= counts.get("en", 0) <= 270
+    assert 900 <= counts.get("fr", 0) <= 1100
+    # deterministic: re-evaluation yields the identical keep set
+    ids1 = {r["doc_id"] for r in kept.collect()}
+    ids2 = {r["doc_id"] for r in stratified_sample(
+        d, rates_permille={"en": 100}, default_permille=500).collect()}
+    assert ids1 == ids2

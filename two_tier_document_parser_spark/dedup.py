@@ -254,6 +254,58 @@ def jaccard_pairs(
     )
 
 
+def substring_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = 4,
+    min_shared: int = 2,
+    max_docs_per_shingle: int = 50,
+) -> DataFrame:
+    """Exact-substring overlap discovery: document pairs sharing at
+    least `min_shared` DISTINCT k-token shingles -> (a, b, n_shared).
+
+    The distributed analogue of suffix-array substring dedup (Lee et
+    al. 2021, "Deduplicating Training Data Makes Language Models
+    Better"): where MinHash/LSH estimates whole-document set
+    similarity, this finds literal verbatim overlap — quotation,
+    template reuse, partial mirrors — that Jaccard misses on long
+    documents with a short copied passage.
+
+    Scale shape: one distinct over (doc, shingle) — map-side combine
+    does most of it since a document's shingles are generated in one
+    partition — then a self-join that shuffles ONLY (shingle, doc_id)
+    rows, never text. Shingles appearing in more than
+    `max_docs_per_shingle` documents are excluded before pairing
+    (boilerplate guard — same reasoning as lsh_candidate_pairs'
+    max_bucket: a viral shingle would contribute O(n^2) pairs while
+    carrying no dedup signal). The cap is a documented parameter, not
+    a silent default-on drop: callers wanting exhaustive pairing pass
+    max_docs_per_shingle=None.
+
+    Fully relational; the DuckDB oracle reproduces it expression for
+    expression (integer counts only)."""
+    sh = shingle_rows(
+        df.select(F.col(key_col), F.col(text_col)), text_col, key_col, k
+    ).distinct()
+    if max_docs_per_shingle is not None:
+        freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+        sh = (
+            sh.join(freq, "sh")
+            .filter(F.col("df_") <= max_docs_per_shingle)
+            .drop("df_")
+        )
+    a = sh.select(F.col("sh"), F.col("key").alias("a"))
+    b = sh.select(F.col("sh"), F.col("key").alias("b"))
+    return (
+        a.join(b, "sh")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash64(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
     """64-bit SimHash over whitespace tokens, as a vectorized pandas
     UDF (Arrow batches). Per token: 64 bits of md5 (first 8 digest

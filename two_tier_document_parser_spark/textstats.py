@@ -176,6 +176,125 @@ def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+REP_MAX_DUP_2GRAM_X1000 = 600
+REP_MAX_TOP_2GRAM_X1000 = 200
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher repetition rules (Rae et al. 2021, appendix A1.1) on
+    2-grams, integer-scaled: per document, the fraction of 2-gram
+    occurrences that duplicate an earlier one (dup_2gram_x1000) and
+    the fraction claimed by the single most common 2-gram
+    (top_2gram_x1000). `repetitive` flags documents past either bound
+    — loops, keyword stuffing, boilerplate runs.
+
+    Needs within-document 2-gram FREQUENCIES (not just distinct
+    counts, which gopher_quality's map-only array form covers), so
+    it explodes once and aggregates twice; both groupBys partial-
+    aggregate map-side, and since a document's 2-grams are generated
+    inside one partition the (doc, bg) combine is complete before the
+    exchange — the shuffle carries one row per distinct 2-gram per
+    doc, never the token stream. Docs with < 2 tokens emit zeros.
+
+    Integer division throughout (matches the SQL oracle)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        df.select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.col(text_col)), r"\s+")).alias(
+                "pos", "tok"
+            ),
+        )
+        .filter(F.col("tok") != "")
+        .withColumn("nxt", F.lead("tok").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select("doc_id", F.concat_ws(" ", "tok", "nxt").alias("bg"))
+    )
+    per = bg.groupBy("doc_id", "bg").agg(F.count(F.lit(1)).alias("c"))
+    st = per.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.count(F.lit(1)).alias("nd"),
+        F.max("c").alias("top_c"),
+    )
+    joined = df.select("doc_id").join(st, "doc_id", "left")
+    n = F.coalesce(F.col("n"), F.lit(0)).cast("long")
+    dup = F.when(
+        n > 0, F.floor((F.col("n") - F.col("nd")) * 1000 / F.col("n"))
+    ).otherwise(F.lit(0)).cast("long")
+    top = F.when(
+        n > 0, F.floor(F.col("top_c") * 1000 / F.col("n"))
+    ).otherwise(F.lit(0)).cast("long")
+    # the top-2-gram rule only bites when the most common 2-gram
+    # actually repeats — otherwise every short document (top share
+    # 1/n > 20%) would be flagged by arithmetic, not by repetition
+    top_repeats = F.coalesce(F.col("top_c"), F.lit(0)) >= 2
+    return joined.select(
+        "doc_id",
+        n.alias("n_2grams"),
+        dup.alias("dup_2gram_x1000"),
+        top.alias("top_2gram_x1000"),
+        (
+            (dup > REP_MAX_DUP_2GRAM_X1000)
+            | ((top > REP_MAX_TOP_2GRAM_X1000) & top_repeats)
+        ).alias("repetitive"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates_permille: dict[str, int] | None = None,
+    default_permille: int = 300,
+    stratum_col: str = "lang",
+    key_col: str = "doc_id",
+    salt: str = "42",
+) -> DataFrame:
+    """Per-stratum deterministic rebalancing sampler: keep each row
+    with a stratum-specific probability (permille), decided by md5
+    hash bucket — the language-rebalancing step of multilingual
+    corpus construction (downsample the over-represented stratum,
+    keep more of the rest).
+
+    Same engine-stable hash-threshold trick as dataset_split: the
+    first four md5 hex chars give 65,536 buckets; a row is kept when
+    its bucket falls below floor(rate * 65536 / 1000), compared as a
+    hex STRING so Spark and the SQL oracle agree byte for byte. Pure
+    row predicate — no shuffle, no rand(), any row's fate is
+    recomputable by hand."""
+    rates = {"en": 100} if rates_permille is None else rates_permille
+    h4 = F.substring(
+        F.md5(
+            F.concat(
+                F.col(stratum_col),
+                F.lit(":"),
+                F.col(key_col).cast("string"),
+                F.lit(f":strat:{salt}"),
+            )
+        ),
+        1,
+        4,
+    )
+
+    def threshold(permille: int) -> str:
+        return format(permille * 65536 // 1000, "04x")
+
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        cond = h4 < threshold(rate)
+        expr = (
+            F.when(F.col(stratum_col) == stratum, cond)
+            if expr is None
+            else expr.when(F.col(stratum_col) == stratum, cond)
+        )
+    keep = (
+        expr.otherwise(h4 < threshold(default_permille))
+        if expr is not None
+        else (h4 < threshold(default_permille))
+    )
+    return df.filter(keep).select(key_col, stratum_col)
+
+
 def dataset_split(
     df: DataFrame, salt: str = "42", key_col: str = "doc_id"
 ) -> DataFrame:
