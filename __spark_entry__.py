@@ -2232,7 +2232,8 @@ WITH t AS (
 ),
 tk AS (SELECT * FROM t WHERE tok <> ''),
 sh0 AS (
-  SELECT DISTINCT doc_id, {gram} AS sh
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substr(md5({gram}), 1, 15)) AS UBIGINT)::BIGINT AS sh
   FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
 ),
 shn AS (SELECT * FROM sh0 WHERE sh IS NOT NULL),

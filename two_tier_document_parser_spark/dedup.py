@@ -283,11 +283,27 @@ def substring_overlap(
     a silent default-on drop: callers wanting exhaustive pairing pass
     max_docs_per_shingle=None.
 
+    Shingles are hashed map-side to a BIGINT (first 15 md5 hex chars
+    = 60 bits — reproducible in ANSI SQL, and the widest truncation
+    that cannot overflow a signed 64-bit int in either engine) before
+    anything shuffles: the join/groupBy keys are 8 bytes instead of a
+    ~25-byte k-token string, and 60-bit truncated-md5 collisions are
+    negligible at any realistic shingle cardinality.
+
     Fully relational; the DuckDB oracle reproduces it expression for
     expression (integer counts only)."""
-    sh = shingle_rows(
-        df.select(F.col(key_col), F.col(text_col)), text_col, key_col, k
-    ).distinct()
+    sh = (
+        shingle_rows(
+            df.select(F.col(key_col), F.col(text_col)), text_col, key_col, k
+        )
+        .select(
+            "key",
+            F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("sh"),
+        )
+        .distinct()
+    )
     if max_docs_per_shingle is not None:
         freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
         sh = (
