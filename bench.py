@@ -260,6 +260,9 @@ def main() -> int:
         "token_commonness",
         "snapshot_diff",
         "caption_align",
+        # round-4 additions
+        "repetition_stats",
+        "substring_overlap",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 
