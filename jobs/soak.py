@@ -225,12 +225,17 @@ def child(corpus: str, out_dir: str, cores: int, driver_mem: str) -> int:
         .parquet(decisions_path),
     )
     decisions = spark.read.parquet(decisions_path)
-    keep_counts = {
-        r["keep"]: r["n"]
-        for r in decisions.groupBy("keep").agg(F.count("*").alias("n")).collect()
+    reason_counts = {
+        (r["reason"] or "keep"): r["n"]
+        for r in decisions.groupBy("reason")
+        .agg(F.count("*").alias("n"))
+        .collect()
     }
-    stages["curate"]["kept"] = keep_counts.get(True, 0)
-    stages["curate"]["dropped"] = keep_counts.get(False, 0)
+    stages["curate"]["kept"] = reason_counts.get("keep", 0)
+    stages["curate"]["dropped"] = sum(
+        n for k, n in reason_counts.items() if k != "keep"
+    )
+    stages["curate"]["reasons"] = reason_counts
 
     # stage 3: the interleaved end product — image-text examples for
     # the KEPT documents only (broadcast-joined keep set would be

@@ -1842,3 +1842,27 @@ def test_stratified_sample_rates_and_determinism(spark):
     ids2 = {r["doc_id"] for r in stratified_sample(
         d, rates_permille={"en": 100}, default_permille=500).collect()}
     assert ids1 == ids2
+
+
+def test_lsh_candidate_pairs_drop_observability(spark):
+    """dedup.lsh_candidate_pairs mirrors similarity's no-silent-caps
+    contract: a capped bucket is countable via .lsh_dropped, and
+    max_bucket=None restores exhaustive pairing with no counter."""
+    from two_tier_document_parser_spark.dedup import (
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    # 12 identical docs -> every band bucket holds all 12 signatures
+    d = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon") for i in range(12)],
+        "doc_id bigint, text string",
+    )
+    sig = minhash_bands(d)
+    capped = lsh_candidate_pairs(sig, max_bucket=10)
+    assert capped.count() == 0
+    (m,) = capped.lsh_dropped.collect()
+    assert m["dropped_buckets"] == 4 and m["dropped_rows"] == 48
+    uncapped = lsh_candidate_pairs(sig, max_bucket=None)
+    assert uncapped.count() == 66  # C(12,2)
+    assert uncapped.lsh_dropped is None

