@@ -169,6 +169,11 @@ def child(corpus: str, out_dir: str, cores: int, driver_mem: str) -> int:
         .config("spark.eventLog.dir", f"file://{EVENTLOG_DIR}")
         .config("spark.eventLog.compress", "false")
         .config("spark.eventLog.rolling.enabled", "false")
+        # long iterative jobs on a big mostly-idle heap never GC, so
+        # the ContextCleaner never reaps dead shuffle files; the
+        # component loops free their own checkpoints deterministically
+        # and force a reap per large round, this bounds everything else
+        .config("spark.cleaner.periodicGC.interval", "5min")
     ).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     ship_package(spark)

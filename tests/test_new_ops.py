@@ -1866,3 +1866,40 @@ def test_lsh_candidate_pairs_drop_observability(spark):
     uncapped = lsh_candidate_pairs(sig, max_bucket=None)
     assert uncapped.count() == 66  # C(12,2)
     assert uncapped.lsh_dropped is None
+
+
+def test_components_free_superseded_checkpoints(spark):
+    """Iterative component labeling must not accumulate one
+    checkpoint per round (the 5M-doc soak filled the disk exactly
+    that way): after convergence only the per-call constants — node
+    set and final frame — may remain in the block manager."""
+    from two_tier_document_parser_spark.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    sc = spark.sparkContext
+
+    def stored() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = stored()
+    # a 200-node path graph needs multiple star rounds (and ~100
+    # min-label rounds) to converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], ["a", "b"]
+    )
+    out = connected_components_star(pairs)
+    assert {r["comp"] for r in out.select("comp").distinct().collect()} == {0}
+    grew_star = stored() - base
+    assert grew_star <= 2, f"star leaked {grew_star} checkpoints"
+
+    # min-label needs O(diameter) rounds — use a shorter path that
+    # still takes ~40 of them
+    pairs2 = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], ["a", "b"]
+    )
+    out2 = connected_components(pairs2)
+    assert {r["comp"] for r in out2.select("comp").distinct().collect()} == {0}
+    grew_both = stored() - base
+    assert grew_both <= 4, f"min-label leaked {grew_both - grew_star}"

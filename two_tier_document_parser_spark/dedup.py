@@ -421,6 +421,53 @@ def simhash64(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") ->
     )
 
 
+def _checkpoint_rdd_id(df: DataFrame) -> int | None:
+    """Block-manager RDD id behind a localCheckpoint'ed DataFrame
+    (its analyzed plan is a LogicalRDD), or None otherwise."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith(".LogicalRDD"):
+            return plan.rdd().id()
+    except Exception:
+        return None
+    return None
+
+
+def _free_checkpoint(df: DataFrame) -> None:
+    """Deterministically drop a SUPERSEDED localCheckpoint's blocks.
+
+    DataFrame.unpersist() does not reach checkpoint blocks, and the
+    ContextCleaner only reaps them after a driver GC — which a large,
+    mostly-idle driver heap may not run for the whole job. That is
+    how the 5M-doc soak filled the disk (run 2): every star round
+    checkpointed a full rewired edge list and none were ever freed,
+    O(rounds x edges) scratch. unpersistRDD(id) is the same call the
+    ContextCleaner itself makes (verified: storage info drops to
+    empty, and re-using the freed frame raises CHECKPOINT_RDD_BLOCK
+    — i.e. the blocks are genuinely gone, so the caller must never
+    touch the superseded frame again)."""
+    rid = _checkpoint_rdd_id(df)
+    if rid is not None:
+        df.sparkSession.sparkContext._jsc.sc().unpersistRDD(rid, False)
+
+
+def _reap_shuffles(spark, threshold_rows: int, n_rows: int) -> None:
+    """Iterative loops also leave per-round SHUFFLE files on disk,
+    reaped only when the driver GC notices the round's JVM objects
+    are dead. Large rounds force that promptly: a Python gc.collect()
+    releases the py4j proxies, then one JVM System.gc() lets the
+    ContextCleaner reap. Gated on graph size so unit-test graphs pay
+    nothing."""
+    if n_rows >= threshold_rows:
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
+
+_REAP_THRESHOLD_ROWS = 1_000_000
+
+
 def connected_components_star(
     pairs: DataFrame, max_iter: int = 50
 ) -> DataFrame:
@@ -503,14 +550,25 @@ def connected_components_star(
             )
         )
 
+    spark = pairs.sparkSession
     edges = sym
+    n_edges = edges.count()
     for _ in range(max_iter):
         new_edges = small_star(large_star(edges)).localCheckpoint()
-        changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            or edges.exceptAll(new_edges).limit(1).count()
-        )
-        edges = new_edges
+        n_new = new_edges.count()
+        # both sides are distinct sets, so equal cardinality plus an
+        # empty one-way difference proves set equality — half the
+        # anti-join work of the old two-way exceptAll check
+        changed = n_new != n_edges or not new_edges.exceptAll(
+            edges
+        ).isEmpty()
+        # the superseded round's checkpoint blocks and shuffle files
+        # are dead scratch from here on — free them NOW, or a long
+        # run accumulates O(rounds x edges) on disk (the 5M-doc soak
+        # measured exactly that: disk-full in round ~40)
+        _free_checkpoint(edges)
+        _reap_shuffles(spark, _REAP_THRESHOLD_ROWS, n_edges)
+        edges, n_edges = new_edges, n_new
         if not changed:
             break
     else:
@@ -589,6 +647,10 @@ def connected_components(pairs: DataFrame, max_iter: int = 50) -> DataFrame:
             .limit(1)
             .count()
         )
+        # superseded label checkpoint = dead scratch (node-sized, but
+        # O(diameter) rounds of it still add up — same hygiene as the
+        # star loop)
+        _free_checkpoint(labels)
         labels = new_labels
         if changed == 0:
             break
