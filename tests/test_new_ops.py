@@ -1903,3 +1903,83 @@ def test_components_free_superseded_checkpoints(spark):
     assert {r["comp"] for r in out2.select("comp").distinct().collect()} == {0}
     grew_both = stored() - base
     assert grew_both <= 4, f"min-label leaked {grew_both - grew_star}"
+
+
+def test_semantic_dedup_hand_vectors(spark):
+    """SemDeDup decisions on a hand graph: {1,2,3} are mutually/
+    transitively near-identical (1~2, 2~3 but 1!~3 — the transitive
+    case the pairwise near-dup queries can't express), {4} near-dups
+    nothing. Keep = exactly the component minima."""
+    from two_tier_document_parser_spark.similarity import semantic_dedup
+
+    v = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.44, 0.0]),   # cos(1,2)=0.898 >= .85
+        (3, [0.62, 0.78, 0.0]),  # cos(2,3)=0.899, cos(1,3)=0.619 < .85
+        (4, [0.0, 0.0, 1.0]),    # orthogonal to all
+    ]
+    emb = spark.createDataFrame(v, "vec_id bigint, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["rep_id"], r["keep"])
+        for r in semantic_dedup(
+            emb, threshold_x100=85, n_planes=2, n_tables=16
+        ).collect()
+    }
+    assert got == {1: (1, 1), 2: (1, 0), 3: (1, 0), 4: (4, 1)}
+
+
+def test_semantic_dedup_matches_exact_pipeline(spark):
+    """Differential: the LSH-bucketed decisions equal the exact
+    all-pairs pipeline (near_dup_pairs -> components -> keep-min) on
+    the sf0.001 embeddings — the same argument the oracle makes."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.dedup import (
+        connected_components_star,
+    )
+    from two_tier_document_parser_spark.similarity import (
+        near_dup_pairs,
+        semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: (r["rep_id"], r["keep"])
+        for r in semantic_dedup(
+            emb, threshold_x100=44, n_planes=4, n_tables=48
+        ).collect()
+    }
+    comps = connected_components_star(near_dup_pairs(emb, 44))
+    lbl = {r["doc_id"]: r["comp"] for r in comps.collect()}
+    want = {}
+    for r in emb.select("vec_id").collect():
+        rep = lbl.get(r["vec_id"], r["vec_id"])
+        want[r["vec_id"]] = (rep, 1 if rep == r["vec_id"] else 0)
+    assert got == want
+    # exactly one keeper per duplicate group
+    keeps = {k for k, (rep, kp) in got.items() if kp}
+    assert keeps == {rep for rep, _ in got.values()}
+
+
+def test_source_mixture_hand_counts(spark):
+    """alpha=0.5 micro-weights and ppm shares, hand-computed:
+    sources with 100/400 docs -> weights 10e6/20e6 -> shares
+    333333/666667 ppm."""
+    from two_tier_document_parser_spark.curation import (
+        source_mixture_weights,
+    )
+
+    rows = [(i, "small" if i < 100 else "big") for i in range(500)]
+    d = spark.createDataFrame(rows, "doc_id bigint, source string")
+    got = {
+        r["source"]: (r["n_docs"], r["weight_micro"], r["share_ppm"])
+        for r in source_mixture_weights(d, temperature_x100=50).collect()
+    }
+    assert got["small"] == (100, 10_000_000, 333333)
+    assert got["big"] == (400, 20_000_000, 666667)
+    # alpha=1 reproduces proportional shares
+    got1 = {
+        r["source"]: r["share_ppm"]
+        for r in source_mixture_weights(d, temperature_x100=100).collect()
+    }
+    assert got1 == {"small": 200000, "big": 800000}

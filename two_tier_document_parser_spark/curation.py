@@ -369,6 +369,48 @@ def domain_cap(docs: DataFrame, cap: int = 20) -> DataFrame:
     )
 
 
+def source_mixture_weights(
+    docs: DataFrame, temperature_x100: int = 50
+) -> DataFrame:
+    """Temperature-scaled sampling weights for a multi-source
+    training mixture: p_i ∝ n_i^α with α = temperature_x100 / 100
+    (the exponentiated-count reweighting used for multilingual /
+    multi-corpus mixes, e.g. XLM-R eq. 1, arXiv:1911.02116; α < 1
+    upsamples small sources, α = 1 is proportional). Emits one row
+    per source: (source, n_docs, weight_micro, share_ppm) where
+    weight_micro = round(n_docs^α * 1e6) and share_ppm is the
+    normalized mixture share in parts-per-million.
+
+    Determinism across engines: the only floating-point step is one
+    correctly-rounded IEEE `pow` per source, immediately quantized
+    to an integer micro-weight; normalization then divides two
+    integers, so Spark and the SQL oracle agree bit-for-bit (the
+    repo's integer-scaled-output convention). Shape at scale: the
+    groupBy partially aggregates map-side and the output is
+    O(#sources) — a handful of rows — so the 1-row total fold and
+    broadcast join-back cost nothing regardless of corpus size."""
+    alpha = temperature_x100 / 100.0
+    w = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn(
+            "weight_micro",
+            F.round(F.pow(F.col("n_docs"), F.lit(alpha)) * 1e6).cast(
+                "long"
+            ),
+        )
+    )
+    total = w.agg(F.sum("weight_micro").alias("_tot"))
+    return w.crossJoin(F.broadcast(total)).select(
+        "source",
+        "n_docs",
+        "weight_micro",
+        F.round(F.lit(1e6) * F.col("weight_micro") / F.col("_tot"))
+        .cast("long")
+        .alias("share_ppm"),
+    )
+
+
 def shuffle_rank(
     docs: DataFrame, seed: str = "42", partitions: int = 32
 ) -> DataFrame:

@@ -263,6 +263,61 @@ def lsh_near_dup_pairs(
     return out
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    threshold_x100: int = 44,
+    n_planes: int = 4,
+    n_tables: int = 24,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int | None = 2000,
+) -> DataFrame:
+    """Semantic deduplication over an embedding column (SemDeDup,
+    Abbas et al. 2023, arXiv:2303.09540): group semantically
+    near-identical items and keep exactly ONE representative per
+    group -> (id, rep_id, keep) where rep_id is the smallest id in
+    the item's duplicate component and keep = 1 iff the item IS its
+    component's representative (singletons keep themselves).
+
+    The paper clusters with k-means and drops within-cluster pairs
+    above a cosine threshold; here the cluster role is played by
+    SRP-LSH buckets (multi-table OR-construction) so candidate
+    generation is bucket-bounded — never all-pairs — and the verify
+    step is the same exact-cosine rerank as `lsh_near_dup_pairs`.
+    Pairs then collapse to duplicate GROUPS with large/small-star
+    connected components (O(log^2 n) rounds), and the keep decision
+    is a single left join back to the id set: three shuffle keys
+    total ((tbl, sig), component ids, id), each data-sized, no
+    driver-side state. At the default full-recall parameters
+    (4 planes x 24 tables, measured 100% recall of >= 0.44 pairs on
+    this corpus) the exact all-pairs SQL is a true oracle.
+    """
+    from .dedup import connected_components_star
+
+    pairs = lsh_near_dup_pairs(
+        emb,
+        threshold_x100=threshold_x100,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        vec_col=vec_col,
+        id_col=id_col,
+        max_bucket=max_bucket,
+    )
+    comps = connected_components_star(pairs).withColumnRenamed(
+        "doc_id", id_col
+    )
+    rep = F.coalesce(F.col("comp"), F.col(id_col))
+    return (
+        emb.select(id_col)
+        .join(comps, id_col, "left")
+        .select(
+            F.col(id_col),
+            rep.alias("rep_id"),
+            (rep == F.col(id_col)).cast("int").alias("keep"),
+        )
+    )
+
+
 TRAIN_SAMPLE_PER_CELL = 64
 TRAIN_SAMPLE_MAX = 100_000
 
