@@ -263,6 +263,8 @@ def main() -> int:
         # round-4 additions
         "repetition_stats",
         "substring_overlap",
+        "semantic_dedup",
+        "source_mixture",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 
