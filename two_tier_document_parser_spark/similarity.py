@@ -46,6 +46,15 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_pre(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """cosine with the norms hoisted out: bit-identical to `cosine`
+    (same dot fold, same `na * nb` operand order) but lets the caller
+    compute each vector's norm ONCE per row instead of once per pair
+    side — in the verify joins below the per-pair HOF work drops from
+    three array folds to one."""
+    return _dot(a, b) / (na * nb)
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -55,13 +64,22 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k by cosine: (query, candidate, rank). Self-matches
     excluded. `queries` has columns (query:int64, qvec:array<float>)."""
-    joined = queries.crossJoin(
-        emb.select(F.col(id_col).alias("candidate"), F.col(vec_col).alias("cvec"))
+    joined = queries.withColumn("qn", _norm(F.col("qvec"))).crossJoin(
+        emb.select(
+            F.col(id_col).alias("candidate"),
+            F.col(vec_col).alias("cvec"),
+            _norm(F.col(vec_col)).alias("cn"),
+        )
     ).filter(F.col("query") != F.col("candidate"))
     sims = joined.select(
         "query",
         "candidate",
-        F.round(cosine(F.col("qvec"), F.col("cvec")), 6).alias("sim"),
+        F.round(
+            _cosine_pre(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ),
+            6,
+        ).alias("sim"),
     )
     w = Window.partitionBy("query").orderBy(
         F.desc("sim"), F.asc("candidate")
@@ -164,13 +182,26 @@ def near_dup_pairs(
     comparison; the rounded compare makes the threshold decision
     reproducible between Spark's left-to-right double fold and the
     oracle's unordered SUM."""
-    a = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
-    b = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
+    a = emb.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("avec"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("bvec"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     return (
         a.crossJoin(b)
         .filter(F.col("a") < F.col("b"))
         .filter(
-            F.round(cosine(F.col("avec"), F.col("bvec")), 6)
+            F.round(
+                _cosine_pre(
+                    F.col("avec"), F.col("bvec"), F.col("na"), F.col("nb")
+                ),
+                6,
+            )
             >= F.lit(threshold_x100) / 100.0
         )
         .select("a", "b")
@@ -248,13 +279,26 @@ def lsh_near_dup_pairs(
         .select("p.a", "p.b")
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("avec"))
-    vb = emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("bvec"))
+    va = emb.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("avec"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("bvec"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
     out = (
         cand.join(va, "a")
         .join(vb, "b")
         .filter(
-            F.round(cosine(F.col("avec"), F.col("bvec")), 6)
+            F.round(
+                _cosine_pre(
+                    F.col("avec"), F.col("bvec"), F.col("na"), F.col("nb")
+                ),
+                6,
+            )
             >= F.lit(threshold_x100) / 100.0
         )
         .select("a", "b")
