@@ -493,6 +493,11 @@ def connected_components_star(
     Fixed point = a star forest where every node points at its
     component's minimum. localCheckpoint per round cuts the doubling
     lineage, same as the label propagator."""
+    # materialize the edge list ONCE: nodes and sym below both
+    # checkpoint eagerly, and without this each materialization
+    # re-runs the full upstream plan (for semantic_dedup that means
+    # the whole LSH candidate + verify cascade twice)
+    pairs = pairs.localCheckpoint()
     # node set BEFORE dropping self-loops: a vertex whose only edge
     # is (v, v) must still label itself
     nodes = (
@@ -549,6 +554,10 @@ def connected_components_star(
                 mins.select("src", F.col("m").alias("dst"))
             )
         )
+
+    # nodes and sym are both materialized now; the input edge list's
+    # checkpoint blocks are dead scratch — free them before iterating
+    _free_checkpoint(pairs)
 
     spark = pairs.sparkSession
     edges = sym
