@@ -750,6 +750,59 @@ def q_semantic_dedup(spark, sf_dir):
     )
 
 
+def q_semantic_dedup_incremental(spark, sf_dir):
+    """Incremental cross-batch semantic dedup: vec_id % 8 == 0 is the
+    'new batch', the rest the committed corpus — SRP-LSH new×old
+    candidates ONLY (never old×old), hoisted-norm exact-cosine verify,
+    one (status, matched_old) row per new vector. Full-recall
+    OR-construction (4 planes x 48 tables, same margin as
+    semantic_dedup) makes the exact new×old all-pairs SQL a true
+    oracle."""
+    from two_tier_document_parser_spark.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    e = _emb(spark, sf_dir)
+    return incremental_semantic_dedup(
+        e.filter(F.col("vec_id") % 8 == 0),
+        e.filter(F.col("vec_id") % 8 != 0),
+        threshold_x100=44,
+        n_planes=4,
+        n_tables=48,
+    )
+
+
+def q_semantic_rep_quality(spark, sf_dir):
+    """semantic_dedup with the production keep-policy: each duplicate
+    component keeps its BEST-labeled member (max label, ties to the
+    smaller vec_id) instead of the min id — the policy is one window
+    over the component. Same full-recall parameters as semantic_dedup,
+    so the exact all-pairs + recursive-closure + argmax SQL is a true
+    oracle."""
+    from two_tier_document_parser_spark.similarity import (
+        semantic_rep_by_score,
+    )
+
+    return semantic_rep_by_score(
+        _emb(spark, sf_dir),
+        score_col="label",
+        threshold_x100=44,
+        n_planes=4,
+        n_tables=48,
+    )
+
+
+def q_ccnet_bucket(spark, sf_dir):
+    """CCNet head/middle/tail quality terciles per language (Wenzek
+    et al. 2020) with the KenLM perplexity replaced by integer-exact
+    corpus log2-commonness (length(bin(count)) - 1 per token; the
+    ordering key is one IEEE division of two exact int64s, so bucket
+    assignment is deterministic cross-engine)."""
+    from two_tier_document_parser_spark.textstats import ccnet_bucket
+
+    return ccnet_bucket(_docs(spark, sf_dir))
+
+
 def q_source_mixture(spark, sf_dir):
     """Temperature-scaled training-mixture shares per source
     (p_i ∝ n_i^0.5, XLM-R-style): integer micro-weights and ppm
@@ -1387,6 +1440,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round-3 advice).
     return {
         # -- group 1: new this round, never attested --
+        "semantic_dedup_incremental": q_semantic_dedup_incremental,
+        "semantic_rep_quality": q_semantic_rep_quality,
+        "ccnet_bucket": q_ccnet_bucket,
         "semantic_dedup": q_semantic_dedup,
         "source_mixture": q_source_mixture,
         "repetition_stats": q_repetition_stats,
@@ -1592,6 +1648,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint": f"SELECT doc_id, md5({norm}) AS fp FROM documents",
         "redact_pii": _redact_pii_sql(),
         "semantic_dedup": _semantic_dedup_sql(),
+        "semantic_dedup_incremental": _semantic_dedup_incremental_sql(),
+        "semantic_rep_quality": _semantic_rep_quality_sql(),
+        "ccnet_bucket": _ccnet_bucket_sql(),
         "source_mixture": _source_mixture_sql(),
         "repetition_stats": _repetition_sql(),
         "substring_overlap": _substring_overlap_sql(),
@@ -2165,6 +2224,105 @@ SELECT emb.vec_id,
        CAST(CASE WHEN coalesce(c.comp, emb.vec_id) = emb.vec_id
             THEN 1 ELSE 0 END AS INT) AS keep
 FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+"""
+
+
+def _semantic_dedup_incremental_sql(threshold_x100: int = 44) -> str:
+    """Exact new x old oracle: the 'new batch' is vec_id % 8 == 0,
+    every new vector's minimal old match above the cosine threshold
+    (or NULL). True oracle because the Spark side runs the new x old
+    LSH at full-recall parameters."""
+    return f"""
+WITH dims AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+norms AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM dims GROUP BY vec_id),
+dots AS (
+  SELECT x.vec_id AS a, y.vec_id AS b, sum(x.v * y.v) AS dp
+  FROM dims x JOIN dims y ON x.d = y.d
+  WHERE x.vec_id % 8 = 0 AND y.vec_id % 8 <> 0
+  GROUP BY 1, 2
+),
+hits AS (
+  SELECT d.a, min(d.b) AS matched_old
+  FROM dots d
+  JOIN norms na ON na.vec_id = d.a
+  JOIN norms nb ON nb.vec_id = d.b
+  WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= {threshold_x100} / 100.0
+  GROUP BY d.a
+)
+SELECT n.vec_id,
+       CASE WHEN h.matched_old IS NOT NULL THEN 'dup' ELSE 'novel' END
+           AS status,
+       h.matched_old
+FROM (SELECT vec_id FROM embeddings WHERE vec_id % 8 = 0) n
+LEFT JOIN hits h ON h.a = n.vec_id
+"""
+
+
+def _semantic_rep_quality_sql(threshold_x100: int = 44) -> str:
+    """semantic_dedup's closure oracle with the argmax-label keep
+    policy: representative = max(label), ties to the smaller id."""
+    return f"""
+WITH RECURSIVE
+p AS (SELECT * FROM ({_emb_near_dups_sql(threshold_x100)}) q),
+e AS (
+  SELECT a AS src, b AS dst FROM p
+  UNION
+  SELECT b AS src, a AS dst FROM p
+),
+v AS (SELECT DISTINCT src AS id FROM e),
+reach(id, r) AS (
+  SELECT id, id FROM v
+  UNION
+  SELECT e.src, reach.r FROM e JOIN reach ON reach.id = e.dst
+),
+comp AS (SELECT id, min(r) AS comp FROM reach GROUP BY id),
+allm AS (
+  SELECT emb.vec_id, coalesce(c.comp, emb.vec_id) AS comp, emb.label
+  FROM embeddings emb LEFT JOIN comp c ON c.id = emb.vec_id
+),
+rep AS (
+  SELECT comp, vec_id AS rep_id FROM (
+    SELECT comp, vec_id,
+           row_number() OVER (PARTITION BY comp
+                              ORDER BY label DESC, vec_id) AS rn
+    FROM allm
+  ) WHERE rn = 1
+)
+SELECT a.vec_id, r.rep_id,
+       CAST(CASE WHEN a.vec_id = r.rep_id THEN 1 ELSE 0 END AS INT)
+           AS keep
+FROM allm a JOIN rep r USING (comp)
+"""
+
+
+def _ccnet_bucket_sql(n_buckets: int = 3) -> str:
+    """CCNet tercile oracle: integer log2-commonness score via
+    length(bin(count)) - 1 (same pure-integer formulation as the
+    Spark side — no transcendental crosses the comparison)."""
+    return f"""
+WITH tok AS (SELECT * FROM (
+    SELECT doc_id, lang,
+           unnest(regexp_split_to_array(text, '\\s+')) AS token
+    FROM documents
+) u WHERE token <> ''),
+g AS (SELECT token, CAST(count(*) AS BIGINT) AS gfreq FROM tok GROUP BY token),
+per_doc AS (
+  SELECT tok.doc_id, tok.lang,
+         CAST(count(*) AS BIGINT) AS n_tokens,
+         CAST(sum(length(bin(g.gfreq)) - 1) AS BIGINT) AS logfreq_sum
+  FROM tok JOIN g USING (token)
+  GROUP BY tok.doc_id, tok.lang
+)
+SELECT doc_id, lang, n_tokens, logfreq_sum,
+       CAST(ntile({n_buckets}) OVER (
+         PARTITION BY lang
+         ORDER BY logfreq_sum * 1.0 / n_tokens DESC, doc_id
+       ) AS INT) AS bucket
+FROM per_doc
 """
 
 

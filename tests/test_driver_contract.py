@@ -39,6 +39,7 @@ ROWS_ONLY = {"extract_synth_spans", "caption_align", "media_text_pairs"}
 # the cap still carries an oracle (parity_harness value-checks the
 # full set at sf0.01).
 EXPECTED_WINDOW_50 = [
+    "semantic_dedup_incremental", "semantic_rep_quality", "ccnet_bucket",
     "semantic_dedup", "source_mixture",
     "repetition_stats", "substring_overlap", "stratified_sample",
     "pdf_encrypted_ingest",
@@ -56,8 +57,7 @@ EXPECTED_WINDOW_50 = [
     "bigram_distinct", "rollup_lang_source",
     # filler attested r03
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
-    "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
-    "simhash",
+    "knn_lsh", "knn_ivf",
 ]
 
 

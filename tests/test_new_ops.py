@@ -1983,3 +1983,164 @@ def test_source_mixture_hand_counts(spark):
         for r in source_mixture_weights(d, temperature_x100=100).collect()
     }
     assert got1 == {"small": 200000, "big": 800000}
+
+
+def test_incremental_semantic_dedup_hand_vectors(spark):
+    """New-batch decisions on a hand case: new 10 duplicates old 1,
+    new 20 is novel; old x old similarity (1~2) must NOT surface
+    anywhere in the output."""
+    from two_tier_document_parser_spark.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    old = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.9, 0.44, 0.0]),  # near-dups old 1 — irrelevant
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, [0.95, 0.1, 0.0]),  # cos vs old1 = .994, old2 = .897
+            (20, [0.0, 0.0, 1.0]),   # orthogonal to everything
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = {
+        r["vec_id"]: (r["status"], r["matched_old"])
+        for r in incremental_semantic_dedup(
+            new, old, threshold_x100=85, n_planes=2, n_tables=16
+        ).collect()
+    }
+    assert got == {10: ("dup", 1), 20: ("novel", None)}
+
+
+def test_incremental_semantic_dedup_matches_exact(spark):
+    """Differential on sf0.001: the LSH new x old decisions equal the
+    exact cross-join formulation at full-recall parameters."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.similarity import (
+        _cosine_pre,
+        _norm,
+        incremental_semantic_dedup,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    new = emb.filter(F.col("vec_id") % 8 == 0)
+    old = emb.filter(F.col("vec_id") % 8 != 0)
+    got = {
+        r["vec_id"]: (r["status"], r["matched_old"])
+        for r in incremental_semantic_dedup(
+            new, old, threshold_x100=44, n_planes=4, n_tables=48
+        ).collect()
+    }
+    a = new.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("avec"),
+        _norm(F.col("embedding")).alias("na"),
+    )
+    b = old.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("bvec"),
+        _norm(F.col("embedding")).alias("nb"),
+    )
+    exact_hits = {
+        r["a"]: r["mo"]
+        for r in a.crossJoin(b)
+        .filter(
+            F.round(
+                _cosine_pre(
+                    F.col("avec"), F.col("bvec"), F.col("na"), F.col("nb")
+                ),
+                6,
+            )
+            >= 0.44
+        )
+        .groupBy("a")
+        .agg(F.min("b").alias("mo"))
+        .collect()
+    }
+    want = {
+        r["vec_id"]: (
+            ("dup", exact_hits[r["vec_id"]])
+            if r["vec_id"] in exact_hits
+            else ("novel", None)
+        )
+        for r in new.select("vec_id").collect()
+    }
+    assert got == want
+
+
+def test_semantic_rep_by_score_hand_vectors(spark):
+    """Keep-policy window: the component {1,2,3} keeps its max-label
+    member (2, label 9) — NOT the min id — and every member points at
+    it; the singleton keeps itself. Tie on label resolves to the
+    smaller id (4 vs 5 in a two-node component, both label 7)."""
+    from two_tier_document_parser_spark.similarity import (
+        semantic_rep_by_score,
+    )
+
+    v = [
+        (1, [1.0, 0.0, 0.0], 5),
+        (2, [0.9, 0.44, 0.0], 9),
+        (3, [0.62, 0.78, 0.0], 1),
+        (4, [0.0, 0.0, 1.0], 7),
+        (5, [0.0, 0.1, 1.0], 7),  # cos(4,5)=0.995
+        (6, [0.5, -0.8, 0.1], 3),  # singleton
+    ]
+    emb = spark.createDataFrame(
+        v, "vec_id bigint, embedding array<float>, label int"
+    )
+    got = {
+        r["vec_id"]: (r["rep_id"], r["keep"])
+        for r in semantic_rep_by_score(
+            emb, score_col="label", threshold_x100=85,
+            n_planes=2, n_tables=16,
+        ).collect()
+    }
+    assert got == {
+        1: (2, 0), 2: (2, 1), 3: (2, 0),
+        4: (4, 1), 5: (4, 0), 6: (6, 1),
+    }
+
+
+def test_ccnet_bucket_semantics(spark):
+    """Bucketing invariants on sf0.001 documents: every (lang) group
+    splits into near-equal tercile counts (ntile contract), bucket-1
+    docs have avg log-commonness >= bucket-3 docs within the same
+    lang, and the integer columns agree with a pandas recomputation
+    of floor(log2(global count)) sums."""
+    import math
+    from collections import Counter, defaultdict
+
+    from two_tier_document_parser_spark.textstats import ccnet_bucket
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = ccnet_bucket(docs).collect()
+    # independent recomputation
+    raw = docs.select("doc_id", "lang", "text").collect()
+    gfreq = Counter(
+        t for r in raw for t in r["text"].split() if t != ""
+    )
+    for r in rows:
+        src = next(x for x in raw if x["doc_id"] == r["doc_id"])
+        toks = [t for t in src["text"].split() if t != ""]
+        assert r["n_tokens"] == len(toks)
+        assert r["logfreq_sum"] == sum(
+            int(math.floor(math.log2(gfreq[t]))) for t in toks
+        )
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    for lang, grp in by_lang.items():
+        counts = Counter(r["bucket"] for r in grp)
+        assert set(counts) <= {1, 2, 3}
+        assert max(counts.values()) - min(counts.values()) <= 1
+        score = lambda r: r["logfreq_sum"] / r["n_tokens"]
+        b1 = [score(r) for r in grp if r["bucket"] == 1]
+        b3 = [score(r) for r in grp if r["bucket"] == 3]
+        if b1 and b3:
+            assert min(b1) >= max(b3)

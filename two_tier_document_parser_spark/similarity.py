@@ -526,3 +526,145 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query", "candidate", "rank")
     )
+
+
+def incremental_semantic_dedup(
+    new: DataFrame,
+    old: DataFrame,
+    threshold_x100: int = 44,
+    n_planes: int = 4,
+    n_tables: int = 24,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 2000,
+) -> DataFrame:
+    """Incremental cross-batch SEMANTIC dedup — the embedding-side
+    twin of `dedup.dedup_incremental`: a new embedding batch is
+    checked against the committed corpus WITHOUT ever re-pairing the
+    committed corpus with itself (at 10^12 committed vectors that
+    old x old join is the whole point of doing this incrementally).
+
+    Both sides get SRP-LSH signatures (`srp_sig_rows`, one vectorized
+    pass each); candidates come from the new x old signature
+    equi-join ONLY, old-side viral buckets capped at `max_bucket`
+    (near-constant embedding mass concentrates there; the multi-table
+    OR-construction recovers the recall); the verify is the hoisted-
+    norm exact cosine. Key spaces must be disjoint.
+
+    Returns one row per NEW vector, mirroring dedup_incremental's
+    contract: (id_col, status in {'dup','novel'}, matched_old =
+    minimal matching old id or NULL).
+    """
+    sig_new = srp_sig_rows(new, id_col, vec_col, n_planes, n_tables)
+    sig_old = srp_sig_rows(old, id_col, vec_col, n_planes, n_tables)
+    if max_bucket is not None:
+        keep_buckets = (
+            sig_old.groupBy("tbl", "sig")
+            .agg(F.count(F.lit(1)).alias("bn"))
+            .filter(F.col("bn") <= max_bucket)
+            .select("tbl", "sig")
+        )
+        sig_old = sig_old.join(keep_buckets, ["tbl", "sig"], "left_semi")
+    cand = (
+        sig_new.select("tbl", "sig", F.col("id").alias("a"))
+        .join(
+            sig_old.select("tbl", "sig", F.col("id").alias("b")),
+            ["tbl", "sig"],
+        )
+        .select("a", "b")
+        .distinct()
+    )
+    va = new.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).alias("avec"),
+        _norm(F.col(vec_col)).alias("na"),
+    )
+    vb = old.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).alias("bvec"),
+        _norm(F.col(vec_col)).alias("nb"),
+    )
+    hits = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .filter(
+            F.round(
+                _cosine_pre(
+                    F.col("avec"), F.col("bvec"), F.col("na"), F.col("nb")
+                ),
+                6,
+            )
+            >= F.lit(threshold_x100) / 100.0
+        )
+        .groupBy("a")
+        .agg(F.min("b").alias("matched_old"))
+    )
+    return (
+        new.select(F.col(id_col).alias("a"))
+        .join(hits, "a", "left")
+        .select(
+            F.col("a").alias(id_col),
+            F.when(F.col("matched_old").isNotNull(), "dup")
+            .otherwise("novel")
+            .alias("status"),
+            F.col("matched_old"),
+        )
+    )
+
+
+def semantic_rep_by_score(
+    emb: DataFrame,
+    score_col: str = "label",
+    threshold_x100: int = 44,
+    n_planes: int = 4,
+    n_tables: int = 24,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int | None = 2000,
+) -> DataFrame:
+    """`semantic_dedup` with the production keep-policy: the
+    representative of each duplicate component is its BEST-scoring
+    member (max `score_col`, ties to the smallest id), not the
+    smallest id. SemDeDup (Abbas et al. 2023 §3) keeps the item
+    farthest from the cluster centroid; real pipelines keep the
+    highest-quality member (longest, best classifier score, newest
+    crawl) — the policy is one window over the component, so it
+    swaps freely.
+
+    Same candidate/verify/component machinery as semantic_dedup; the
+    extra work is one row_number window partitioned by component —
+    per-partition state bounded by the duplicate-cluster size, which
+    `max_bucket` already bounds upstream. -> (id, rep_id, keep).
+    """
+    from .dedup import connected_components_star
+
+    pairs = lsh_near_dup_pairs(
+        emb,
+        threshold_x100=threshold_x100,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        vec_col=vec_col,
+        id_col=id_col,
+        max_bucket=max_bucket,
+    )
+    comps = connected_components_star(pairs).withColumnRenamed(
+        "doc_id", id_col
+    )
+    labeled = (
+        emb.select(id_col, score_col)
+        .join(comps, id_col, "left")
+        .withColumn("comp", F.coalesce(F.col("comp"), F.col(id_col)))
+    )
+    w = Window.partitionBy("comp").orderBy(
+        F.desc(score_col), F.asc(id_col)
+    )
+    rep = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("comp", F.col(id_col).alias("rep_id"))
+    )
+    return labeled.join(rep, "comp").select(
+        F.col(id_col),
+        "rep_id",
+        (F.col("rep_id") == F.col(id_col)).cast("int").alias("keep"),
+    )

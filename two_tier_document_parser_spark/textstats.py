@@ -512,3 +512,58 @@ def token_commonness(
             .alias("n_rare"),
         )
     )
+
+
+def ccnet_bucket(
+    df: DataFrame, n_buckets: int = 3, text_col: str = "text"
+) -> DataFrame:
+    """CCNet-style quality bucketing (Wenzek et al. 2020,
+    arXiv:1911.00359): split each language into equal-count quality
+    buckets — CCNet's famous head/middle/tail — by a per-document
+    language-model score. CCNet scores with KenLM perplexity; offline
+    the LM role is played by the corpus unigram statistics (the same
+    substitution as `token_commonness`), on a LOG scale so the score
+    tracks log-probability shape: each token contributes
+    floor(log2(global_count)), computed as length(bin(count)) - 1 —
+    pure integer/string ops, NO transcendental (Spark's log2 is
+    log(x)/log(2), which lands below the true value at exact powers
+    of two and would flip floor() against the oracle's libm log2).
+
+    The ordering key is logfreq_sum / n_tokens: one IEEE division of
+    two exact int64s, identical in any engine; ties break on doc_id,
+    so bucket assignment is deterministic cross-engine. Bucket 1 =
+    head (most-common tokens ~ lowest unigram perplexity), n = tail.
+
+    Scale shape: two corpus passes (vocab-sized count aggregate with
+    map-side partials, then the count join-back — broadcast the
+    above-floor slice at 100 TB, as in encode_tokens) and ONE
+    per-language window. A language is a bounded partition set but
+    NOT bounded in rows; at 10^12 docs swap ntile for the
+    shuffle_rank range-exchange pattern per language — documented
+    rather than done because the driver oracle needs the exact ntile
+    semantics here.
+    """
+    tok = df.select(
+        "doc_id", "lang", F.explode(tokens(F.col(text_col))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("gfreq")
+    )
+    per_doc = (
+        tok.join(counts, "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.length(F.bin("gfreq")) - F.lit(1))
+            .cast("long")
+            .alias("logfreq_sum"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(
+        F.desc(F.col("logfreq_sum") / F.col("n_tokens")), F.asc("doc_id")
+    )
+    return per_doc.withColumn(
+        "bucket", F.ntile(n_buckets).over(w).cast("int")
+    )
