@@ -265,6 +265,9 @@ def main() -> int:
         "substring_overlap",
         "semantic_dedup",
         "source_mixture",
+        "semantic_dedup_incremental",
+        "semantic_rep_quality",
+        "ccnet_bucket",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

@@ -558,13 +558,19 @@ def incremental_semantic_dedup(
     sig_new = srp_sig_rows(new, id_col, vec_col, n_planes, n_tables)
     sig_old = srp_sig_rows(old, id_col, vec_col, n_planes, n_tables)
     if max_bucket is not None:
-        keep_buckets = (
-            sig_old.groupBy("tbl", "sig")
-            .agg(F.count(F.lit(1)).alias("bn"))
+        # bucket-size filter as ONE count-over-window, not a count
+        # aggregate joined back: the join-back form runs the old-side
+        # signature UDF twice (once per plan branch — Catalyst does
+        # not reuse the pandas-UDF exchange), i.e. two Python passes
+        # over the committed corpus; the window form is a single pass
+        # whose (tbl, sig) exchange is the very partitioning the
+        # candidate join needs next
+        wb = Window.partitionBy("tbl", "sig")
+        sig_old = (
+            sig_old.withColumn("bn", F.count(F.lit(1)).over(wb))
             .filter(F.col("bn") <= max_bucket)
-            .select("tbl", "sig")
+            .drop("bn")
         )
-        sig_old = sig_old.join(keep_buckets, ["tbl", "sig"], "left_semi")
     cand = (
         sig_new.select("tbl", "sig", F.col("id").alias("a"))
         .join(
