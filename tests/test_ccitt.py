@@ -1,0 +1,128 @@
+"""CCITT Group 4 (ITU-T T.6) codec + minimal TIFF container: table
+integrity, encode/decode round trips across the full run-length code
+space, container round trips, and the Spark-side media-pipeline
+integration (real dims, real pixels in resize_media)."""
+
+import numpy as np
+import pytest
+
+from two_tier_document_parser_spark.ccitt import (
+    _BLACK_CODES,
+    _EXT_CODES,
+    _WHITE_CODES,
+    decode_g4,
+    decode_tiff_g4,
+    encode_g4,
+    tiff_dims,
+    tiff_wrap_g4,
+)
+
+
+def test_run_tables_complete_and_prefix_free():
+    """Every run 0..63 terminating + 64..1728 makeup per color +
+    shared extended 1792..2560; each color's code space (incl.
+    extended) is prefix-free — a transcription slip in the public
+    T.4 tables would almost surely violate one of these."""
+    assert set(_WHITE_CODES) == set(_BLACK_CODES) == (
+        set(range(64)) | set(range(64, 1729, 64))
+    )
+    assert set(_EXT_CODES) == set(range(1792, 2561, 64))
+    for codes in (_WHITE_CODES, _BLACK_CODES):
+        space = sorted(list(codes.values()) + list(_EXT_CODES.values()))
+        assert len(set(space)) == len(space)
+        for a, b in zip(space, space[1:]):
+            assert not b.startswith(a)
+
+
+def test_g4_round_trip_randoms():
+    rng = np.random.default_rng(42)
+    for h, w, p in [
+        (1, 1, 0.5), (3, 7, 0.5), (12, 64, 0.3), (5, 1728, 0.02),
+        (4, 3000, 0.001), (8, 200, 0.9), (2, 2561, 0.0), (2, 2700, 1.0),
+    ]:
+        pix = (rng.random((h, w)) < p).astype(np.uint8)
+        assert np.array_equal(
+            pix, decode_g4(encode_g4(pix), columns=w, rows=h)
+        ), (h, w, p)
+
+
+def test_g4_round_trip_structured():
+    """Checkerboard (vertical-mode torture) and triangle (all three
+    modes) — plus the all-white and all-black degenerate pages."""
+    for pat in (
+        (np.indices((16, 40)).sum(0) % 2).astype(np.uint8),
+        np.tri(20, 30, dtype=np.uint8),
+        np.zeros((6, 100), np.uint8),
+        np.ones((6, 100), np.uint8),
+    ):
+        h, w = pat.shape
+        assert np.array_equal(pat, decode_g4(encode_g4(pat), w, h))
+
+
+def test_g4_every_run_length():
+    """Single-row images exercising horizontal-mode codes for every
+    run 0..300 plus each makeup-code boundary (63/64, 1728/1729,
+    2560/2561, 2623/2624 — the multi-makeup switchover)."""
+    for k in list(range(0, 300)) + [
+        63, 64, 65, 127, 128, 129, 1727, 1728, 1729,
+        2559, 2560, 2561, 2623, 2624, 2625,
+    ]:
+        w = max(k + 2, 4000)
+        row = np.zeros((1, w), np.uint8)
+        row[0, :k] = 1
+        assert np.array_equal(row, decode_g4(encode_g4(row), w, 1)), k
+
+
+def test_g4_malformed_raises_or_truncates():
+    with pytest.raises(ValueError):
+        # 000000... is EOL territory inside a G4 line
+        decode_g4(b"\x00\x00\x00\x00", columns=64, rows=2)
+    pix = (np.indices((8, 32)).sum(0) % 2).astype(np.uint8)
+    enc = encode_g4(pix)
+    with pytest.raises(ValueError):
+        decode_g4(enc[: len(enc) // 2], columns=32, rows=8)
+
+
+def test_tiff_wrap_round_trip():
+    rng = np.random.default_rng(3)
+    gray = np.where(rng.random((33, 77)) < 0.2, 0, 255).astype(np.uint8)
+    t = tiff_wrap_g4(gray)
+    assert tiff_dims(t) == (77, 33)
+    assert np.array_equal(decode_tiff_g4(t), gray)
+    # non-TIFF and non-G4 payloads fall through to None
+    assert tiff_dims(b"nope") is None
+    assert decode_tiff_g4(b"\x89PNG\r\n\x1a\n") is None
+    assert decode_tiff_g4(b"") is None
+
+
+def test_media_pipeline_g4(spark):
+    """End-to-end through the Spark kernels: a G4-TIFF payload gets
+    REAL dims from extract_media_features' decode path and a REAL
+    nearest-neighbor resample from resize_media (output PNG pixels
+    equal the numpy index-sample of the decoded source)."""
+    from two_tier_document_parser_spark.multimodal import (
+        _decode_stub,
+        resize_media,
+    )
+    from two_tier_document_parser_spark.png import (
+        decode_png_gray,
+        png_dims,
+    )
+
+    rng = np.random.default_rng(9)
+    src = np.where(rng.random((24, 48)) < 0.3, 0, 255).astype(np.uint8)
+    payload = tiff_wrap_g4(src)
+    assert _decode_stub(payload) == (48, 24)
+
+    media = spark.createDataFrame(
+        [("d1", "page_0_img_0", "image", payload)],
+        "doc_id string, media_ref string, kind string, payload binary",
+    )
+    (r,) = resize_media(media, max_side=16).collect()
+    assert (r["width"], r["height"]) == (16, 8)
+    assert png_dims(bytes(r["payload"])) == (16, 8)
+    rows = (np.arange(8) * 24) // 8
+    cols = (np.arange(16) * 48) // 16
+    assert np.array_equal(
+        decode_png_gray(bytes(r["payload"])), src[rows][:, cols]
+    )

