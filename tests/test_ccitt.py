@@ -126,3 +126,46 @@ def test_media_pipeline_g4(spark):
     assert np.array_equal(
         decode_png_gray(bytes(r["payload"])), src[rows][:, cols]
     )
+
+
+def test_g3_1d_round_trips():
+    """Modified-Huffman flavor: every EOL/byte-align combination on
+    random and degenerate lines."""
+    from two_tier_document_parser_spark.ccitt import (
+        decode_g3_1d,
+        encode_g3_1d,
+    )
+
+    rng = np.random.default_rng(5)
+    for h, w, p in [
+        (1, 1, 0.5), (4, 64, 0.3), (6, 1728, 0.02),
+        (3, 3000, 0.9), (2, 100, 0.0), (2, 100, 1.0),
+    ]:
+        for eol in (False, True):
+            for ba in (False, True):
+                pix = (rng.random((h, w)) < p).astype(np.uint8)
+                enc = encode_g3_1d(pix, eol=eol, byte_align=ba)
+                dec = decode_g3_1d(enc, columns=w, rows=h, byte_align=ba)
+                assert np.array_equal(pix, dec), (h, w, p, eol, ba)
+
+
+def test_g3_1d_truncation_raises():
+    from two_tier_document_parser_spark.ccitt import (
+        decode_g3_1d,
+        encode_g3_1d,
+    )
+
+    pix = (np.indices((8, 64)).sum(0) % 3 == 0).astype(np.uint8)
+    enc = encode_g3_1d(pix)
+    with pytest.raises(ValueError):
+        decode_g3_1d(enc[: len(enc) // 3], columns=64, rows=8)
+
+
+def test_tiff_mh_round_trip():
+    """Compression=2 (Modified Huffman) TIFF flavor decodes through
+    the same entry point."""
+    rng = np.random.default_rng(11)
+    gray = np.where(rng.random((19, 83)) < 0.25, 0, 255).astype(np.uint8)
+    t = tiff_wrap_g4(gray, compression=2)
+    assert tiff_dims(t) == (83, 19)
+    assert np.array_equal(decode_tiff_g4(t), gray)

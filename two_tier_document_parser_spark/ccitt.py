@@ -12,8 +12,11 @@ Scope:
   CCITTFaxDecode case and TIFF Compression=4 — vertical/horizontal/
   pass modes against the reference line, T.4 run-length huffman
   tables (terminating + makeup + shared extended makeup), optional
-  EOFB. 1-D Group 3 and mixed 2-D (K>=0) are out of scope and the
-  callers keep their documented fallback.
+  EOFB.
+- decode_g3_1d / encode_g3_1d: T.4 one-dimensional Modified Huffman
+  (TIFF Compression=2, PDF CCITTFaxDecode K=0), optional EOLs and
+  byte-aligned rows. Mixed 2-D Group 3 (K>0) stays out of scope and
+  those callers keep their documented fallback.
 - tiff_wrap_g4 / tiff_dims / decode_tiff_g4: raw G4 bits are NOT
   self-describing (width/height live in the PDF stream dict or TIFF
   tags), so payload columns carry G4 inside a minimal little-endian
@@ -361,18 +364,25 @@ _TIFF_II = b"II*\x00"
 _TIFF_MM = b"MM\x00*"
 
 
-def tiff_wrap_g4(pix: np.ndarray) -> bytes:
+def tiff_wrap_g4(pix: np.ndarray, compression: int = 4) -> bytes:
     """(h, w) grayscale/bilevel array (0 = black, else white — the
     repo's grayscale convention) -> little-endian single-strip TIFF,
-    Compression=4 (G4), PhotometricInterpretation=0 (min-is-white)."""
+    Compression=4 (G4, default) or 2 (Modified Huffman, byte-aligned
+    rows per the TIFF spec), PhotometricInterpretation=0
+    (min-is-white)."""
     pix = np.asarray(pix)
     h, w = pix.shape
-    strip = encode_g4(pix < 128)
+    if compression == 4:
+        strip = encode_g4(pix < 128)
+    elif compression == 2:
+        strip = encode_g3_1d(pix < 128, byte_align=True)
+    else:
+        raise ValueError(f"unsupported compression {compression}")
     tags = [
         (256, 3, 1, w),            # ImageWidth
         (257, 3, 1, h),            # ImageLength
         (258, 3, 1, 1),            # BitsPerSample
-        (259, 3, 1, 4),            # Compression = CCITT G4
+        (259, 3, 1, compression),  # Compression
         (262, 3, 1, 0),            # Photometric = WhiteIsZero
         (273, 4, 1, 0),            # StripOffsets (patched below)
         (278, 3, 1, h),            # RowsPerStrip
@@ -421,12 +431,14 @@ def tiff_dims(data: bytes) -> tuple[int, int] | None:
 
 
 def decode_tiff_g4(data: bytes) -> np.ndarray | None:
-    """Single-strip G4 TIFF -> (h, w) uint8 grayscale (black=0,
-    white=255), or None when the payload is not such a TIFF (other
-    compressions keep the callers' documented fallback)."""
+    """Single-strip CCITT TIFF (Compression=4 G4, or Compression=2
+    Modified Huffman with its spec-mandated byte-aligned rows) ->
+    (h, w) uint8 grayscale (black=0, white=255), or None when the
+    payload is not such a TIFF (other compressions keep the callers'
+    documented fallback)."""
     data = bytes(data or b"")
     tags = _tiff_tags(data)
-    if not tags or tags.get(259) != 4:
+    if not tags or tags.get(259) not in (2, 4):
         return None
     w, h = tags.get(256), tags.get(257)
     off, cnt = tags.get(273), tags.get(279)
@@ -435,7 +447,11 @@ def decode_tiff_g4(data: bytes) -> np.ndarray | None:
     if w <= 0 or h <= 0 or off + cnt > len(data):
         return None
     try:
-        bits = decode_g4(data[off : off + cnt], columns=w, rows=h)
+        strip = data[off : off + cnt]
+        if tags[259] == 4:
+            bits = decode_g4(strip, columns=w, rows=h)
+        else:
+            bits = decode_g3_1d(strip, columns=w, rows=h, byte_align=True)
     except (ValueError, EOFError):
         return None
     gray = np.where(bits == 1, 0, 255).astype(np.uint8)
@@ -443,3 +459,91 @@ def decode_tiff_g4(data: bytes) -> np.ndarray | None:
     if tags.get(262, 0) == 1:
         gray = 255 - gray
     return gray
+
+
+def decode_g3_1d(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """T.4 one-dimensional (Modified Huffman) decode -> (h, w) uint8,
+    1 = black: each line is alternating white-first run-length codes;
+    optional EOL markers (with zero fill) between lines; byte_align
+    realigns each line to a byte boundary (TIFF Compression=2 rows
+    are byte-aligned and EOL-free; PDF CCITTFaxDecode K=0 may carry
+    EOLs). The other CCITT flavor PDFs actually ship — G4 — is
+    decode_g4 above; mixed 2-D G3 (K>0) stays out of scope."""
+    if columns <= 0:
+        raise ValueError("columns must be positive")
+    br = _Bits(data)
+    out: list[np.ndarray] = []
+    while rows is None or len(out) < rows:
+        if byte_align and br.pos % 8:
+            br.pos += 8 - br.pos % 8
+        # skip fill + any EOLs before the line
+        while True:
+            look = br.peek_str(12)
+            if look == _EOL:
+                br.pos += 12
+                continue
+            break
+        if br.pos >= br.n:
+            break
+        line = np.zeros(columns, dtype=np.uint8)
+        pos = 0
+        white = True
+        try:
+            while pos < columns:
+                run = _read_run(br, white)
+                end = min(pos + run, columns)
+                if not white:
+                    line[pos:end] = 1
+                pos = end
+                white = not white
+        except EOFError:
+            if pos == 0:
+                break  # trailing pad, not a real line
+            raise ValueError("truncated G3 data") from None
+        except ValueError:
+            # RTC / EOL mid-line parse lands here when the stream ends
+            if pos == 0:
+                break
+            raise
+        out.append(line)
+    if rows is not None and len(out) != rows:
+        raise ValueError(f"G3 stream ended at {len(out)}/{rows} rows")
+    if not out:
+        return np.zeros((0, columns), dtype=np.uint8)
+    return np.stack(out)
+
+
+def encode_g3_1d(
+    pix: np.ndarray, eol: bool = False, byte_align: bool = False
+) -> bytes:
+    """(h, w) array (nonzero = black) -> T.4 1-D Modified Huffman
+    bytes — the fixture/producer inverse of decode_g3_1d."""
+    pix = (np.asarray(pix) != 0).astype(np.uint8)
+    h, w = pix.shape
+    bw = _BitWriter()
+    for y in range(h):
+        if byte_align and bw.k:
+            bw.write("0" * (8 - bw.k))
+        if eol:
+            bw.write(_EOL)
+        line = pix[y]
+        chg = np.flatnonzero(
+            np.diff(np.concatenate(([0], line))).astype(np.int8) != 0
+        ).tolist() + [w]
+        prev = 0
+        white = True
+        for c in chg:
+            bw.write(_run_code(c - prev, white))
+            prev = c
+            white = not white
+            if prev >= w:
+                break
+        # a line ending mid-color still needs the closing zero run of
+        # the opposite color ONLY when the transition list was empty
+        # (all white handled by the single full-width code above)
+    return bw.done()
