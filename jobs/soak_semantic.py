@@ -114,6 +114,11 @@ def materialize(n: int) -> str:
     return corpus
 
 
+# shuffle partitions are DATA-sized (32 for the ~2 GB signature
+# volume), identical at both core counts so the scaling pair compares
+# the same physical plan: cores*4=128 partitions measured 2.7x slower
+# at 32 cores on this cascade (more, smaller sort runs over
+# vector-payload rows).
 CHILD = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
@@ -122,7 +127,7 @@ corpus, cores = sys.argv[1], int(sys.argv[2])
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "24g")
-    .config("spark.sql.shuffle.partitions", str(max(32, cores * 4)))
+    .config("spark.sql.shuffle.partitions", "32")
     .getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
 from two_tier_document_parser_spark.similarity import semantic_dedup
