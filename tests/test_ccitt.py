@@ -169,3 +169,49 @@ def test_tiff_mh_round_trip():
     t = tiff_wrap_g4(gray, compression=2)
     assert tiff_dims(t) == (83, 19)
     assert np.array_equal(decode_tiff_g4(t), gray)
+
+
+def _bits_to_bytes(bits: str) -> bytes:
+    bits = bits + "0" * (-len(bits) % 8)
+    return bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+
+
+def test_g4_adversarial_never_hangs():
+    """Horizontal mode with two zero-length runs never advances a0 —
+    must raise, not loop forever."""
+    data = _bits_to_bytes(("001" + "00110101" + "0000110111") * 400)
+    with pytest.raises(ValueError):
+        decode_g4(data, columns=64, rows=4)
+
+
+def test_g3_zero_run_spam_never_hangs():
+    """Crafted white-0/black-0 code pairs never advance the line
+    position — must raise, not hang."""
+    from two_tier_document_parser_spark.ccitt import decode_g3_1d
+
+    data = _bits_to_bytes(("00110101" + "0000110111") * 400)
+    with pytest.raises(ValueError):
+        decode_g3_1d(data, columns=64, rows=4)
+
+
+def test_ccitt_random_bytes_terminate():
+    """Arbitrary junk either raises cleanly or yields a bounded
+    array — the decoders sit behind the never-throw ingest contract,
+    so a hang or non-ValueError escape is the failure mode."""
+    import numpy as np
+
+    from two_tier_document_parser_spark.ccitt import decode_g3_1d
+
+    rng = np.random.default_rng(123)
+    for _ in range(200):
+        junk = rng.integers(0, 256, size=rng.integers(1, 200),
+                            dtype=np.uint8).tobytes()
+        for dec in (
+            lambda d: decode_g4(d, columns=53, rows=7),
+            lambda d: decode_g3_1d(d, columns=53, rows=7),
+        ):
+            try:
+                out = dec(junk)
+                assert out.shape == (7, 53)
+            except (ValueError, EOFError):
+                pass

@@ -203,8 +203,18 @@ def decode_g4(
         a0 = -1
         white = True
         cur: list[int] = []
+        # progress guard: a VALID line emits at most one mode per
+        # changing element (<= columns + slack); malformed input can
+        # oscillate vertical modes without advancing a0 — that must
+        # be an error, never a hang (the ingest contract is
+        # quarantine-in-band, and a stuck executor is unquarantinable)
+        steps = 0
+        max_steps = 2 * columns + 16
         try:
             while a0 < columns:
+                steps += 1
+                if steps > max_steps:
+                    raise ValueError("G4 line makes no progress")
                 # b1: first reference transition right of a0 whose
                 # parity matches the current color (even index =
                 # white->black transition, line starts white)
@@ -493,8 +503,15 @@ def decode_g3_1d(
         line = np.zeros(columns, dtype=np.uint8)
         pos = 0
         white = True
+        # progress guard: crafted zero-length run pairs (white-0,
+        # black-0, ...) never advance pos — error, never a hang
+        steps = 0
+        max_steps = 2 * columns + 16
         try:
             while pos < columns:
+                steps += 1
+                if steps > max_steps:
+                    raise ValueError("G3 line makes no progress")
                 run = _read_run(br, white)
                 end = min(pos + run, columns)
                 if not white:
