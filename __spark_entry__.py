@@ -792,6 +792,76 @@ def q_semantic_rep_quality(spark, sf_dir):
     )
 
 
+def q_dsir_weights(spark, sf_dir):
+    """DSIR hashed n-gram importance scores (Xie et al. 2023): how
+    much more likely each doc's hashed unigram+bigram bag is under
+    the src0 target slice than under the raw corpus — the data-
+    selection-by-importance-resampling score, with the log-ratio in
+    the repo's integer-exact floor-log2 so the oracle comparison is
+    transcendental-free."""
+    from two_tier_document_parser_spark.curation import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir))
+
+
+def q_media_dhash_pairs(spark, sf_dir):
+    """Perceptual image near-dups over REAL pixels (rows-only driver
+    check; exactness via tests/test_media_dhash.py): each doc's text
+    bytes render deterministically into a 16x16 grayscale PNG, so
+    the from-scratch PNG encode -> decode -> nearest-neighbor
+    resample -> 64-bit dHash path runs end-to-end, and the corpus's
+    planted duplicate texts surface as hamming-0 image pairs through
+    the 8x8-bit banded self-join (complete recall for hamming <= 7
+    by pigeonhole)."""
+    import numpy as np
+
+    from two_tier_document_parser_spark.multimodal import (
+        MEDIA_META_SCHEMA,
+        media_dhash,
+        media_near_dup_pairs,
+    )
+    from two_tier_document_parser_spark.png import encode_png_gray
+
+    def render(batches):
+        import pandas as pd
+
+        for b in batches:
+            out = []
+            for p in b["payload"]:
+                raw = (bytes(p) if p is not None else b"")
+                raw = raw.ljust(256, b"\x00")[:256]
+                out.append(
+                    encode_png_gray(
+                        np.frombuffer(raw, dtype=np.uint8).reshape(16, 16)
+                    )
+                )
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_ref": b["media_ref"],
+                    "kind": b["kind"],
+                    "payload": out,
+                }
+            )
+
+    rendered = _media_df(spark, sf_dir).mapInPandas(
+        render, schema=MEDIA_META_SCHEMA
+    )
+    return media_near_dup_pairs(media_dhash(rendered), max_hamming=6)
+
+
+def q_emb_near_dups_q8(spark, sf_dir):
+    """Embedding near-dups with the verify payload int8-quantized
+    (FAISS-SQ8-style scalar quantization): same pair topology as
+    emb_near_dups but each join side ships 64 tinyints instead of 64
+    floats — the measured counter to the 4M-vector soak's
+    memory-bandwidth wall. The dot product is exact integer math;
+    the oracle recomputes the identical q8 space."""
+    from two_tier_document_parser_spark.similarity import near_dup_pairs_q8
+
+    return near_dup_pairs_q8(_emb(spark, sf_dir), threshold_x100=44)
+
+
 def q_ccnet_bucket(spark, sf_dir):
     """CCNet head/middle/tail quality terciles per language (Wenzek
     et al. 2020) with the KenLM perplexity replaced by integer-exact
@@ -1440,6 +1510,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round-3 advice).
     return {
         # -- group 1: new this round, never attested --
+        "dsir_weights": q_dsir_weights,
+        "media_dhash_pairs": q_media_dhash_pairs,
+        "emb_near_dups_q8": q_emb_near_dups_q8,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "semantic_rep_quality": q_semantic_rep_quality,
         "ccnet_bucket": q_ccnet_bucket,
@@ -1490,6 +1563,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_ingest": q_pdf_ingest,
         "html_ingest": q_html_ingest,
         "media_features": q_media_features,
+        # ---- entries from here on sit at/after position 50 (the
+        # observed driver cap) — all r03-attested; parity_harness
+        # still value-checks every one at sf0.01 ----
         "media_frames": q_media_frames,
         "knn_lsh": q_knn_lsh,
         "knn_ivf": q_knn_ivf,
@@ -1498,9 +1574,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "shuffle_rank": q_shuffle_rank,
         "profile_columns": q_profile_columns,
-        # ---- entries from here on sit at/after position 50 (the
-        # observed driver cap) — all r03-attested; parity_harness
-        # still value-checks every one at sf0.01 ----
         "dedup_incremental": q_dedup_incremental,
         "encode_tokens": q_encode_tokens,
         "bucketed_join": q_bucketed_join,
@@ -1651,6 +1724,8 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_incremental": _semantic_dedup_incremental_sql(),
         "semantic_rep_quality": _semantic_rep_quality_sql(),
         "ccnet_bucket": _ccnet_bucket_sql(),
+        "dsir_weights": _dsir_weights_sql(),
+        "emb_near_dups_q8": _emb_near_dups_q8_sql(),
         "source_mixture": _source_mixture_sql(),
         "repetition_stats": _repetition_sql(),
         "substring_overlap": _substring_overlap_sql(),
@@ -2199,6 +2274,53 @@ WHERE round(d.dp / (na.nrm * nb.nrm), 6) >= {threshold_x100} / 100.0
 """
 
 
+def _emb_near_dups_q8_sql(threshold_x100: int = 44) -> str:
+    """q8-space oracle: the identical symmetric int8 quantization
+    (round is away-from-zero in both engines), an EXACT integer dot
+    (order-independent — no float-fold reproducibility caveat), and
+    an explicit zero-norm guard (DuckDB compares NaN greater than
+    everything; Spark's NaN >= x is false — the na > 0 filter keeps
+    both engines off that divergence)."""
+    return f"""
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) AS scale
+  FROM embeddings
+),
+q AS (
+  SELECT e.vec_id,
+         CASE WHEN s.scale = 0
+              THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))
+              ELSE list_transform(e.embedding,
+                     x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s.scale)
+                               AS BIGINT))
+         END AS q8
+  FROM embeddings e JOIN s USING (vec_id)
+),
+dims AS (
+  SELECT vec_id, generate_subscripts(q8, 1) AS d, unnest(q8) AS v
+  FROM q
+),
+norms AS (
+  SELECT vec_id, sqrt(CAST(sum(v * v) AS DOUBLE)) AS nrm
+  FROM dims GROUP BY vec_id
+),
+dots AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+         CAST(sum(x.v * y.v) AS BIGINT) AS dp
+  FROM dims x JOIN dims y ON x.d = y.d AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+)
+SELECT d.a, d.b
+FROM dots d
+JOIN norms na ON na.vec_id = d.a
+JOIN norms nb ON nb.vec_id = d.b
+WHERE na.nrm > 0 AND nb.nrm > 0
+  AND round(d.dp / (na.nrm * nb.nrm), 6) >= {threshold_x100} / 100.0
+"""
+
+
 def _semantic_dedup_sql(threshold_x100: int = 44) -> str:
     """Exact SemDeDup oracle: all-pairs cosine >= threshold, then
     transitive closure via recursive CTE (same pattern as
@@ -2323,6 +2445,50 @@ SELECT doc_id, lang, n_tokens, logfreq_sum,
          ORDER BY logfreq_sum * 1.0 / n_tokens DESC, doc_id
        ) AS INT) AS bucket
 FROM per_doc
+"""
+
+
+def _dsir_weights_sql(
+    target_source: str = "src0", n_buckets: int = 4096
+) -> str:
+    """DSIR oracle: the same hashed unigram+bigram bag, md5-60-bit
+    bucket hash (the established conv/UBIGINT equivalence), and
+    floor-log2 ratio — integer-exact end to end."""
+    return f"""
+WITH tk AS (
+  SELECT doc_id, source,
+         list_filter(regexp_split_to_array(text, '\\s+'),
+                     t -> t <> '') AS t
+  FROM documents
+),
+feats AS (
+  SELECT doc_id, source, unnest(list_concat(
+    t,
+    [t[i] || ' ' || t[i + 1] for i in generate_series(1, len(t) - 1)]
+  )) AS feat
+  FROM tk
+),
+b AS (
+  SELECT doc_id, source,
+         CAST(CAST(('0x' || substr(md5(feat), 1, 15)) AS UBIGINT)
+              AS BIGINT) % {n_buckets} AS bucket
+  FROM feats
+),
+raw AS (SELECT bucket, CAST(count(*) AS BIGINT) AS rfreq
+        FROM b GROUP BY bucket),
+tgt AS (SELECT bucket, CAST(count(*) AS BIGINT) AS tfreq
+        FROM b WHERE source = '{target_source}' GROUP BY bucket),
+d AS (
+  SELECT r.bucket,
+         (length(bin(COALESCE(t.tfreq, 0) + 1)) - 1)
+           - (length(bin(r.rfreq + 1)) - 1) AS logratio
+  FROM raw r LEFT JOIN tgt t USING (bucket)
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_feats,
+       CAST(sum(d.logratio) AS BIGINT) AS dsir_score
+FROM b JOIN d USING (bucket)
+GROUP BY b.doc_id
 """
 
 

@@ -268,6 +268,11 @@ def main() -> int:
         "semantic_dedup_incremental",
         "semantic_rep_quality",
         "ccnet_bucket",
+        "dsir_weights",
+        "media_dhash_pairs",
+        # q8 vs float verify: emb_near_dups (below, LSH path) plus
+        # this exact-pair variant measure the quantized-payload win
+        "emb_near_dups_q8",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

@@ -1,0 +1,138 @@
+"""Perceptual image dedup: dHash over real decoded pixels + the
+banded near-dup self-join (multimodal.media_dhash /
+media_near_dup_pairs).
+
+Exactness model: the op is rows-only at the driver (pixel decode has
+no SQL form), so these tests pin the semantics — a hand-computed
+dHash vector, hamming-0 for byte-identical images, small-hamming for
+a one-pixel edit, the pigeonhole completeness guarantee at the band
+boundary, and the sha256 fallback flag for non-decodable payloads.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from two_tier_document_parser_spark.ccitt import tiff_wrap_g4
+from two_tier_document_parser_spark.multimodal import (
+    media_dhash,
+    media_near_dup_pairs,
+)
+from two_tier_document_parser_spark.png import encode_png_gray
+
+MEDIA_SCHEMA = "doc_id string, media_ref string, kind string, payload binary"
+HASH_SCHEMA = "doc_id string, media_ref string, dhash long"
+
+
+def _media(spark, rows):
+    return spark.createDataFrame(
+        [(d, r, "image", p) for d, r, p in rows], schema=MEDIA_SCHEMA
+    )
+
+
+def _hashes(spark, rows):
+    return spark.createDataFrame(rows, schema=HASH_SCHEMA)
+
+
+def test_dhash_known_vectors(spark):
+    # strictly decreasing brightness left-to-right: every left pixel
+    # is brighter than its right neighbor -> all 64 bits set -> the
+    # signed-int64 representation is -1. Increasing -> all clear -> 0.
+    dec = np.tile(np.arange(255, 255 - 18, -2, dtype=np.uint8), (8, 1))
+    inc = np.tile(np.arange(0, 18, 2, dtype=np.uint8), (8, 1))
+    df = _media(
+        spark,
+        [
+            ("d1", "m1", encode_png_gray(dec)),
+            ("d2", "m2", encode_png_gray(inc)),
+        ],
+    )
+    got = {r.media_ref: (r.dhash, r.real_pixels)
+           for r in media_dhash(df).collect()}
+    assert got == {"m1": (-1, True), "m2": (0, True)}
+
+
+def test_dhash_exact_and_near_pair(spark):
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    edited = base.copy()
+    edited[3, 4] ^= 0xFF  # one-pixel edit -> flips at most 2 bits
+    junk = rng.integers(0, 256, size=(16, 16), dtype=np.uint8)
+    df = _media(
+        spark,
+        [
+            ("a", "m", encode_png_gray(base)),
+            ("b", "m", encode_png_gray(base)),
+            ("c", "m", encode_png_gray(edited)),
+        ],
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in media_near_dup_pairs(media_dhash(df), max_hamming=6)
+        .collect()
+    }
+    assert pairs[("a", "b")] == 0
+    assert 0 <= pairs[("a", "c")] <= 2
+    assert pairs[("b", "c")] == pairs[("a", "c")]
+    # an unrelated random image is (with this seed) not within 6 bits
+    df2 = _media(
+        spark,
+        [("a", "m", encode_png_gray(base)), ("z", "m", encode_png_gray(junk))],
+    )
+    assert (
+        media_near_dup_pairs(media_dhash(df2), max_hamming=6).count() == 0
+    )
+
+
+def test_dhash_tiff_g4_payload(spark):
+    # the scanned-bilevel leg: a G4-compressed TIFF decodes through
+    # ccitt.py and hashes identically to the same pixels as PNG
+    bilevel = (
+        (np.add.outer(np.arange(24), np.arange(40)) % 7 < 3)
+        .astype(np.uint8) * 255
+    )
+    df = _media(
+        spark,
+        [
+            ("t", "m", tiff_wrap_g4(bilevel)),
+            ("p", "m", encode_png_gray(bilevel)),
+        ],
+    )
+    got = {r.doc_id: (r.dhash, r.real_pixels)
+           for r in media_dhash(df).collect()}
+    assert got["t"] == got["p"]
+    assert got["t"][1] is True
+
+
+def test_dhash_fallback_flagged(spark):
+    df = _media(spark, [("j", "m", b"\x00\x01not an image")])
+    row = media_dhash(df).collect()[0]
+    assert row.real_pixels is False
+    # deterministic: same junk -> same hash
+    row2 = media_dhash(df).collect()[0]
+    assert row2.dhash == row.dhash
+
+
+def test_band_completeness_boundary(spark):
+    # pigeonhole: hamming <= 7 ALWAYS shares one of the 8 disjoint
+    # 8-bit bands. Worst case for 7 flips = 7 distinct bands touched,
+    # one band intact. 8 flips spread 1-per-band is the first case
+    # banding can miss entirely.
+    base = 0x0123456789ABCDEF
+    h7 = base
+    for band in range(7):  # flip 1 bit in each of 7 bands
+        h7 ^= 1 << (8 * band)
+    h8 = h7 ^ (1 << (8 * 7))
+    df = _hashes(
+        spark,
+        [("x", "m", base), ("y7", "m", h7), ("y8", "m", h8)],
+    )
+    pairs = {
+        (r.doc_id_a, r.doc_id_b): r.hamming
+        for r in media_near_dup_pairs(df, max_hamming=8).collect()
+    }
+    assert pairs[("x", "y7")] == 7  # guaranteed found
+    assert ("x", "y8") not in pairs  # 1-per-band: no band agrees
+    # y7 vs y8 differ in exactly 1 bit -> found
+    assert pairs[("y7", "y8")] == 1

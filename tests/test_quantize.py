@@ -1,0 +1,61 @@
+"""Int8 embedding quantization + q8 near-dup verify
+(similarity.quantize_embeddings / near_dup_pairs_q8).
+
+Hand-computed quantization vectors (round away from zero on both
+engines), the zero-vector guards, and pair semantics in q8 space.
+DuckDB value parity runs in test_driver_contract.py (SUBSET) and
+tests/parity_harness.py.
+"""
+
+from __future__ import annotations
+
+from two_tier_document_parser_spark.similarity import (
+    near_dup_pairs_q8,
+    quantize_embeddings,
+)
+
+SCHEMA = "vec_id long, embedding array<float>"
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, schema=SCHEMA)
+
+
+def test_quantize_known_vector(spark):
+    df = _emb(spark, [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])])
+    got = {r.vec_id: list(r.q8) for r in quantize_embeddings(df).collect()}
+    # scale 1.0: 127*1=127; 127*-0.5=-63.5 -> -64 (away from zero);
+    # 127*0.25=31.75 -> 32; zero vector stays all-zero, no NaN
+    assert got == {1: [127, -64, 32, 0], 2: [0, 0, 0, 0]}
+
+
+def test_quantize_scale_invariance(spark):
+    # q8 depends only on the vector's direction: x and 1000x quantize
+    # identically (per-vector max-abs scale)
+    df = _emb(
+        spark,
+        [(1, [0.1, -0.05, 0.025]), (2, [100.0, -50.0, 25.0])],
+    )
+    got = {r.vec_id: list(r.q8) for r in quantize_embeddings(df).collect()}
+    assert got[1] == got[2] == [127, -64, 32]
+
+
+def test_q8_pair_semantics(spark):
+    df = _emb(
+        spark,
+        [
+            (1, [1.0, 0.0]),       # parallel to 2 -> cosine 1
+            (2, [0.5, 0.0]),
+            (3, [0.0, 1.0]),       # orthogonal -> cosine 0
+            (4, [0.0, 0.0]),       # zero vector: never pairs
+            (5, [0.8, 0.6]),       # cos vs (1,0) = 0.8 >= 0.44
+        ],
+    )
+    pairs = {
+        (r.a, r.b) for r in near_dup_pairs_q8(df, threshold_x100=44).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 5) in pairs and (2, 5) in pairs
+    assert (3, 5) in pairs  # cos = 0.6 in q8 space too
+    assert all(4 not in p for p in pairs)
+    assert (1, 3) not in pairs and (2, 3) not in pairs

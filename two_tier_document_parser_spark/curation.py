@@ -723,3 +723,82 @@ def incremental_agg_update(
     return finalize_group_stats(
         merge_group_stats(base, delta, group_col), group_col
     )
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = 4096,
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style hashed n-gram importance scores (Xie et al. 2023,
+    arXiv:2302.03169 "Data Selection for Language Models via
+    Importance Resampling"): score each document by how much more
+    likely its hashed unigram+bigram bag is under a TARGET domain's
+    feature distribution than under the RAW corpus's, then resample
+    the raw pool by that score. Here the target is the slice
+    `source = target_source` (a quality domain standing in for the
+    paper's Wikipedia/books target), features hash into `n_buckets`
+    buckets, and the log-ratio uses the repo's integer-exact floor
+    log2 (`length(bin(n+1)) - 1` — add-one smoothing keeps the log
+    finite for target-absent buckets, and no transcendental crosses
+    the oracle comparison; ccnet_bucket sets the precedent).
+
+        score(d) = sum_f  flog2(tfreq_f + 1) - flog2(rfreq_f + 1)
+
+    summed over d's features WITH multiplicity. Docs with no tokens
+    drop out (no features on either side of the comparison).
+
+    Scale shape (100 TB): one exploded feature stream reused three
+    ways — two bucket-count aggregates whose output is exactly
+    `n_buckets` rows (map-side partials collapse the shuffle to
+    ~4096 rows per partition), then ONE broadcast join of that tiny
+    dictionary back onto the stream and a single groupBy(doc_id).
+    Net: one doc_id-keyed shuffle plus two trivially small ones; no
+    join ever carries the corpus on both sides.
+    """
+    from .textstats import tokens
+
+    toks = tokens(F.col(text_col))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda x, y: F.concat(x, F.lit(" "), y),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.concat(toks, bigrams)).alias("feat"),
+    ).select(
+        "doc_id",
+        "source",
+        (
+            F.conv(F.substring(F.md5("feat"), 1, 15), 16, 10).cast("long")
+            % n_buckets
+        ).alias("bucket"),
+    )
+    raw = feats.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("rfreq")
+    )
+    tgt = (
+        feats.where(F.col("source") == target_source)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("tfreq"))
+    )
+    flog2 = lambda c: F.length(F.bin(c)) - F.lit(1)  # noqa: E731
+    dic = raw.join(tgt, "bucket", "left").select(
+        "bucket",
+        (flog2(F.coalesce(F.col("tfreq"), F.lit(0)) + F.lit(1))
+         - flog2(F.col("rfreq") + F.lit(1))).alias("logratio"),
+    )
+    return (
+        feats.join(F.broadcast(dic), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("logratio").cast("long").alias("dsir_score"),
+        )
+    )

@@ -411,3 +411,130 @@ def media_text_pairs(
         source.alias("caption_source"),
         "payload",
     )
+
+
+DHASH_SCHEMA = (
+    "doc_id string, media_ref string, dhash long, real_pixels boolean"
+)
+
+
+def media_dhash(media: DataFrame) -> DataFrame:
+    """Per-asset 64-bit difference hash (dHash) over REAL pixels.
+
+    The classic perceptual image fingerprint (Krawetz's dHash): decode
+    to grayscale, resample to 9x8, emit one bit per horizontal
+    neighbor pair (bit = left pixel brighter). Visually-near-identical
+    images land within a few bits of Hamming distance, so image-level
+    near-dup dedup becomes the same banded self-join the engine
+    already uses for SimHash text near-dups — the multimodal leg of
+    the dedup suite (reference keeps one crop per content hash,
+    accurate/service.py's first-seen id policy; dHash extends that
+    from exact bytes to perceptual identity).
+
+    Decode is REAL for PNG / baseline-JPEG / G4-TIFF payloads (the
+    from-scratch codecs), with the same nearest-neighbor resample as
+    resize_media. Non-decodable payloads (no pixel semantics in this
+    sandbox) fall back to a sha256-derived hash — exact-dup-only for
+    those, flagged real_pixels=false so downstream policy can tell.
+
+    Scale shape: one map-only Arrow pass, 12 bytes of output per
+    asset; no shuffle. The pairs join happens on the 64-bit hash,
+    never on pixels.
+    """
+    import numpy as np
+
+    from .ccitt import decode_tiff_g4
+    from .jpeg import decode_jpeg_gray
+    from .png import decode_png_gray
+
+    def _dhash(pix: "np.ndarray") -> int:
+        h0, w0 = pix.shape
+        rows = (np.arange(8) * h0) // 8
+        cols = (np.arange(9) * w0) // 9
+        s = pix[rows][:, cols].astype(np.int16)
+        bits = (s[:, :8] > s[:, 1:]).flatten()
+        val = 0
+        for b in bits:
+            val = (val << 1) | int(b)
+        return val - (1 << 64) if val >= 1 << 63 else val
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            hashes, real = [], []
+            for p in b["payload"]:
+                raw = bytes(p) if p is not None else b""
+                pix = decode_png_gray(raw)
+                if pix is None:
+                    pix = decode_jpeg_gray(raw)
+                if pix is None:
+                    pix = decode_tiff_g4(raw)
+                if pix is not None and pix.size:
+                    hashes.append(_dhash(pix))
+                    real.append(True)
+                else:
+                    d = hashlib.sha256(raw).digest()
+                    hashes.append(int.from_bytes(d[:8], "big", signed=True))
+                    real.append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "media_ref": b["media_ref"],
+                    "dhash": pd.Series(hashes, dtype="int64"),
+                    "real_pixels": pd.Series(real, dtype="bool"),
+                }
+            )
+
+    return media.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def media_near_dup_pairs(
+    hashes: DataFrame, max_hamming: int = 6
+) -> DataFrame:
+    """Image near-dup candidate pairs within `max_hamming` bits.
+
+    Banded exact-match self-join: the 64-bit dHash splits into 8
+    disjoint 8-bit bands; by pigeonhole any pair within Hamming
+    distance <= 7 agrees exactly on at least one band, so recall is
+    COMPLETE for max_hamming <= 7 (the SimHash-banding guarantee,
+    same as dedup.simhash's band join) — no silent misses to report.
+    Pairs are oriented by (doc_id, media_ref) string order and
+    deduped across bands with one distinct.
+
+    Scale shape: 8 rows per asset into one exact-key self-join (the
+    same shuffle shape as LSH banding); band values are 8-bit so add
+    a salt-split on hot bands at 10^12 assets if a constant-color
+    band dominates (the lsh_candidate_pairs cap pattern applies).
+    """
+    bands = F.array(
+        *[
+            F.shiftright(F.col("dhash"), 8 * i).bitwiseAND(F.lit(255))
+            for i in range(8)
+        ]
+    )
+    h = hashes.select(
+        "doc_id", "media_ref", "dhash",
+        F.posexplode(bands).alias("band_idx", "band_val"),
+    )
+    a, b = h.alias("a"), h.alias("b")
+    key_a = F.concat_ws("\x00", F.col("a.doc_id"), F.col("a.media_ref"))
+    key_b = F.concat_ws("\x00", F.col("b.doc_id"), F.col("b.media_ref"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (key_a < key_b),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("a.media_ref").alias("media_ref_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("b.media_ref").alias("media_ref_b"),
+            F.expr("bit_count(a.dhash ^ b.dhash)")
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

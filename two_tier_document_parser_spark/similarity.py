@@ -674,3 +674,107 @@ def semantic_rep_by_score(
         "rep_id",
         (F.col("rep_id") == F.col(id_col)).cast("int").alias("keep"),
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x_i|,
+    q_i = round(127 * x_i / scale), stored as array<tinyint> —
+    4x fewer payload bytes per vector than array<float> through
+    every downstream shuffle and sort. All-zero vectors quantize to
+    all-zero (guarded division).
+
+    This is the standard scalar-quantization step ANN systems apply
+    before distance evaluation (FAISS SQ8): cosine over q8 tracks
+    float cosine within the quantization error, and the q8 dot
+    product is EXACT integer arithmetic — order-independent, so the
+    oracle comparison doesn't even need the rounded-compare crutch
+    the float fold does.
+
+    Motivated by the 4M-vector soak autopsy (PLANS.md "bandwidth
+    wall"): the exact-cosine verify's sort/shuffle stages carry
+    256-byte float vectors per row and saturate single-box memory
+    bandwidth; quantizing the verify payload attacks exactly that
+    term.
+    """
+    x = F.col(vec_col)
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v.cast("double"))))
+    q8 = F.when(scale == 0.0, F.transform(x, lambda v: F.lit(0).cast("tinyint"))).otherwise(
+        F.transform(
+            x,
+            lambda v: F.round(F.lit(127.0) * v.cast("double") / scale)
+            .cast("tinyint"),
+        )
+    )
+    return emb.select(F.col(id_col).alias(id_col), q8.alias("q8"))
+
+
+def _dot_q8(a: Column, b: Column) -> Column:
+    """Exact integer dot product of two int8 vectors (long math —
+    64 dims x 127^2 is far inside int64)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm_q8(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).cast("double")
+    )
+
+
+def near_dup_pairs_q8(
+    emb: DataFrame,
+    threshold_x100: int = 44,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """`near_dup_pairs` with the verify payload int8-quantized: all
+    (a < b) with round(cosine_q8, 6) >= threshold, where cosine_q8
+    is the cosine in quantized space (integer dot / float norms —
+    the q8 threshold decision IS the operator's defined semantics,
+    oracle-checked in the same q8 space; it tracks float cosine
+    within quantization error but is not claimed equal). Zero
+    vectors never pair (NaN-cosine guarded out explicitly on BOTH
+    engines — DuckDB sorts NaN greater-than-everything, Spark's
+    NaN >= x is false; the na > 0 filter keeps the engines off that
+    divergence).
+
+    Scale shape: identical join topology to near_dup_pairs, but each
+    side ships 64 tinyints instead of 64 floats — the 4x payload
+    reduction applies to the candidate join's shuffle whether
+    candidates come from the cross join (here, the correctness
+    baseline) or from lsh_near_dup_pairs buckets (the scale path).
+    """
+    q = quantize_embeddings(emb, vec_col=vec_col, id_col=id_col)
+    a = q.select(
+        F.col(id_col).alias("a"),
+        F.col("q8").alias("aq"),
+        _norm_q8(F.col("q8")).alias("na"),
+    )
+    b = q.select(
+        F.col(id_col).alias("b"),
+        F.col("q8").alias("bq"),
+        _norm_q8(F.col("q8")).alias("nb"),
+    )
+    return (
+        a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .filter((F.col("na") > 0.0) & (F.col("nb") > 0.0))
+        .filter(
+            F.round(
+                _dot_q8(F.col("aq"), F.col("bq")).cast("double")
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= F.lit(threshold_x100) / 100.0
+        )
+        .select("a", "b")
+    )
