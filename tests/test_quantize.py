@@ -59,3 +59,36 @@ def test_q8_pair_semantics(spark):
     assert (3, 5) in pairs  # cos = 0.6 in q8 space too
     assert all(4 not in p for p in pairs)
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_lsh_q8_matches_bruteforce_q8(spark):
+    # at full-recall LSH parameters the q8 scale path returns exactly
+    # the q8 brute-force pair set (same guarantee the float
+    # emb_near_dups_lsh oracle relies on), and the candidate pipeline
+    # is shared with the float path (signatures read floats)
+    import numpy as np
+
+    from two_tier_document_parser_spark.similarity import (
+        lsh_near_dup_pairs_q8,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for i in range(60):
+        v = rng.standard_normal(16)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        if i % 5 == 0:  # planted near-copy
+            w = np.asarray(rows[-1][1]) + 0.01 * rng.standard_normal(16)
+            rows.append((i + 1000, [float(x) for x in w / np.linalg.norm(w)]))
+    df = _emb(spark, rows)
+    brute = {
+        (r.a, r.b) for r in near_dup_pairs_q8(df, threshold_x100=80).collect()
+    }
+    lsh = {
+        (r.a, r.b)
+        for r in lsh_near_dup_pairs_q8(
+            df, threshold_x100=80, n_planes=4, n_tables=48
+        ).collect()
+    }
+    assert brute  # the planted copies are above threshold
+    assert lsh == brute

@@ -749,13 +749,18 @@ def dsir_weights(
     summed over d's features WITH multiplicity. Docs with no tokens
     drop out (no features on either side of the comparison).
 
-    Scale shape (100 TB): one exploded feature stream reused three
-    ways — two bucket-count aggregates whose output is exactly
-    `n_buckets` rows (map-side partials collapse the shuffle to
+    Scale shape (100 TB): the exploded feature stream has three
+    consumers — two bucket-count aggregates whose output is exactly
+    `n_buckets` rows (map-side partials collapse each shuffle to
     ~4096 rows per partition), then ONE broadcast join of that tiny
     dictionary back onto the stream and a single groupBy(doc_id).
     Net: one doc_id-keyed shuffle plus two trivially small ones; no
-    join ever carries the corpus on both sides.
+    join ever carries the corpus on both sides. Catalyst does NOT
+    share the explode across the three branches (three scans of the
+    pruned (doc_id, text, source) columns here); at production scale
+    checkpoint the hashed (doc_id, source, bucket) table once and
+    feed all three consumers from it — one tokenize pass instead of
+    three, same plan below the checkpoint.
     """
     from .textstats import tokens
 

@@ -208,6 +208,55 @@ def near_dup_pairs(
     )
 
 
+def _lsh_candidates(
+    emb: DataFrame,
+    n_planes: int,
+    n_tables: int,
+    vec_col: str,
+    id_col: str,
+    max_bucket: int | None,
+):
+    """Shared SRP-LSH candidate generation (the grouped in-bucket
+    expansion documented on lsh_near_dup_pairs): one signature pass,
+    one (tbl, sig) shuffle, JVM-side pair expansion, distinct.
+    Returns (candidate_pairs, lazy dropped-bucket diagnostics)."""
+    sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables)
+    grouped = (
+        sigs.groupBy("tbl", "sig")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    dropped = None
+    if max_bucket is not None:
+        dropped = grouped.filter(F.size("ids") > max_bucket).agg(
+            F.count(F.lit(1)).alias("dropped_buckets"),
+            F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias(
+                "dropped_ids"
+            ),
+        )
+        buckets = grouped.filter(F.size("ids") <= max_bucket)
+    else:
+        buckets = grouped
+    cand = (
+        buckets.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        "ids",
+                        lambda x, i: F.transform(
+                            F.slice("ids", i + F.lit(2), F.size("ids")),
+                            lambda y: F.struct(x.alias("a"), y.alias("b")),
+                        ),
+                    )
+                )
+            ).alias("p")
+        )
+        .select("p.a", "p.b")
+        .distinct()
+    )
+    return cand, dropped
+
+
 def lsh_near_dup_pairs(
     emb: DataFrame,
     threshold_x100: int = 44,
@@ -245,39 +294,8 @@ def lsh_near_dup_pairs(
     follows the observe node, so this recomputes the signature pass
     on demand instead). Pass max_bucket=None for the uncapped
     exact-recall behavior."""
-    sigs = srp_sig_rows(emb, id_col, vec_col, n_planes, n_tables)
-    grouped = (
-        sigs.groupBy("tbl", "sig")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    dropped = None
-    if max_bucket is not None:
-        dropped = grouped.filter(F.size("ids") > max_bucket).agg(
-            F.count(F.lit(1)).alias("dropped_buckets"),
-            F.coalesce(F.sum(F.size("ids")), F.lit(0)).alias(
-                "dropped_ids"
-            ),
-        )
-        buckets = grouped.filter(F.size("ids") <= max_bucket)
-    else:
-        buckets = grouped
-    cand = (
-        buckets.select(
-            F.explode(
-                F.flatten(
-                    F.transform(
-                        "ids",
-                        lambda x, i: F.transform(
-                            F.slice("ids", i + F.lit(2), F.size("ids")),
-                            lambda y: F.struct(x.alias("a"), y.alias("b")),
-                        ),
-                    )
-                )
-            ).alias("p")
-        )
-        .select("p.a", "p.b")
-        .distinct()
+    cand, dropped = _lsh_candidates(
+        emb, n_planes, n_tables, vec_col, id_col, max_bucket
     )
     va = emb.select(
         F.col(id_col).alias("a"),
@@ -778,3 +796,70 @@ def near_dup_pairs_q8(
         )
         .select("a", "b")
     )
+
+
+def lsh_near_dup_pairs_q8(
+    emb: DataFrame,
+    threshold_x100: int = 44,
+    n_planes: int = 6,
+    n_tables: int = 12,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int | None = 2000,
+    q8_table: DataFrame | None = None,
+) -> DataFrame:
+    """`lsh_near_dup_pairs` with the VERIFY payload int8-quantized:
+    candidates come from the identical SRP signature pass (signatures
+    read the float vectors once, map-side — quantization cannot
+    change which buckets collide), but the verify join ships
+    array<tinyint> + one precomputed norm per side instead of
+    array<float> — 4x fewer payload bytes through the join's two
+    id-keyed exchanges and sorts, which is exactly the term the
+    4M-vector soak autopsy blamed for the single-box bandwidth wall
+    (PLANS.md). The threshold decision happens in q8 cosine space
+    (exact integer dot / float norms), so pairs within quantization
+    error of the threshold may differ from the float path —
+    jobs/q8_verify_bench.py measures both the wall-clock delta and
+    the planted-truth recall at 1M vectors.
+
+    MEASURED LESSON (BENCH/q8_verify.json): quantizing INLINE per
+    run is a net loss — at 1M vectors the extra per-row HOF passes
+    (scale + transform + cast) cost ~2x more than the smaller
+    payload saves, so pass `q8_table` (a pre-quantized
+    (id, q8 array<tinyint>) table, written once at ingest the way
+    FAISS quantizes at index build) to pay the quantization cost
+    zero times per query instead of once per side per run."""
+    cand, dropped = _lsh_candidates(
+        emb, n_planes, n_tables, vec_col, id_col, max_bucket
+    )
+    q = (
+        q8_table
+        if q8_table is not None
+        else quantize_embeddings(emb, vec_col=vec_col, id_col=id_col)
+    )
+    va = q.select(
+        F.col(id_col).alias("a"),
+        F.col("q8").alias("aq"),
+        _norm_q8(F.col("q8")).alias("na"),
+    )
+    vb = q.select(
+        F.col(id_col).alias("b"),
+        F.col("q8").alias("bq"),
+        _norm_q8(F.col("q8")).alias("nb"),
+    )
+    out = (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .filter((F.col("na") > 0.0) & (F.col("nb") > 0.0))
+        .filter(
+            F.round(
+                _dot_q8(F.col("aq"), F.col("bq")).cast("double")
+                / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= F.lit(threshold_x100) / 100.0
+        )
+        .select("a", "b")
+    )
+    out.lsh_dropped = dropped
+    return out
