@@ -792,6 +792,17 @@ def q_semantic_rep_quality(spark, sf_dir):
     )
 
 
+def q_span_dedup(spark, sf_dir):
+    """C4 duplicate-span removal (Raffel et al. 2020 §2.2) as a
+    document REWRITE: every full 8-token block seen earlier anywhere
+    in the corpus is removed (keep-first by (doc_id, block index))
+    and the text is rebuilt from the survivors — the transform the
+    existing ngram_boilerplate detector only scores."""
+    from two_tier_document_parser_spark.curation import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance scores (Xie et al. 2023): how
     much more likely each doc's hashed unigram+bigram bag is under
@@ -1510,6 +1521,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round-3 advice).
     return {
         # -- group 1: new this round, never attested --
+        "span_dedup": q_span_dedup,
         "dsir_weights": q_dsir_weights,
         "media_dhash_pairs": q_media_dhash_pairs,
         "emb_near_dups_q8": q_emb_near_dups_q8,
@@ -1724,6 +1736,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_incremental": _semantic_dedup_incremental_sql(),
         "semantic_rep_quality": _semantic_rep_quality_sql(),
         "ccnet_bucket": _ccnet_bucket_sql(),
+        "span_dedup": _span_dedup_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "emb_near_dups_q8": _emb_near_dups_q8_sql(),
         "source_mixture": _source_mixture_sql(),
@@ -2445,6 +2458,45 @@ SELECT doc_id, lang, n_tokens, logfreq_sum,
          ORDER BY logfreq_sum * 1.0 / n_tokens DESC, doc_id
        ) AS INT) AS bucket
 FROM per_doc
+"""
+
+
+def _span_dedup_sql(block_size: int = 8) -> str:
+    """span_dedup oracle: identical token ranking, non-overlapping
+    block assembly, global keep-first window ordered by (doc_id,
+    block index), and in-order reconstruction. COUNT/SUM cast back to
+    BIGINT (DuckDB sums to HUGEINT); the all-blocks-dropped doc gets
+    '' via COALESCE to mirror Spark's concat_ws over an empty list."""
+    return f"""
+WITH toks AS (
+  SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS tok
+  FROM (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t
+        FROM documents)
+),
+ranked AS (
+  SELECT doc_id, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS r,
+         tok
+  FROM toks WHERE tok <> ''
+),
+blocks AS (
+  SELECT doc_id, CAST((r - 1) // {block_size} AS BIGINT) AS bidx,
+         string_agg(tok, ' ' ORDER BY r) AS block,
+         count(*) AS n_toks
+  FROM ranked GROUP BY doc_id, (r - 1) // {block_size}
+),
+flagged AS (
+  SELECT doc_id, bidx, block,
+         (n_toks < {block_size} OR
+          row_number() OVER (PARTITION BY block ORDER BY doc_id, bidx) = 1
+         ) AS keep
+  FROM blocks
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_blocks,
+       CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       COALESCE(string_agg(CASE WHEN keep THEN block END, ' '
+                           ORDER BY bidx), '') AS text_deduped
+FROM flagged GROUP BY doc_id
 """
 
 

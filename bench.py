@@ -270,6 +270,7 @@ def main() -> int:
         "ccnet_bucket",
         "dsir_weights",
         "media_dhash_pairs",
+        "span_dedup",
         # q8 vs float verify: emb_near_dups (below, LSH path) plus
         # this exact-pair variant measure the quantized-payload win
         "emb_near_dups_q8",

@@ -47,6 +47,7 @@ ROWS_ONLY = {
 # the cap still carries an oracle (parity_harness value-checks the
 # full set at sf0.01).
 EXPECTED_WINDOW_50 = [
+    "span_dedup",
     "dsir_weights", "media_dhash_pairs", "emb_near_dups_q8",
     "semantic_dedup_incremental", "semantic_rep_quality", "ccnet_bucket",
     "semantic_dedup", "source_mixture",
@@ -64,8 +65,9 @@ EXPECTED_WINDOW_50 = [
     "semi_customers", "scan_project", "route_tier", "split_fast",
     "split_deep", "union_tiers", "distinct_lang_source",
     "bigram_distinct", "rollup_lang_source",
-    # filler attested r03
-    "pdf_ingest", "html_ingest", "media_features",
+    # filler attested r03 (media_features rotated out when span_dedup
+    # entered the head — it is r03-attested and parity-covered)
+    "pdf_ingest", "html_ingest",
 ]
 
 

@@ -807,3 +807,75 @@ def dsir_weights(
             F.sum("logratio").cast("long").alias("dsir_score"),
         )
     )
+
+
+def span_dedup(docs: DataFrame, block_size: int = 8) -> DataFrame:
+    """C4's duplicate-span REMOVAL rule (Raffel et al. 2020 §2.2:
+    "we discarded all but one of any three-sentence span occurring
+    more than once in the data set"), re-expressed for this corpus's
+    unit structure: the span unit is a non-overlapping `block_size`-
+    token block (the corpus has no sentence boundaries — same reason
+    ngram_boilerplate works at token granularity). Unlike
+    ngram_boilerplate, which only SCORES documents, this REWRITES
+    them: every full block whose exact text occurred earlier anywhere
+    in the corpus (global order = (doc_id, block index), keep-first)
+    is removed, and the document text is reconstructed from the
+    surviving blocks in order. Partial trailing blocks (< block_size
+    tokens) are never deduplicated — the C4 guard against nuking
+    short common tails. Documents whose text has no tokens produce no
+    output row (nothing to rewrite), identically on both engines.
+
+    Scale shape (100 TB): three key-hashed exchanges, all with
+    bounded per-key state — doc_id for token ranking (the groupBy
+    into blocks reuses that partitioning: hash(doc_id) satisfies the
+    (doc_id, bidx) clustering, no fourth exchange), block text for
+    the global keep-first window (a viral block lands on one task but
+    row_number is a linear scan, and every group collapses to
+    rank-1-or-not — no join-back carrying the corpus on both sides),
+    and doc_id again for reconstruction. Block texts, not documents,
+    flow through the middle exchange: payload is ~block_size tokens
+    per row regardless of document size.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), r"\s+")).alias("pos", "tok"),
+    ).filter(F.col("tok") != "")
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    ranked = toks.withColumn("r", F.row_number().over(wd))
+    bidx = F.floor((F.col("r") - F.lit(1)) / F.lit(block_size)).cast("long")
+    blocks = (
+        ranked.withColumn("bidx", bidx)
+        .groupBy("doc_id", "bidx")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("r", "tok"))),
+                    lambda x: x["tok"],
+                ),
+            ).alias("block"),
+            F.count(F.lit(1)).alias("n_toks"),
+        )
+    )
+    wb = Window.partitionBy("block").orderBy("doc_id", "bidx")
+    flagged = blocks.withColumn(
+        "keep",
+        (F.col("n_toks") < block_size) | (F.row_number().over(wb) == 1),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1))
+        .cast("long")
+        .alias("n_dropped"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("keep"), F.struct("bidx", "block"))
+                    )
+                ),
+                lambda x: x["block"],
+            ),
+        ).alias("text_deduped"),
+    )
