@@ -703,14 +703,17 @@ def q_pdf_ingest(spark, sf_dir):
 
 def q_pdf_encrypted_ingest(spark, sf_dir):
     """O1 bytes-in for ENCRYPTED PDFs — the reference opens these
-    transparently via PyMuPDF (fast/service.py:42); here the §7.6.3
-    standard security handler (empty user password) is built from
-    scratch (pdfcrypt.py: RC4 + FIPS-197 AES). Pipeline: documents ->
-    spans -> complete PDF files -> RC4-128 (V2/R3) ENCRYPTED files ->
-    re-parsed with in-line string/stream decryption. The oracle is
-    the same pure-SQL span lift as pdf_ingest, so a value-exact match
-    proves decrypt(encrypt(render(x))) == parse(render(x)) == x
-    end-to-end on real ciphertext."""
+    transparently via PyMuPDF (fast/service.py:42); here the standard
+    security handler (empty user password) is built from scratch
+    (pdfcrypt.py: RC4 + FIPS-197 AES-128/256, both KAT-verified).
+    Pipeline: documents -> spans -> complete PDF files -> encrypted
+    files rotating per doc through ALL FIVE supported regimes
+    (RC4-40 V1/R2, RC4-128 V2/R3, AES-128 V4/R4, AES-256 V5/R6 with
+    the ISO 32000-2 Algorithm 2.B KDF, AES-256 V5/R5) -> re-parsed
+    with in-line string/stream decryption. The oracle is the same
+    pure-SQL span lift as pdf_ingest, so a value-exact match proves
+    decrypt(encrypt(render(x))) == parse(render(x)) == x end-to-end
+    on real ciphertext for every handler revision."""
     from two_tier_document_parser_spark.adapter import documents_to_raw
     from two_tier_document_parser_spark.pdf_io import (
         encrypt_table,
@@ -720,9 +723,15 @@ def q_pdf_encrypted_ingest(spark, sf_dir):
     from two_tier_document_parser_spark.pipeline import ship_package
 
     ship_package(spark)
-    raw = documents_to_raw(_docs(spark, sf_dir))
+    # the R6 KDF is >=64 chained AES rounds PER FILE BY DESIGN
+    # (anti-brute-force); parallelism is the only lever, so spread
+    # the corpus across all cores before the crypto kernels — the
+    # single sf0.01 parquet file otherwise arrives as ONE partition
+    # and the whole encrypt+decrypt pass runs serial
+    par = spark.sparkContext.defaultParallelism
+    raw = documents_to_raw(_docs(spark, sf_dir)).repartition(par)
     decoded = parse_table(
-        encrypt_table(render_table(raw), cipher="rc4", nbits=128)
+        encrypt_table(render_table(raw), cipher="mixed")
     )
     s = F.explode("spans").alias("s")
     return decoded.select("doc_id", s).select(

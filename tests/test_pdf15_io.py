@@ -719,3 +719,80 @@ def test_encrypted_pdf_via_spark_parse_table(spark):
     }
     assert rows["rc4"] == rows["plain"] == rows["aes"]
     assert ("heading", "Crypt Title") in rows["plain"]
+
+
+def test_aes256_fips197_vector():
+    """FIPS-197 Appendix C.3 known-answer test for the AES-256 core
+    (the same from-scratch tables as AES-128, 14 rounds)."""
+    import numpy as np
+
+    from two_tier_document_parser_spark.pdfcrypt import (
+        _decrypt_blocks,
+        _encrypt_blocks,
+        _expand_key,
+    )
+
+    key = bytes(range(32))
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    want = bytes.fromhex("8ea2b7ca516745bfeafc49904b496089")
+    rk = _expand_key(key)
+    b = np.frombuffer(pt, dtype=np.uint8).reshape(1, 16)
+    ct = _encrypt_blocks(b, rk).tobytes()
+    assert ct == want
+    back = _decrypt_blocks(
+        np.frombuffer(ct, dtype=np.uint8).reshape(1, 16), rk
+    ).tobytes()
+    assert back == pt
+
+
+def test_encrypted_pdf_roundtrips_aes256():
+    """V5 AES-256, both R6 (ISO 32000-2 Algorithm 2.B KDF, /UE key
+    unwrap, /Perms check) and the deprecated Adobe R5, empty user
+    password: identical span stream to the plaintext file."""
+    from two_tier_document_parser_spark.pdf_io import (
+        encrypt_pdf,
+        parse_pdf,
+        render_pdf,
+    )
+
+    pdf = render_pdf(_crypt_doc())
+    want = parse_pdf(pdf)
+    assert want is not None and len(want["spans"]) == 5
+    for cipher in ("aes256", "aes256r5"):
+        epdf = encrypt_pdf(pdf, cipher=cipher)
+        assert b"/Encrypt" in epdf and b"AESV3" in epdf
+        assert b"Crypt Title" not in epdf
+        assert parse_pdf(epdf) == want, cipher
+
+
+def test_aes256_wrong_password_and_tamper_quarantine():
+    """A password-protected V5 file (non-empty user password) fails
+    the empty-password 2.B check; a tampered /U or /Perms likewise
+    quarantines instead of lifting ciphertext."""
+    from two_tier_document_parser_spark.pdf_io import (
+        encrypt_pdf,
+        parse_pdf,
+        render_pdf,
+    )
+    from two_tier_document_parser_spark.pdfcrypt import (
+        check_user_password_v5,
+        compute_u_v5,
+        file_key_v5,
+    )
+
+    u, ue = compute_u_v5(b"F" * 32, b"secret", 6)
+    assert not check_user_password_v5(u, b"", 6)
+    assert check_user_password_v5(u, b"secret", 6)
+    assert file_key_v5(u, ue, b"secret", 6) == b"F" * 32
+
+    pdf = render_pdf(_crypt_doc())
+    epdf = encrypt_pdf(pdf, cipher="aes256")
+    # flip one nibble of the /U hash inside the /Encrypt dict
+    at = epdf.index(b"/U <") + 4
+    bad = epdf[:at] + (b"0" if epdf[at : at + 1] != b"0" else b"1") + epdf[at + 1 :]
+    assert parse_pdf(bad) is None
+    # tamper /Perms instead: key derivation succeeds but the
+    # Algorithm 13 validation fails
+    at = epdf.index(b"/Perms <") + 8
+    bad = epdf[:at] + (b"0" if epdf[at : at + 1] != b"0" else b"1") + epdf[at + 1 :]
+    assert parse_pdf(bad) is None

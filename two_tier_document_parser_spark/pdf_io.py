@@ -72,6 +72,7 @@ stream; malformed payloads quarantine in-band (O19), never raise.
 
 from __future__ import annotations
 
+import hashlib
 import re
 import zlib
 from typing import Iterator
@@ -912,6 +913,40 @@ def _setup_crypt(objs: _ObjMap, trailer: dict):
     v, r = enc.get("V"), enc.get("R")
     nbits = enc.get("Length", 40)
     aes = False
+    if v == 5:
+        # AES-256 (§7.6.4): R6 is the PDF 2.0 handler, R5 the
+        # deprecated Adobe predecessor. Strings and streams encrypt
+        # under the file key directly — no per-object derivation.
+        from .pdfcrypt import (
+            check_perms_v5,
+            check_user_password_v5,
+            file_key_v5,
+        )
+
+        if r not in (5, 6):
+            return None
+        stmf, strf = enc.get("StmF", "Identity"), enc.get("StrF", "Identity")
+        cf = enc.get("CF")
+        cfd = cf.get(stmf) if isinstance(cf, dict) else None
+        if stmf != strf or not isinstance(cfd, dict):
+            return None
+        if cfd.get("CFM") != "AESV3":
+            return None
+        u, ue, p = enc.get("U"), enc.get("UE"), enc.get("P")
+        if not (
+            isinstance(u, _PdfStr) and isinstance(ue, _PdfStr)
+            and isinstance(p, int)
+        ):
+            return None
+        if not check_user_password_v5(u.raw, b"", r):
+            return None  # non-empty user password: quarantine
+        fkey = file_key_v5(u.raw, ue.raw, b"", r)
+        perms = enc.get("Perms")
+        if isinstance(perms, _PdfStr) and not check_perms_v5(
+            perms.raw, fkey, p
+        ):
+            return None  # tampered or mis-derived key: quarantine
+        return StdCrypt(fkey, True, exempt, direct=True)
     if v == 4:
         # crypt filters (§7.6.5): support one named filter applied to
         # BOTH strings and streams, /V2 (RC4) or /AESV2 (AES-128-CBC)
@@ -1366,16 +1401,28 @@ def encrypt_pdf(
 ) -> bytes:
     """Producer/test-harness inverse of the decryption path: re-emit
     a parsed PDF with every string and stream encrypted under the
-    §7.6.3 standard security handler (empty user password unless
-    given). cipher='rc4' -> V1/R2 at 40 bits or V2/R3 above;
-    cipher='aes' -> V4/R4 with an /AESV2 crypt filter. Deterministic
-    (IVs derive from the per-object key) so fixtures and oracle
-    corpora are stable across runs."""
+    standard security handler (empty user password unless given).
+    cipher='rc4' -> V1/R2 at 40 bits or V2/R3 above; cipher='aes' ->
+    V4/R4 with an /AESV2 crypt filter (§7.6.3); cipher='aes256' ->
+    V5/R6 /AESV3, cipher='aes256r5' -> the deprecated Adobe R5
+    (§7.6.4). Deterministic (IVs derive from the per-object key) so
+    fixtures and oracle corpora are stable across runs."""
     import hashlib
 
-    from .pdfcrypt import StdCrypt, compute_o, compute_u, file_key
+    from .pdfcrypt import (
+        StdCrypt,
+        compute_o,
+        compute_o_v5,
+        compute_perms_v5,
+        compute_u,
+        compute_u_v5,
+        file_key,
+    )
 
-    if cipher == "aes":
+    v5 = cipher in ("aes256", "aes256r5")
+    if v5:
+        v, r, aes, nbits = 5, (5 if cipher == "aes256r5" else 6), True, 256
+    elif cipher == "aes":
         v, r, aes, nbits = 4, 4, True, 128
     elif nbits > 40:
         v, r, aes = 2, 3, False
@@ -1386,11 +1433,19 @@ def encrypt_pdf(
     if trailer is None:
         raise ValueError("input is not a parseable PDF")
     id0 = hashlib.md5(data).digest()
-    o = compute_o(owner_pw, user_pw, r, nbits)
     p = -44
-    fkey = file_key(o, p, id0, r, nbits, password=user_pw)
-    u = compute_u(fkey, id0, r)
-    crypt = StdCrypt(fkey, aes, frozenset())
+    if v5:
+        if user_pw:
+            raise ValueError("V5 fixture builder supports empty user pw")
+        fkey = hashlib.sha256(b"filekey" + id0).digest()
+        u, ue = compute_u_v5(fkey, b"", r)
+        o, oe = compute_o_v5(fkey, u, owner_pw, r)
+        perms = compute_perms_v5(fkey, p)
+    else:
+        o = compute_o(owner_pw, user_pw, r, nbits)
+        fkey = file_key(o, p, id0, r, nbits, password=user_pw)
+        u = compute_u(fkey, id0, r)
+    crypt = StdCrypt(fkey, aes, frozenset(), direct=v5)
 
     out = bytearray(b"%PDF-1.6\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
@@ -1422,7 +1477,15 @@ def encrypt_pdf(
         b" /O <%s> /U <%s>" % (v, r, nbits, p, o.hex().encode(),
                                u.hex().encode())
     )
-    if v == 4:
+    if v == 5:
+        enc_dict += (
+            b" /OE <%s> /UE <%s> /Perms <%s>"
+            b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+            b" /StmF /StdCF /StrF /StdCF"
+            % (oe.hex().encode(), ue.hex().encode(),
+               perms.hex().encode())
+        )
+    elif v == 4:
         enc_dict += (
             b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
             b" /StmF /StdCF /StrF /StdCF"
@@ -1490,18 +1553,41 @@ def render_batches(
 
 def encrypt_table(bin_df, cipher: str = "rc4", nbits: int = 128):
     """(doc_id, payload binary) of plaintext PDFs -> the same files
-    encrypted under the §7.6.3 standard security handler (empty user
+    encrypted under the standard security handler (empty user
     password). Map-only mapInArrow, same scale shape as the parsers;
-    producer half of the encrypted-ingest correctness gate."""
+    producer half of the encrypted-ingest correctness gate.
+    cipher='mixed' rotates deterministically per row through every
+    supported regime (RC4-40 V1/R2, RC4-128 V2/R3, AES-128 V4/R4,
+    AES-256 V5/R6, AES-256 V5/R5) so one corpus exercises all five
+    handlers."""
+    mixed = (
+        ("rc4", 40), ("rc4", 128), ("aes", 128),
+        ("aes256", 256), ("aes256r5", 256),
+    )
 
     def _enc(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             if batch.num_rows == 0:
                 continue
-            payloads = [
-                encrypt_pdf(p.as_py(), cipher=cipher, nbits=nbits)
-                for p in batch.column("payload")
-            ]
+            if cipher == "mixed":
+                ids = [d.as_py() for d in batch.column("doc_id")]
+                payloads = []
+                for did, p in zip(ids, batch.column("payload")):
+                    c, nb = mixed[
+                        int.from_bytes(
+                            hashlib.md5(str(did).encode()).digest()[:4],
+                            "big",
+                        )
+                        % len(mixed)
+                    ]
+                    payloads.append(
+                        encrypt_pdf(p.as_py(), cipher=c, nbits=nb)
+                    )
+            else:
+                payloads = [
+                    encrypt_pdf(p.as_py(), cipher=cipher, nbits=nbits)
+                    for p in batch.column("payload")
+                ]
             yield pa.RecordBatch.from_arrays(
                 [
                     batch.column("doc_id"),
