@@ -193,18 +193,11 @@ def aes128_decrypt_block(key: bytes, block: bytes) -> bytes:
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """§7.6.2 producer side: pad (PKCS#5), CBC-encrypt, prefix IV.
-    Sequential across blocks by construction — fixture-sized use."""
+    Sequential across blocks by construction — T-table scalar core
+    (same cross-checked engine as the KDF)."""
     padlen = 16 - (len(data) % 16)
     data = data + bytes([padlen]) * padlen
-    rk = _expand_key(key)
-    out = bytearray(iv)
-    prev = np.frombuffer(iv, dtype=np.uint8)
-    for i in range(0, len(data), 16):
-        blk = np.frombuffer(data[i : i + 16], dtype=np.uint8) ^ prev
-        ct = _encrypt_blocks(blk.reshape(1, 16), rk)[0]
-        out += ct.tobytes()
-        prev = ct
-    return bytes(out)
+    return iv + _cbc_encrypt_nopad(key, iv, data)
 
 
 def aes_cbc_decrypt(key: bytes, data: bytes) -> bytes:
