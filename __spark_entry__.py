@@ -812,6 +812,72 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(_docs(spark, sf_dir))
 
 
+# fixed retrieval query for bm25_topk: mid-frequency corpus terms so
+# df < N and the idf odds spread (mirrored verbatim in the oracle)
+BM25_QUERY = ("vector", "window", "customer", "hash", "stream")
+
+
+def q_bm25_topk(spark, sf_dir):
+    """Integer-exact BM25 top-20 retrieval (k1=1.2, b=0.75, RSJ
+    odds-ratio idf x1000 — transcendental-free, see ranking.py): the
+    search/RAG lookup step over the extracted corpus. Query-term IN
+    prune happens before any shuffle; df is a broadcast |Q|-row
+    aggregate; top-k is TakeOrdered (no global sort exchange)."""
+    from two_tier_document_parser_spark.ranking import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY, k=20)
+
+
+def q_pmi_bigrams(spark, sf_dir):
+    """PMI collocations over adjacent token pairs (Church & Hanks
+    1990), floor-log2 integer-exact (textstats.pmi_bigrams): the
+    multi-word-expression detector feeding vocab construction.
+    Bigrams are built map-side from the token array — no window, no
+    per-doc shuffle."""
+    from two_tier_document_parser_spark.textstats import pmi_bigrams
+
+    return pmi_bigrams(_docs(spark, sf_dir), min_count=5)
+
+
+def _near_dup_edges(spark, sf_dir):
+    """The shared near-dup graph (same derivation as
+    dedup_components): LSH candidates -> jaccard >= 0.5 pairs."""
+    from two_tier_document_parser_spark.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    d = _docs(spark, sf_dir)
+    return (
+        jaccard_pairs(d, lsh_candidate_pairs(minhash_bands(d)))
+        .filter(F.col("jaccard_x1000") >= 500)
+        .select("a", "b")
+    )
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-iteration (3) integer PageRank over the near-dup graph
+    (graph.pagerank): centrality for keep-the-canonical dedup
+    policies. Ranks are exact int64 micro-masses — every
+    redistribution is integer division, so no float summation order
+    exists; one shuffle per iteration, edge list checkpointed once."""
+    from two_tier_document_parser_spark.graph import pagerank
+
+    return pagerank(_near_dup_edges(spark, sf_dir), iters=3)
+
+
+def q_triangle_count(spark, sf_dir):
+    """Per-vertex triangle counts over the near-dup graph
+    (graph.triangle_count): cluster-cohesion signal (a 3-clique of
+    near-dups is a far stronger dup signal than a lone edge).
+    Oriented-edge plan — wedge join + closing-edge probe, never an
+    all-pairs product."""
+    from two_tier_document_parser_spark.graph import triangle_count
+
+    return triangle_count(_near_dup_edges(spark, sf_dir))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance scores (Xie et al. 2023): how
     much more likely each doc's hashed unigram+bigram bag is under
@@ -1530,6 +1596,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (round-3 advice).
     return {
         # -- group 1: new this round, never attested --
+        "bm25_topk": q_bm25_topk,
+        "pmi_bigrams": q_pmi_bigrams,
+        "pagerank": q_pagerank,
+        "triangle_count": q_triangle_count,
         "span_dedup": q_span_dedup,
         "dsir_weights": q_dsir_weights,
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -1745,6 +1815,10 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup_incremental": _semantic_dedup_incremental_sql(),
         "semantic_rep_quality": _semantic_rep_quality_sql(),
         "ccnet_bucket": _ccnet_bucket_sql(),
+        "bm25_topk": _bm25_sql(BM25_QUERY, 20),
+        "pmi_bigrams": _pmi_sql(5),
+        "pagerank": _pagerank_sql(3),
+        "triangle_count": _triangles_sql(),
         "span_dedup": _span_dedup_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "emb_near_dups_q8": _emb_near_dups_q8_sql(),
@@ -2622,6 +2696,137 @@ pruned AS (SELECT sig.* FROM sig JOIN sized USING (band, min_hash))
 SELECT DISTINCT a.key AS a, b.key AS b
 FROM pruned a JOIN pruned b USING (band, min_hash)
 WHERE a.key < b.key
+"""
+
+
+def _bm25_sql(query_terms: tuple[str, ...], k: int) -> str:
+    """Oracle for ranking.bm25_topk: identical integer formulas —
+    odds-ratio idf x1000 and cleared-denominator tf saturation, all
+    `//` integer division (DuckDB `//` == Spark DIV on positives)."""
+    terms = ", ".join(f"'{t.lower()}'" for t in query_terms)
+    return f"""
+WITH dl AS (
+  SELECT doc_id,
+         CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                              t -> t <> '')) AS BIGINT) AS dl
+  FROM documents
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(sum(dl), 0) AS BIGINT) AS sum_dl FROM dl),
+tk AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE token <> ''),
+tf AS (
+  SELECT doc_id, lower(token) AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM tk WHERE lower(token) IN ({terms}) GROUP BY 1, 2
+),
+dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+s AS (
+  SELECT tf.doc_id,
+         ((2 * (t.n_docs - dfq.df) + 1) * 1000) // (2 * dfq.df + 1) AS idf_m,
+         (22000 * tf.tf * t.sum_dl)
+           // (10 * tf.tf * t.sum_dl + 3 * t.sum_dl + 9 * dl.dl * t.n_docs)
+           AS sat_m
+  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id) CROSS JOIN tot t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
+       CAST(sum(idf_m * sat_m // 1000) AS BIGINT) AS score_x1000
+FROM s GROUP BY doc_id
+ORDER BY score_x1000 DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _pmi_sql(min_count: int) -> str:
+    """Oracle for textstats.pmi_bigrams: same map-side array bigrams
+    and the exact floor-log2 bitlen identities."""
+    return f"""
+WITH t AS (
+  SELECT list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uc AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c
+  FROM (SELECT unnest(t) AS tok FROM t) GROUP BY tok
+),
+bg AS (
+  SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+    SELECT unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+                   for i in generate_series(1, len(t) - 1)]) AS p
+    FROM t
+  )
+),
+bgc AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c_xy
+  FROM bg GROUP BY w1, w2 HAVING count(*) >= {min_count}
+),
+tot AS (
+  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uc) AS u_total,
+         (SELECT CAST(count(*) AS BIGINT) FROM bg) AS t_total
+),
+j AS (
+  SELECT b.w1, b.w2, b.c_xy, u1.c AS c_w1, u2.c AS c_w2,
+         b.c_xy * t.u_total * t.u_total AS num,
+         t.t_total * u1.c * u2.c AS den
+  FROM bgc b JOIN uc u1 ON u1.tok = b.w1 JOIN uc u2 ON u2.tok = b.w2
+  CROSS JOIN tot t
+)
+SELECT w1, w2, c_xy, c_w1, c_w2,
+       CAST(CASE WHEN num >= den THEN length(bin(num // den)) - 1
+            ELSE -(length(bin((den + num - 1) // num - 1))) END AS INT)
+         AS pmi2
+FROM j
+"""
+
+
+_PR_EDGES_SQL = """
+jac AS (SELECT * FROM ({jac}) j),
+e AS (
+  SELECT a AS src, b AS dst FROM jac WHERE jaccard_x1000 >= 500 AND a <> b
+  UNION
+  SELECT b AS src, a AS dst FROM jac WHERE jaccard_x1000 >= 500 AND a <> b
+)"""
+
+
+def _pagerank_sql(iters: int, scale: int = 10**12, damping_pct: int = 85) -> str:
+    """Oracle for graph.pagerank: the identical integer recurrence,
+    unrolled `iters` times over the near-dup edge CTE."""
+    base = (100 - damping_pct) * scale // 100
+    sql = f"WITH {_PR_EDGES_SQL.format(jac=_jaccard_sql())},\n"
+    sql += "deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),\n"
+    sql += f"r0 AS (SELECT src, CAST({scale} AS BIGINT) AS rank FROM deg)"
+    for i in range(iters):
+        sql += f""",
+r{i + 1} AS (
+  SELECT e.dst AS src,
+         CAST({base} + {damping_pct} * sum(r{i}.rank // deg.deg) // 100
+              AS BIGINT) AS rank
+  FROM e JOIN r{i} ON r{i}.src = e.src JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+)"""
+    sql += f"\nSELECT src AS doc_id, rank AS rank_e12 FROM r{iters}"
+    return sql
+
+
+def _triangles_sql() -> str:
+    """Oracle for graph.triangle_count: oriented edges, wedge join,
+    closing-edge probe — each triangle found once, all corners
+    credited."""
+    return f"""
+WITH {_PR_EDGES_SQL.format(jac=_jaccard_sql())},
+lo AS (SELECT src AS x, dst AS y FROM e WHERE src < dst),
+wedge AS (
+  SELECT l1.x AS u, l1.y AS v, l2.y AS z
+  FROM lo l1 JOIN lo l2 ON l1.x = l2.x AND l1.y < l2.y
+),
+tri AS (
+  SELECT u, v, z FROM wedge JOIN lo ON lo.x = wedge.v AND lo.y = wedge.z
+),
+corners AS (
+  SELECT u AS doc_id FROM tri
+  UNION ALL SELECT v FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY doc_id
 """
 
 

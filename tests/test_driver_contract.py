@@ -47,6 +47,7 @@ ROWS_ONLY = {
 # the cap still carries an oracle (parity_harness value-checks the
 # full set at sf0.01).
 EXPECTED_WINDOW_50 = [
+    "bm25_topk", "pmi_bigrams", "pagerank", "triangle_count",
     "span_dedup",
     "dsir_weights", "media_dhash_pairs", "emb_near_dups_q8",
     "semantic_dedup_incremental", "semantic_rep_quality", "ccnet_bucket",
@@ -64,10 +65,10 @@ EXPECTED_WINDOW_50 = [
     "dedup_components", "region_order_counts", "top_customers",
     "semi_customers", "scan_project", "route_tier", "split_fast",
     "split_deep", "union_tiers", "distinct_lang_source",
-    "bigram_distinct", "rollup_lang_source",
-    # filler attested r03 (media_features rotated out when span_dedup
-    # entered the head — it is r03-attested and parity-covered)
-    "pdf_ingest", "html_ingest",
+    # rotated out when bm25_topk/pmi_bigrams/pagerank/triangle_count
+    # (never attested) entered the head: bigram_distinct +
+    # rollup_lang_source (r01/r02-attested, parity-covered) and the
+    # r03-attested fillers pdf_ingest + html_ingest
 ]
 
 

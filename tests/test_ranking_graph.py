@@ -1,0 +1,148 @@
+"""Exactness tests for ranking.bm25_topk, textstats.pmi_bigrams, and
+graph.pagerank / graph.triangle_count on hand-computed corpora and
+graphs (the oracle-equivalence side is covered by parity_harness)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F  # noqa: F401
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ---------------------------------------------------------------- bm25
+
+
+def test_bm25_hand_computed(spark):
+    """3-doc corpus, query {apple, pear}; every integer step verified
+    by hand in the assertions' derivation (see values inline)."""
+    from two_tier_document_parser_spark.ranking import bm25_topk
+
+    d = _docs(
+        spark,
+        [
+            (1, "apple apple pear"),
+            (2, "apple banana banana banana"),
+            (3, "kiwi kiwi kiwi kiwi"),
+        ],
+    )
+    got = {
+        r.doc_id: (r.n_terms_hit, r.score_x1000)
+        for r in bm25_topk(d, ("apple", "pear"), k=10).collect()
+    }
+    # N=3, sum_dl=11; idf_m(apple)=3000//5=600, idf_m(pear)=5000//3=1666
+    # d1: sat(apple,tf=2,dl=3)=484000//334=1449 -> 600*1449//1000=869
+    #     sat(pear,tf=1,dl=3)=242000//224=1080 -> 1666*1080//1000=1799
+    # d2: sat(apple,tf=1,dl=4)=242000//251=964 -> 600*964//1000=578
+    assert got == {1: (2, 2668), 2: (1, 578)}
+
+
+def test_bm25_k_limit_and_tie_break(spark):
+    from two_tier_document_parser_spark.ranking import bm25_topk
+
+    d = _docs(spark, [(i, "apple") for i in range(10)])
+    out = bm25_topk(d, ("apple",), k=3).collect()
+    # all scores equal -> doc_id ascending breaks the tie
+    assert [r.doc_id for r in out] == [0, 1, 2]
+
+
+# ----------------------------------------------------------------- pmi
+
+
+def test_pmi_matches_float_floor_log2(spark):
+    """pmi2 must equal floor(log2(c_xy*U^2 / (T*c_x*c_y))) computed
+    in floats, on a corpus with positive, zero, and negative PMI."""
+    from two_tier_document_parser_spark.textstats import pmi_bigrams
+
+    d = _docs(spark, [(1, "a b a b"), (2, "c c c c c"), (3, "c a")])
+    rows = pmi_bigrams(d, min_count=1).collect()
+    assert rows, "expected bigrams"
+    U, T = 11, 8
+    for r in rows:
+        exact = math.floor(
+            math.log2((r.c_xy * U * U) / (T * r.c_w1 * r.c_w2))
+        )
+        assert r.pmi2 == exact, (r.w1, r.w2, r.pmi2, exact)
+    got = {(r.w1, r.w2): r.pmi2 for r in rows}
+    # hand checks: (a,b) num=2*121 den=8*3*2=48 -> 242//48=5 -> 2
+    assert got[("a", "b")] == 2
+    # (c,c) num=4*121=484 den=8*36=288 -> 484//288=1 -> 0
+    assert got[("c", "c")] == 0
+    # (c,a) num=121 den=8*6*3=144 -> negative branch: -(bitlen(2-1))=-1
+    assert got[("c", "a")] == -1
+
+
+def test_pmi_min_count_filters(spark):
+    from two_tier_document_parser_spark.textstats import pmi_bigrams
+
+    d = _docs(spark, [(1, "a b a b a b")])
+    assert pmi_bigrams(d, min_count=3).count() == 1  # only (a,b) x3
+
+
+# ------------------------------------------------------------ pagerank
+
+
+def _pagerank_ref(edges, iters=3, scale=10**12, damping=85):
+    """Independent driver-side integer reference."""
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    deg: dict = {}
+    for s, _ in sym:
+        deg[s] = deg.get(s, 0) + 1
+    r = {v: scale for v in deg}
+    base = (100 - damping) * scale // 100
+    for _ in range(iters):
+        inc = {v: 0 for v in deg}
+        for s, t in sym:
+            inc[t] += r[s] // deg[s]
+        r = {v: base + damping * inc[v] // 100 for v in deg}
+    return r
+
+
+def test_pagerank_matches_integer_reference(spark):
+    from two_tier_document_parser_spark.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3), (5, 6)]
+    e = spark.createDataFrame(edges, "a long, b long")
+    got = {r.doc_id: r.rank_e12 for r in pagerank(e, iters=3).collect()}
+    assert got == _pagerank_ref(edges)
+    # the K3-ish corner (1,3) concentrates mass on 1 and 3
+    assert got[1] > got[2] and got[3] > got[4]
+
+
+def test_pagerank_drops_self_loops_and_dups(spark):
+    from two_tier_document_parser_spark.graph import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 1), (1, 1), (1, 2)], "a long, b long"
+    )
+    got = {r.doc_id: r.rank_e12 for r in pagerank(e, iters=2).collect()}
+    assert got == _pagerank_ref([(1, 2)], iters=2)
+
+
+# ----------------------------------------------------------- triangles
+
+
+def test_triangles_k4(spark):
+    from two_tier_document_parser_spark.graph import triangle_count
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k4 + [(4, 5)], "a long, b long")
+    got = {r.doc_id: r.n_triangles for r in triangle_count(e).collect()}
+    # K4 has 4 triangles; each vertex sits in C(3,2)=3; pendant 5 in none
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangles_square_has_none(spark):
+    from two_tier_document_parser_spark.graph import triangle_count
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1)], "a long, b long"
+    )
+    assert triangle_count(e).count() == 0

@@ -1,0 +1,119 @@
+"""Graph analytics over document-similarity graphs: fixed-iteration
+PageRank and triangle counting.
+
+The near-dup pair graph (dedup.jaccard_pairs over LSH candidates) is
+the curation pipeline's natural graph: PageRank surfaces the most
+central duplicates (keep-the-canonical policies), triangle density
+measures cluster cohesion (a 3-clique of near-dups is a much stronger
+dup signal than a lone edge). Both are classic iterative/multi-join
+Spark shapes the reference engine has no analogue for — engine
+breadth beyond the extraction cascade.
+
+Integer-exact throughout (SURVEY §7.7.4): ranks are carried as
+exact int64 micro-masses (initial mass RANK_SCALE per vertex) and
+every redistribution is integer division, so the result is
+bit-identical across engines — no float summation order anywhere.
+
+Scale shape (10^12 edges): each PageRank iteration is ONE shuffle
+(contributions aggregated on dst); the edge list is localCheckpoint'd
+once so the LSH candidate derivation never re-runs per iteration
+(same pattern as dedup.connected_components_star). Triangle counting
+is the standard oriented-edge plan: orient a<b, self-join on the
+middle vertex, then probe — each a shuffle-hash join on a pruned edge
+list, never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank", "triangle_count", "RANK_SCALE"]
+
+RANK_SCALE = 10**12  # per-vertex initial integer mass
+
+
+def _symmetric(edges: DataFrame) -> DataFrame:
+    """Undirected (a, b) pairs -> distinct directed src->dst both ways,
+    self-loops dropped."""
+    e = edges.select(
+        F.col("a").cast("long").alias("src"), F.col("b").cast("long").alias("dst")
+    ).filter(F.col("src") != F.col("dst"))
+    return (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+    )
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 3, damping_pct: int = 85
+) -> DataFrame:
+    """Fixed-iteration integer PageRank on the undirected graph given
+    by (a, b) pairs.
+
+    r_0(v) = RANK_SCALE;
+    r_{i+1}(v) = ((100 - d) * RANK_SCALE) DIV 100
+               + (d * sum_{u->v} (r_i(u) DIV deg(u))) DIV 100.
+
+    Every vertex in the edge list has deg >= 1 (symmetrized), so there
+    are no dangling vertices; isolated docs are out of scope (rank is
+    only meaningful relative to the dup graph). Columns: doc_id,
+    rank_e12 (micro-mass, RANK_SCALE-scaled).
+    """
+    sym = _symmetric(edges)
+    # the edge list is reused `iters` times: pin it so the upstream
+    # LSH/jaccard derivation runs exactly once
+    sym = sym.localCheckpoint(eager=True)
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = deg.select("src", F.lit(RANK_SCALE).cast("long").alias("rank"))
+    base = (100 - damping_pct) * RANK_SCALE // 100
+
+    for _ in range(iters):
+        contrib = (
+            sym.join(ranks.join(deg, "src"), "src")
+            .select("dst", F.expr("rank DIV deg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))  # ONE shuffle per iteration
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("src"),
+            (
+                F.lit(base).cast("long")
+                + F.expr(f"{damping_pct} * s DIV 100")
+            ).alias("rank"),
+        )
+
+    return ranks.select(
+        F.col("src").alias("doc_id"), F.col("rank").cast("long").alias("rank_e12")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Per-vertex triangle counts on the undirected (a, b) graph.
+
+    Oriented-edge algorithm: keep each edge once as (lo, hi) with
+    lo < hi, join oriented edges on the shared low vertex to form
+    wedges (u < v, u < w, v < w enforced), then probe the oriented
+    edge set for the closing (v, w) edge. Each triangle {u, v, w} is
+    found exactly once; every corner is credited. Columns: doc_id,
+    n_triangles.
+    """
+    sym = _symmetric(edges)
+    lo = sym.filter(F.col("src") < F.col("dst"))  # each edge once
+    wedges = (
+        lo.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .join(lo.select(F.col("src").alias("u"), F.col("dst").alias("w")), "u")
+        .filter(F.col("v") < F.col("w"))
+    )
+    tris = wedges.join(
+        lo.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+    )
+    corners = (
+        tris.select(F.col("u").alias("doc_id"))
+        .unionAll(tris.select(F.col("v").alias("doc_id")))
+        .unionAll(tris.select(F.col("w").alias("doc_id")))
+    )
+    return corners.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

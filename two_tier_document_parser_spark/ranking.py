@@ -1,0 +1,114 @@
+"""Document retrieval scoring: BM25 top-k over the corpus for a
+broadcast query-term set.
+
+Reference parity note: the reference engine exposes extracted text
+for downstream search/RAG consumers (README.md "structured output for
+RAG pipelines"); this module supplies the retrieval step itself as a
+relational plan — no index service, no Python in the hot path.
+
+Integer-exact scoring (repo invariant, SURVEY §7.7.4): floats never
+cross the engine-comparison boundary, so the classic Robertson/
+Sparck-Jones log-idf is replaced by its argument — the RSJ odds ratio
+(N - df + 0.5) / (df + 0.5), carried as an exact x1000 integer
+(standard BM25 idf is ln(odds); the un-logged variant preserves the
+df ordering while staying transcendental-free; the same substitution
+spirit as ccnet_bucket's floor-log2 commonness). The tf saturation
+term tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) is a pure rational in
+integer inputs and is evaluated with single integer division after
+clearing denominators — bit-identical in any engine.
+
+Scale shape (10^12 docs): the token explode is filtered to the
+query-term IN-list BEFORE any shuffle (predicate on the exploded
+column, so only matching tokens survive the map side); df is a
+sketch-sized aggregate (|Q| rows) broadcast back; doc length is a
+map-side projection; the final top-k is TakeOrdered (no single-
+partition Exchange). int64 headroom: the cleared-denominator
+numerator is 22000 * tf * sum_dl — at 10^14 total tokens switch the
+two products to DECIMAL(38,0), noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import token_count, tokens
+
+__all__ = ["bm25_topk"]
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: tuple[str, ...],
+    k: int = 20,
+) -> DataFrame:
+    """Top-k documents for `query_terms` under integer-exact BM25
+    (k1 = 1.2, b = 0.75, odds-ratio idf x1000).
+
+    Per matched (doc, term):
+      idf_m  = (2*(N - df) + 1) * 1000 DIV (2*df + 1)
+      sat_m  = 22000 * tf * sum_dl
+               DIV (10*tf*sum_dl + 3*sum_dl + 9*dl*N)
+        (= 1000 * tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) exactly,
+         denominators cleared: k1=12/10, k1*(1-b)=3/10, k1*b=9/10)
+      contrib = idf_m * sat_m DIV 1000
+    Doc score = sum(contrib); ties broken by doc_id ascending.
+
+    Columns: doc_id, n_terms_hit, score_x1000.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    q = [t.lower() for t in query_terms]
+
+    dl = docs.select(
+        "doc_id", token_count(F.col("text")).cast("long").alias("dl")
+    )
+    # one-row corpus fold (N docs, total token mass) — broadcast, the
+    # same bounded-collect shape as the sketch queries
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("sum_dl"),
+    )
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+    ).filter(F.col("term").isin(q))  # map-side IN prune: non-query
+    # tokens never reach the (doc_id, term) shuffle
+
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )  # <= |Q| rows
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "idf_m",
+            F.expr("(2 * (n_docs - df) + 1) * 1000 DIV (2 * df + 1)"),
+        )
+        .withColumn(
+            # int64: 22000 * tf * sum_dl — DECIMAL(38,0) past ~1e14
+            # total tokens
+            "sat_m",
+            F.expr(
+                "22000 * tf * sum_dl DIV"
+                " (10 * tf * sum_dl + 3 * sum_dl + 9 * dl * n_docs)"
+            ),
+        )
+        .withColumn("contrib", F.expr("idf_m * sat_m DIV 1000"))
+    )
+
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+            F.sum("contrib").cast("long").alias("score_x1000"),
+        )
+        .orderBy(F.desc("score_x1000"), F.asc("doc_id"))
+        .limit(k)  # TakeOrderedAndProject — no global sort exchange
+    )

@@ -567,3 +567,80 @@ def ccnet_bucket(
     return per_doc.withColumn(
         "bucket", F.ntile(n_buckets).over(w).cast("int")
     )
+
+
+def pmi_bigrams(
+    df: DataFrame, min_count: int = 5, text_col: str = "text"
+) -> DataFrame:
+    """Pointwise mutual information of adjacent token pairs (Church &
+    Hanks 1990) — the collocation detector of a corpus-analysis
+    pipeline (multi-word expressions, "new york"-style units a
+    tokenizer or vocab builder should keep whole).
+
+    PMI(x, y) = log2( p(xy) / (p(x) p(y)) )
+              = log2( c_xy * U^2 / (T * c_x * c_y) )
+    with U = total tokens, T = total bigrams. The log2 is the repo's
+    integer-exact floor-log2: for num >= den it is
+    length(bin(num DIV den)) - 1 (exact: for integers a >= b > 0,
+    floor(log2(a/b)) == bitlen(a DIV b) - 1); for num < den it is
+    -(bitlen(ceil(den/num) - 1)) (exact: ceil(log2(q)) ==
+    bitlen(ceil(q) - 1) for rational q > 1). No transcendental, so
+    the value is bit-identical in any engine (same reasoning as
+    ccnet_bucket's floor-log2). Granularity is whole bits — raw
+    counts ride along so finer scores are one division away.
+
+    Scale shape: bigrams are built map-side from the token array
+    (transform over slice — no window, no per-doc shuffle); the two
+    count aggregates partial map-side; the unigram join-back is
+    vocab-sized (broadcast the above-min_count slice at 100 TB, as in
+    encode_tokens). int64 headroom: num = c_xy * U^2 — at U ~ 3e6
+    this nears 2^63 for corpus-dominating bigrams; switch to
+    DECIMAL(38,0) past that, noted here rather than paid now.
+
+    Columns: w1, w2, c_xy, c_w1, c_w2, pmi2.
+    """
+    arr = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != F.lit("")
+    )
+    base = df.select(arr.alias("t"))
+    uni = (
+        base.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    bg = base.select(
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bgc = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c_xy")
+    )
+    totals = uni.agg(F.sum("c").cast("long").alias("u_total")).crossJoin(
+        bgc.agg(F.sum("c_xy").cast("long").alias("t_total"))
+    )
+    flog2 = (
+        bgc.filter(F.col("c_xy") >= min_count)
+        .join(uni.withColumnRenamed("c", "c_w1"), F.col("w1") == F.col("tok"))
+        .drop("tok")
+        .join(uni.withColumnRenamed("c", "c_w2"), F.col("w2") == F.col("tok"))
+        .drop("tok")
+        .crossJoin(F.broadcast(totals))
+        .withColumn("num", F.expr("c_xy * u_total * u_total"))
+        .withColumn("den", F.expr("t_total * c_w1 * c_w2"))
+        .withColumn(
+            "pmi2",
+            F.when(
+                F.col("num") >= F.col("den"),
+                F.length(F.bin(F.expr("num DIV den"))) - F.lit(1),
+            )
+            .otherwise(
+                -(F.length(F.bin(F.expr("(den + num - 1) DIV num - 1"))))
+            )
+            .cast("int"),
+        )
+    )
+    return flog2.select("w1", "w2", "c_xy", "c_w1", "c_w2", "pmi2")
