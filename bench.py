@@ -271,6 +271,11 @@ def main() -> int:
         "dsir_weights",
         "media_dhash_pairs",
         "span_dedup",
+        # round-4 late additions: retrieval + graph analytics
+        "bm25_topk",
+        "pmi_bigrams",
+        "pagerank",
+        "triangle_count",
         # q8 vs float verify: emb_near_dups (below, LSH path) plus
         # this exact-pair variant measure the quantized-payload win
         "emb_near_dups_q8",
