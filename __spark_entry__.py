@@ -839,6 +839,28 @@ def q_pmi_bigrams(spark, sf_dir):
     return pmi_bigrams(_docs(spark, sf_dir), min_count=5)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Inverted-index build (ranking.inverted_index): per term df,
+    collection frequency, and the impact-ordered posting block capped
+    at 16 entries — the index-construction counterpart of bm25_topk.
+    The cap is the stopword skew guard (production indexes
+    block-split; the top-impact block is the checkable unit)."""
+    from two_tier_document_parser_spark.ranking import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir), cap=16)
+
+
+def q_sparse_topk_pairs(spark, sf_dir):
+    """Per-doc top-3 lexically similar docs by integer idf-bit-
+    weighted sparse dot product (ranking.sparse_topk_pairs) — the
+    lexical counterpart of dense knn; terms in > 60% of the corpus
+    are pruned before the self-join (skew guard == impact
+    pruning)."""
+    from two_tier_document_parser_spark.ranking import sparse_topk_pairs
+
+    return sparse_topk_pairs(_docs(spark, sf_dir), k=3, df_cap_permille=600)
+
+
 def _near_dup_edges(spark, sf_dir):
     """The shared near-dup graph (same derivation as
     dedup_components): LSH candidates -> jaccard >= 0.5 pairs."""
@@ -1597,6 +1619,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- group 1: new this round, never attested --
         "bm25_topk": q_bm25_topk,
+        "inverted_index": q_inverted_index,
+        "sparse_topk_pairs": q_sparse_topk_pairs,
         "pmi_bigrams": q_pmi_bigrams,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
@@ -1817,6 +1841,8 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_bucket": _ccnet_bucket_sql(),
         "bm25_topk": _bm25_sql(BM25_QUERY, 20),
         "pmi_bigrams": _pmi_sql(5),
+        "inverted_index": _inverted_index_sql(16),
+        "sparse_topk_pairs": _sparse_pairs_sql(3, 600),
         "pagerank": _pagerank_sql(3),
         "triangle_count": _triangles_sql(),
         "span_dedup": _span_dedup_sql(),
@@ -2731,6 +2757,71 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
        CAST(sum(idf_m * sat_m // 1000) AS BIGINT) AS score_x1000
 FROM s GROUP BY doc_id
 ORDER BY score_x1000 DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _inverted_index_sql(cap: int) -> str:
+    """Oracle for ranking.inverted_index: identical impact order
+    (tf DESC, doc_id ASC) and capped string_agg posting block."""
+    return f"""
+WITH tk AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE token <> ''),
+tf AS (
+  SELECT doc_id, lower(token) AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM tk GROUP BY 1, 2
+),
+stats AS (
+  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         CAST(sum(tf) AS BIGINT) AS cf
+  FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT term, doc_id, tf, row_number() OVER (
+    PARTITION BY term ORDER BY tf DESC, doc_id ASC) AS rn
+  FROM tf
+),
+post AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
+           AS top_postings
+  FROM ranked WHERE rn <= {cap} GROUP BY term
+)
+SELECT s.term, s.df, s.cf, p.top_postings
+FROM stats s JOIN post p USING (term)
+"""
+
+
+def _sparse_pairs_sql(k: int, df_cap_permille: int) -> str:
+    """Oracle for ranking.sparse_topk_pairs: identical df prune,
+    bitlen idf weight, integer dot, and per-src ranking window."""
+    return f"""
+WITH tk AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE token <> ''),
+tf AS (
+  SELECT doc_id, lower(token) AS term, CAST(count(*) AS BIGINT) AS tf
+  FROM tk GROUP BY 1, 2
+),
+nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+dfreq AS (
+  SELECT term, CAST(length(bin(nd.n_docs // df)) AS BIGINT) AS w
+  FROM (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term) d
+  CROSS JOIN nd
+  WHERE d.df * 1000 <= nd.n_docs * {df_cap_permille}
+),
+pairs AS (
+  SELECT ta.doc_id AS a, tb.doc_id AS b,
+         CAST(sum(ta.tf * tb.tf * d.w * d.w) AS BIGINT) AS score
+  FROM tf ta JOIN dfreq d USING (term) JOIN tf tb USING (term)
+  WHERE ta.doc_id < tb.doc_id
+  GROUP BY ta.doc_id, tb.doc_id
+),
+sym AS (
+  SELECT a AS src, b AS dst, score FROM pairs
+  UNION ALL SELECT b, a, score FROM pairs
+)
+SELECT src, dst, score, CAST(rnk AS INT) AS rnk FROM (
+  SELECT src, dst, score, row_number() OVER (
+    PARTITION BY src ORDER BY score DESC, dst ASC) AS rnk
+  FROM sym
+) WHERE rnk <= {k}
 """
 
 

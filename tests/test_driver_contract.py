@@ -47,7 +47,8 @@ ROWS_ONLY = {
 # the cap still carries an oracle (parity_harness value-checks the
 # full set at sf0.01).
 EXPECTED_WINDOW_50 = [
-    "bm25_topk", "pmi_bigrams", "pagerank", "triangle_count",
+    "bm25_topk", "inverted_index", "sparse_topk_pairs",
+    "pmi_bigrams", "pagerank", "triangle_count",
     "span_dedup",
     "dsir_weights", "media_dhash_pairs", "emb_near_dups_q8",
     "semantic_dedup_incremental", "semantic_rep_quality", "ccnet_bucket",
@@ -64,11 +65,12 @@ EXPECTED_WINDOW_50 = [
     "knn_bruteforce", "event_hour_rollup", "emb_near_dups",
     "dedup_components", "region_order_counts", "top_customers",
     "semi_customers", "scan_project", "route_tier", "split_fast",
-    "split_deep", "union_tiers", "distinct_lang_source",
-    # rotated out when bm25_topk/pmi_bigrams/pagerank/triangle_count
-    # (never attested) entered the head: bigram_distinct +
-    # rollup_lang_source (r01/r02-attested, parity-covered) and the
-    # r03-attested fillers pdf_ingest + html_ingest
+    "split_deep",
+    # rotated out when the six never-attested retrieval/graph ops
+    # (bm25_topk .. triangle_count) entered the head: union_tiers,
+    # distinct_lang_source, bigram_distinct, rollup_lang_source
+    # (r01/r02-attested, parity-covered) and the r03-attested
+    # fillers pdf_ingest + html_ingest
 ]
 
 

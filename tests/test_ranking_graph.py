@@ -146,3 +146,57 @@ def test_triangles_square_has_none(spark):
         [(1, 2), (2, 3), (3, 4), (4, 1)], "a long, b long"
     )
     assert triangle_count(e).count() == 0
+
+
+# -------------------------------------------------------- inverted index
+
+
+def test_inverted_index_hand_computed(spark):
+    from two_tier_document_parser_spark.ranking import inverted_index
+
+    d = _docs(spark, [(1, "apple apple pear"), (2, "apple banana"), (3, "pear")])
+    got = {
+        r.term: (r.df, r.cf, r.top_postings)
+        for r in inverted_index(d, cap=16).collect()
+    }
+    assert got == {
+        "apple": (2, 3, "1,2"),   # impact order: d1 (tf 2) first
+        "pear": (2, 2, "1,3"),    # tf tie -> doc_id ascending
+        "banana": (1, 1, "2"),
+    }
+
+
+def test_inverted_index_cap(spark):
+    from two_tier_document_parser_spark.ranking import inverted_index
+
+    d = _docs(spark, [(i, "apple") for i in range(1, 6)])
+    got = inverted_index(d, cap=2).collect()[0]
+    assert (got.df, got.top_postings) == (5, "1,2")
+
+
+# ---------------------------------------------------- sparse topk pairs
+
+
+def test_sparse_pairs_hand_computed(spark):
+    from two_tier_document_parser_spark.ranking import sparse_topk_pairs
+
+    d = _docs(spark, [(1, "x y"), (2, "x y"), (3, "x z")])
+    # df: x=3 (w=bitlen(3 DIV 3)=1), y=2 (w=1), z=1 (w=2, unshared)
+    # scores: (1,2)=x+y=2, (1,3)=x=1, (2,3)=x=1
+    got = {
+        (r.src, r.rnk): (r.dst, r.score)
+        for r in sparse_topk_pairs(d, k=3, df_cap_permille=1000).collect()
+    }
+    assert got == {
+        (1, 1): (2, 2), (1, 2): (3, 1),
+        (2, 1): (1, 2), (2, 2): (3, 1),
+        (3, 1): (1, 1), (3, 2): (2, 1),  # tie -> dst ascending
+    }
+
+
+def test_sparse_pairs_df_cap_prunes(spark):
+    from two_tier_document_parser_spark.ranking import sparse_topk_pairs
+
+    d = _docs(spark, [(1, "x y"), (2, "x y"), (3, "x z")])
+    # permille=600: keep df*1000 <= 3*600 -> df <= 1 -> only z, unshared
+    assert sparse_topk_pairs(d, k=3, df_cap_permille=600).count() == 0

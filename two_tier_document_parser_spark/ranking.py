@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 
 from .textstats import token_count, tokens
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "inverted_index", "sparse_topk_pairs"]
 
 
 def bm25_topk(
@@ -111,4 +111,127 @@ def bm25_topk(
         )
         .orderBy(F.desc("score_x1000"), F.asc("doc_id"))
         .limit(k)  # TakeOrderedAndProject — no global sort exchange
+    )
+
+
+def inverted_index(
+    docs: DataFrame, cap: int = 16
+) -> DataFrame:
+    """Inverted-index construction — the index-build step a BM25
+    serving system runs over the extracted corpus: per term, document
+    frequency, collection frequency, and an impact-ordered posting
+    list (docs by tf descending, doc_id ascending — the WAND/impact-
+    layout order) capped at `cap` entries.
+
+    The cap is the skew guard: a stopword's postings are corpus-sized,
+    so the full list can never be materialized per row (a production
+    index block-splits; here the top-`cap` impact block is the
+    deterministic, oracle-checkable unit). The per-term ranking window
+    is a linear scan per key — same bounded-state argument as
+    span_dedup's keep-first window.
+
+    Columns: term, df, cf, top_postings (comma-joined doc_ids in
+    impact order).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    ranked = tf.withColumn("rn", F.row_number().over(w))
+    stats = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("cf"),
+    )
+    postings = (
+        ranked.filter(F.col("rn") <= cap)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "doc_id"))
+                    ),
+                    lambda s: s["doc_id"].cast("string"),
+                ),
+                ",",
+            ).alias("top_postings")
+        )
+    )
+    return stats.join(postings, "term").select(
+        "term", "df", "cf", "top_postings"
+    )
+
+
+def sparse_topk_pairs(
+    docs: DataFrame, k: int = 3, df_cap_permille: int = 600
+) -> DataFrame:
+    """Per-document top-k lexically similar documents by an
+    idf-weighted sparse dot product — similar-document search over
+    the inverted index (the lexical counterpart of knn_bruteforce's
+    dense cosine).
+
+    score(a, b) = sum over shared terms of tf_a * tf_b * w(term)^2,
+    w = bitlen(N DIV df) (floor(log2(N/df)) + 1 — integer-exact idf
+    bits, >= 1 for any indexed term). Terms present in more than
+    df_cap_permille/1000 of the corpus are pruned BEFORE the
+    self-join (integer predicate df * 1000 <= N * permille, so the
+    cut scales with the corpus): the skew guard (a stopword bucket
+    is quadratic in df) and standard impact pruning in one — common
+    terms carry ~zero idf weight anyway. Pairs materialize once
+    (a < b), then mirror for the per-doc ranking window.
+
+    Columns: src, dst, score, rnk (1..k per src; ties by dst asc).
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    n_docs = docs.select(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    dfreq = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.expr(f"df * 1000 <= n_docs * {df_cap_permille}"))
+        .withColumn("w", F.length(F.bin(F.expr("n_docs DIV df"))))
+        .select("term", "w")
+    )
+    ta = tf.join(dfreq, "term").select(
+        "term", F.col("doc_id").alias("a"), F.col("tf").alias("tf_a"), "w"
+    )
+    tb = tf.join(dfreq, "term").select(
+        "term", F.col("doc_id").alias("b"), F.col("tf").alias("tf_b")
+    )
+    pairs = (
+        ta.join(tb, "term")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.sum(F.expr("tf_a * tf_b * w * w")).cast("long").alias("score"))
+    )
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"), "score"
+    ).unionByName(
+        pairs.select(
+            F.col("b").alias("src"), F.col("a").alias("dst"), "score"
+        )
+    )
+    w_rank = Window.partitionBy("src").orderBy(F.desc("score"), F.asc("dst"))
+    return (
+        sym.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
+        .filter(F.col("rnk") <= k)
+        .select("src", "dst", "score", "rnk")
     )
