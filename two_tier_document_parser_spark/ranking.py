@@ -222,6 +222,13 @@ def sparse_topk_pairs(
         .groupBy("a", "b")
         .agg(F.sum(F.expr("tf_a * tf_b * w * w")).cast("long").alias("score"))
     )
+    # the mirror union below references `pairs` twice; without a pin
+    # the whole tokenize->tf->join subtree executes twice (and tf
+    # itself twice more inside the self-join) — measured 27 exchanges
+    # vs 7 pinned. Pair aggregates are the bounded artifact (one row
+    # per candidate pair), the same pin the graph module applies to
+    # its edge list.
+    pairs = pairs.localCheckpoint(eager=True)
     sym = pairs.select(
         F.col("a").alias("src"), F.col("b").alias("dst"), "score"
     ).unionByName(
