@@ -796,3 +796,41 @@ def test_aes256_wrong_password_and_tamper_quarantine():
     at = epdf.index(b"/Perms <") + 8
     bad = epdf[:at] + (b"0" if epdf[at : at + 1] != b"0" else b"1") + epdf[at + 1 :]
     assert parse_pdf(bad) is None
+
+
+def test_inline_image_skipped_and_kept_in_order():
+    """A BI/ID/EI inline image (ISO 32000 §8.9.7) whose RAW payload
+    contains bytes spelling '(evil) Tj' must lift as an image span in
+    reading order — never as phantom text — and text after EI still
+    parses."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    payload = b"\x00\x01(evil) Tj\xff\xfe" + bytes(16)
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /G ID " + payload + b" EI\n"
+        b"BT /F1 12 Tf 72 650 Td (after) Tj ET\n"
+    )
+    doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
+    assert doc is not None
+    assert _kinds_texts(doc) == [
+        ("text", "before"),
+        ("image", ""),
+        ("text", "after"),
+    ]
+
+
+def test_inline_image_payload_containing_ei_truncates_safely():
+    """' EI ' bytes inside the payload end the skip early (the spec's
+    whitespace-delimited heuristic); the leftover binary must parse
+    as inert operands — no phantom text spans, no exception."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    payload = b"\x01\x02 EI \x03\x04 77 88 "
+    content = (
+        b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + payload + b" EI\n"
+        b"BT /F1 12 Tf 72 650 Td (tail) Tj ET\n"
+    )
+    doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
+    assert doc is not None
+    assert _kinds_texts(doc) == [("image", ""), ("text", "tail")]

@@ -377,6 +377,13 @@ _MARK_KIND = {
     "Link": "link_text",
 }
 
+# inline images (ISO 32000 §8.9.7): BI <params> ID <raw bytes> EI.
+# ID is followed by exactly one whitespace byte, then RAW binary —
+# the stream must be skipped wholesale or payload bytes that happen
+# to spell '(...) Tj' would lift phantom text spans.
+_INLINE_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID[\x00\t\n\x0c\r ]")
+_INLINE_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?![A-Za-z0-9])")
+
 
 def _interp_page(
     content: bytes,
@@ -501,6 +508,20 @@ def _interp_page(
                 tag, props = stack.pop()
                 flush_region(tag, props)
                 buf = []
+            elif op == "BI":
+                # inline image (§8.9.7): skip params + RAW payload to
+                # EI in one jump; the image keeps its reading-order
+                # slot as a span. First whitespace-delimited EI wins —
+                # the spec's own recommended heuristic for unframed
+                # binary (a payload containing ' EI ' truncates the
+                # skip, never corrupts it: the resumed tokenizer sees
+                # leftover binary as operands that no operator
+                # consumes).
+                mid = _INLINE_ID_RE.search(content, m.end())
+                if mid is not None:
+                    mei = _INLINE_EI_RE.search(content, mid.end())
+                    skip_until = mei.end() if mei else len(content)
+                    spans.append(("image", "", ""))
             elif op == "Do" and operands:
                 xo = xobjects.get(str(operands[-1]))
                 if xo is not None and xo.get("Subtype") == "Image":
