@@ -861,6 +861,37 @@ def q_sparse_topk_pairs(spark, sf_dir):
     return sparse_topk_pairs(_docs(spark, sf_dir), k=3, df_cap_permille=600)
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (dedup.cdc_chunks): boundaries where
+    the trailing 8-char window's md5-prefix integer % 64 == 0 —
+    shift-resistant chunk hashes for storage/corpus dedup. Pure
+    map-side expression chain, zero shuffles."""
+    from two_tier_document_parser_spark.dedup import cdc_chunks
+
+    return cdc_chunks(_docs(spark, sf_dir))
+
+
+def q_cdc_dup_chunks(spark, sf_dir):
+    """Cross-document duplicate CDC chunks (>= 2 distinct docs): the
+    detection half of a shift-robust dedup pass; one hash-keyed
+    aggregate over the map-side chunker."""
+    from two_tier_document_parser_spark.dedup import cdc_dup_chunks
+
+    return cdc_dup_chunks(_docs(spark, sf_dir))
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts over the event log
+    (events.retention_cohorts): first-active epoch-week cohort x
+    week-offset distinct-user matrix, integer week bucketing (no
+    calendar semantics to diverge across engines)."""
+    from two_tier_document_parser_spark.events import retention_cohorts
+
+    return retention_cohorts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
+
+
 def _near_dup_edges(spark, sf_dir):
     """The shared near-dup graph (same derivation as
     dedup_components): LSH candidates -> jaccard >= 0.5 pairs."""
@@ -1619,6 +1650,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # -- group 1: new this round, never attested --
         "bm25_topk": q_bm25_topk,
+        "cdc_chunks": q_cdc_chunks,
+        "cdc_dup_chunks": q_cdc_dup_chunks,
+        "retention_cohorts": q_retention_cohorts,
         "inverted_index": q_inverted_index,
         "sparse_topk_pairs": q_sparse_topk_pairs,
         "pmi_bigrams": q_pmi_bigrams,
@@ -1841,6 +1875,9 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_bucket": _ccnet_bucket_sql(),
         "bm25_topk": _bm25_sql(BM25_QUERY, 20),
         "pmi_bigrams": _pmi_sql(5),
+        "cdc_chunks": _cdc_sql(8, 64),
+        "cdc_dup_chunks": _cdc_dup_sql(8, 64),
+        "retention_cohorts": _retention_sql(),
         "inverted_index": _inverted_index_sql(16),
         "sparse_topk_pairs": _sparse_pairs_sql(3, 600),
         "pagerank": _pagerank_sql(3),
@@ -2757,6 +2794,76 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms_hit,
        CAST(sum(idf_m * sat_m // 1000) AS BIGINT) AS score_x1000
 FROM s GROUP BY doc_id
 ORDER BY score_x1000 DESC, doc_id ASC LIMIT {k}
+"""
+
+
+def _cdc_base_sql(w: int, mask_mod: int) -> str:
+    """Shared chunk derivation for the CDC oracles: identical window
+    md5-prefix boundary rule and span slicing (the only droppable
+    span is the trailing (n+1, n) pair, so 0-based indexes match
+    Spark's filtered posexplode)."""
+    return f"""
+d AS (
+  SELECT doc_id, lower(text) AS s, CAST(length(text) AS INT) AS n
+  FROM documents WHERE length(text) >= 1
+),
+c AS (
+  SELECT doc_id, s, n,
+         [e for e in generate_series({w}, n) if
+            CAST(('0x' || substr(md5(substr(s, e - {w} + 1, {w})), 1, 8))
+                 AS UBIGINT)::BIGINT % {mask_mod} = 0] AS cuts
+  FROM d
+),
+sp AS (
+  SELECT doc_id, s,
+         list_prepend(1, [c + 1 for c in cuts]) AS starts,
+         list_append(cuts, n) AS ends
+  FROM c
+),
+z AS (
+  SELECT doc_id, s, starts, ends,
+         unnest(generate_series(1, len(starts))) AS i
+  FROM sp
+),
+chunks AS (
+  SELECT doc_id, CAST(i - 1 AS INT) AS chunk_idx,
+         CAST(ends[i] - starts[i] + 1 AS BIGINT) AS chunk_len,
+         md5(substr(s, starts[i], ends[i] - starts[i] + 1)) AS chunk_hash
+  FROM z WHERE starts[i] <= ends[i]
+)"""
+
+
+def _cdc_sql(w: int, mask_mod: int) -> str:
+    return f"""
+WITH {_cdc_base_sql(w, mask_mod)}
+SELECT doc_id, chunk_idx, chunk_len, chunk_hash FROM chunks
+"""
+
+
+def _cdc_dup_sql(w: int, mask_mod: int) -> str:
+    return f"""
+WITH {_cdc_base_sql(w, mask_mod)}
+SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM chunks GROUP BY chunk_hash HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def _retention_sql() -> str:
+    return """
+WITH e AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(floor(epoch(ts)) / 604800) AS BIGINT) AS week
+  FROM events
+),
+c AS (
+  SELECT user_id, week,
+         min(week) OVER (PARTITION BY user_id) AS cohort_week
+  FROM e
+)
+SELECT cohort_week, week - cohort_week AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM c GROUP BY 1, 2
 """
 
 

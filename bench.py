@@ -273,6 +273,8 @@ def main() -> int:
         "span_dedup",
         # round-4 late additions: retrieval + graph analytics
         "bm25_topk",
+        "cdc_dup_chunks",
+        "retention_cohorts",
         "inverted_index",
         "sparse_topk_pairs",
         "pmi_bigrams",

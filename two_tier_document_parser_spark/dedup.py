@@ -832,3 +832,83 @@ def dedup_incremental(
             F.coalesce("exact_old", "near_old").alias("matched_old"),
         )
     )
+
+
+def cdc_chunks(
+    docs: DataFrame, w: int = 8, mask_mod: int = 64, text_col: str = "text"
+) -> DataFrame:
+    """Content-defined chunking (Rabin/LBFS-style, Muthitacharoen et
+    al. 2001): split each document at positions where the hash of the
+    trailing `w`-char window lands on a boundary (hash % mask_mod ==
+    0, expected chunk length ~ mask_mod). Because boundaries depend
+    only on local content, an insertion near the start of a document
+    shifts the text but leaves every downstream chunk hash intact —
+    the shift-resistant dedup property that fixed-block dedup
+    (span_dedup's 8-token blocks) lacks.
+
+    The window hash is the repo's md5-prefix integer (established
+    conv/UBIGINT cross-engine equivalence, as in
+    winnow_fingerprints), so boundaries are deterministic and
+    oracle-exact. Everything is one map-side expression chain —
+    lower, per-position window md5, boundary filter, chunk slicing —
+    no shuffle at all until a consumer aggregates; per-position md5
+    is the same cost class as winnowing's k-gram hashing. Documents
+    with empty text produce no chunks (documented; the oracle
+    filters identically).
+
+    Columns: doc_id, chunk_idx (0-based), chunk_len, chunk_hash
+    (md5 of the chunk text).
+    """
+    d = (
+        docs.select("doc_id", F.lower(F.col(text_col)).alias("s"))
+        .withColumn("n", F.length("s").cast("int"))
+        .filter(F.col("n") >= 1)
+    )
+    # Spark's sequence(a, b) steps DOWNWARD when a > b, so short docs
+    # must guard to an empty cut list explicitly
+    d = d.withColumn(
+        "cuts",
+        F.expr(
+            f"CASE WHEN n >= {w} THEN"
+            f" filter(sequence({w}, n), e ->"
+            f"   CAST(conv(substr(md5(substring(s, e - {w} + 1, {w})),"
+            f"        1, 8), 16, 10) AS BIGINT) % {mask_mod} = 0)"
+            f" ELSE array() END"
+        ),
+    )
+    # chunk spans: starts = [1, cut+1...], ends = [cut..., n]; the
+    # only droppable pair is the final (n+1, n) when a cut lands on
+    # the last position, so 0-based posexplode indexes are stable
+    spans = F.expr(
+        "filter(transform(concat(array(1), transform(cuts, c -> c + 1)),"
+        " (st, i) -> struct(st AS st,"
+        "   element_at(concat(cuts, array(n)), i + 1) AS en)),"
+        " p -> p.st <= p.en)"
+    )
+    z = d.select("doc_id", "s", F.posexplode(spans).alias("chunk_idx", "p"))
+    return z.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.expr("p.en - p.st + 1").cast("long").alias("chunk_len"),
+        F.md5(F.expr("substring(s, p.st, p.en - p.st + 1)")).alias(
+            "chunk_hash"
+        ),
+    )
+
+
+def cdc_dup_chunks(docs: DataFrame, w: int = 8, mask_mod: int = 64) -> DataFrame:
+    """Cross-document duplicate CDC chunks: chunk hashes appearing in
+    >= 2 distinct documents, with occurrence and document counts —
+    the detection half of a storage/corpus dedup pass (shift-robust,
+    unlike fixed-block or whole-doc fingerprints). One hash-keyed
+    aggregate over cdc_chunks' map-side output; map-side partials
+    collapse each partition's repeats before the exchange."""
+    ch = cdc_chunks(docs, w=w, mask_mod=mask_mod)
+    return (
+        ch.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.count_distinct(F.col("doc_id")).cast("long").alias("n_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -267,3 +267,43 @@ def funnel_counts(
     for df in out_rows[1:]:
         result = result.unionByName(df)
     return result
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Weekly retention cohorts — the classic activation/retention
+    matrix a product-analytics pipeline derives from the event log:
+    each user's cohort is their first active epoch-week
+    (floor(unix_ts / 604800) — pure integer bucketing, no calendar
+    semantics to diverge across engines), and each (cohort_week,
+    week_offset) cell counts the distinct users of that cohort active
+    `week_offset` weeks later.
+
+    Two data-sized exchanges: the (user, week) dedup (map-side
+    partials collapse each user's event stream to its active weeks)
+    and the per-user cohort window; the final cell aggregate's
+    distinct expands on (cohort, offset, user) rows already reduced
+    to active-weeks size. Columns: cohort_week, week_offset,
+    n_users.
+    """
+    from pyspark.sql import Window
+
+    e = events.select(
+        "user_id",
+        F.floor(F.unix_timestamp("ts") / F.lit(604800))
+        .cast("long")
+        .alias("week"),
+    ).distinct()
+    w = Window.partitionBy("user_id")
+    c = e.withColumn("cohort_week", F.min("week").over(w))
+    return (
+        c.groupBy(
+            "cohort_week",
+            (F.col("week") - F.col("cohort_week")).alias("week_offset"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+        .select(
+            "cohort_week",
+            F.col("week_offset").cast("long").alias("week_offset"),
+            F.col("n_users").cast("long").alias("n_users"),
+        )
+    )
