@@ -834,3 +834,42 @@ def test_inline_image_payload_containing_ei_truncates_safely():
     doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
     assert doc is not None
     assert _kinds_texts(doc) == [("image", ""), ("text", "tail")]
+
+
+def test_inline_image_fuzz_payloads():
+    """Any raw inline-image payload — including bytes spelling PDF
+    operators, nested parens, stray BI/ID tokens — must parse to
+    exactly [text, image(s), text] spans with no phantom text and no
+    exception."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=120))
+    def run(payload: bytes) -> None:
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+            b"BI /W 4 /H 4 /BPC 8 /CS /G ID " + payload + b" EI\n"
+            b"BT /F1 12 Tf 72 650 Td (after) Tj ET\n"
+        )
+        doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
+        assert doc is not None
+        kinds_texts = _kinds_texts(doc)
+        assert kinds_texts[0] == ("text", "before")
+        assert ("image", "") in kinds_texts
+        # a payload containing ' EI ' truncates the skip early, and
+        # its leftover bytes re-enter the tokenizer — where a
+        # deliberate '(x) Tj' can show text and an unbalanced '(' can
+        # legally swallow the tail as a malformed literal. Absent
+        # that truncation trigger the stream after EI must parse
+        # exactly.
+        import re as _re
+
+        if not _re.search(rb"(^|[\x00\t\n\x0c\r ])EI", payload):
+            assert kinds_texts[-1] == ("text", "after")
+            texts = [t for k, t in kinds_texts if k == "text"]
+            assert texts == ["before", "after"]
+
+    run()
