@@ -850,6 +850,27 @@ def q_inverted_index(spark, sf_dir):
     return inverted_index(_docs(spark, sf_dir), cap=16)
 
 
+def q_inverted_index_incremental(spark, sf_dir):
+    """Incremental index maintenance (ranking.inverted_index_merge):
+    the committed corpus (doc_id % 10 < 8) is indexed once, the crawl
+    increment (doc_id % 10 >= 8) merges in WITHOUT re-reading
+    committed documents — df/cf add, posting blocks re-rank from the
+    bounded committed block + new postings (monotone top-k merge, so
+    the result is EXACT). The oracle recomputes the full index from
+    scratch: a green row proves merge == recompute."""
+    from two_tier_document_parser_spark.ranking import (
+        inverted_index,
+        inverted_index_merge,
+    )
+
+    d = _docs(spark, sf_dir)
+    committed = d.filter(F.col("doc_id") % 10 < 8)
+    increment = d.filter(F.col("doc_id") % 10 >= 8)
+    return inverted_index_merge(
+        inverted_index(committed, cap=16), increment, cap=16
+    )
+
+
 def q_sparse_topk_pairs(spark, sf_dir):
     """Per-doc top-3 lexically similar docs by integer idf-bit-
     weighted sparse dot product (ranking.sparse_topk_pairs) — the
@@ -1654,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dup_chunks": q_cdc_dup_chunks,
         "retention_cohorts": q_retention_cohorts,
         "inverted_index": q_inverted_index,
+        "inverted_index_incremental": q_inverted_index_incremental,
         "sparse_topk_pairs": q_sparse_topk_pairs,
         "pmi_bigrams": q_pmi_bigrams,
         "pagerank": q_pagerank,
@@ -1879,6 +1901,9 @@ def oracle_sql() -> dict[str, str]:
         "cdc_dup_chunks": _cdc_dup_sql(8, 64),
         "retention_cohorts": _retention_sql(),
         "inverted_index": _inverted_index_sql(16),
+        # merge == full recompute by the monotone top-k property:
+        # the incremental plan shares the from-scratch oracle
+        "inverted_index_incremental": _inverted_index_sql(16),
         "sparse_topk_pairs": _sparse_pairs_sql(3, 600),
         "pagerank": _pagerank_sql(3),
         "triangle_count": _triangles_sql(),
@@ -2888,8 +2913,8 @@ ranked AS (
 ),
 post AS (
   SELECT term,
-         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY rn)
-           AS top_postings
+         string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR),
+                    ',' ORDER BY rn) AS top_postings
   FROM ranked WHERE rn <= {cap} GROUP BY term
 )
 SELECT s.term, s.df, s.cf, p.top_postings

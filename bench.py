@@ -276,6 +276,7 @@ def main() -> int:
         "cdc_dup_chunks",
         "retention_cohorts",
         "inverted_index",
+        "inverted_index_incremental",
         "sparse_topk_pairs",
         "pmi_bigrams",
         "pagerank",

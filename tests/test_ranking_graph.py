@@ -160,9 +160,9 @@ def test_inverted_index_hand_computed(spark):
         for r in inverted_index(d, cap=16).collect()
     }
     assert got == {
-        "apple": (2, 3, "1,2"),   # impact order: d1 (tf 2) first
-        "pear": (2, 2, "1,3"),    # tf tie -> doc_id ascending
-        "banana": (1, 1, "2"),
+        "apple": (2, 3, "1:2,2:1"),  # impact order: d1 (tf 2) first
+        "pear": (2, 2, "1:1,3:1"),   # tf tie -> doc_id ascending
+        "banana": (1, 1, "2:1"),
     }
 
 
@@ -171,7 +171,43 @@ def test_inverted_index_cap(spark):
 
     d = _docs(spark, [(i, "apple") for i in range(1, 6)])
     got = inverted_index(d, cap=2).collect()[0]
-    assert (got.df, got.top_postings) == (5, "1,2")
+    assert (got.df, got.top_postings) == (5, "1:1,2:1")
+
+
+def test_inverted_index_merge_equals_recompute(spark):
+    """Merging the increment into the committed index must equal the
+    from-scratch index over the union — including block re-ranking
+    when a new doc's tf beats a committed one."""
+    from two_tier_document_parser_spark.ranking import (
+        inverted_index,
+        inverted_index_merge,
+    )
+
+    committed = _docs(
+        spark,
+        [(1, "apple apple pear"), (2, "apple banana"), (3, "pear kiwi")],
+    )
+    increment = _docs(
+        spark,
+        [(10, "apple apple apple pear"), (11, "mango mango")],
+    )
+    merged = {
+        r.term: (r.df, r.cf, r.top_postings)
+        for r in inverted_index_merge(
+            inverted_index(committed, cap=2), increment, cap=2
+        ).collect()
+    }
+    full = {
+        r.term: (r.df, r.cf, r.top_postings)
+        for r in inverted_index(
+            committed.unionByName(increment), cap=2
+        ).collect()
+    }
+    assert merged == full
+    # the new doc 10 (tf 3) must displace committed doc 2 in apple's
+    # block, and brand-new terms appear
+    assert merged["apple"] == (3, 6, "10:3,1:2")
+    assert merged["mango"] == (1, 2, "11:2")
 
 
 # ---------------------------------------------------- sparse topk pairs

@@ -34,7 +34,12 @@ from pyspark.sql import functions as F
 
 from .textstats import token_count, tokens
 
-__all__ = ["bm25_topk", "inverted_index", "sparse_topk_pairs"]
+__all__ = [
+    "bm25_topk",
+    "inverted_index",
+    "inverted_index_merge",
+    "sparse_topk_pairs",
+]
 
 
 def bm25_topk(
@@ -130,8 +135,10 @@ def inverted_index(
     is a linear scan per key — same bounded-state argument as
     span_dedup's keep-first window.
 
-    Columns: term, df, cf, top_postings (comma-joined doc_ids in
-    impact order).
+    Columns: term, df, cf, top_postings ("doc:tf" entries,
+    comma-joined in impact order — tf rides along so an incremental
+    merge can re-rank without touching committed documents, see
+    inverted_index_merge).
     """
     from pyspark.sql import Window
 
@@ -156,9 +163,13 @@ def inverted_index(
             F.array_join(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("rn", "doc_id"))
+                        F.collect_list(F.struct("rn", "doc_id", "tf"))
                     ),
-                    lambda s: s["doc_id"].cast("string"),
+                    lambda s: F.concat_ws(
+                        ":",
+                        s["doc_id"].cast("string"),
+                        s["tf"].cast("string"),
+                    ),
                 ),
                 ",",
             ).alias("top_postings")
@@ -241,4 +252,98 @@ def sparse_topk_pairs(
         sym.withColumn("rnk", F.row_number().over(w_rank).cast("int"))
         .filter(F.col("rnk") <= k)
         .select("src", "dst", "score", "rnk")
+    )
+
+
+def inverted_index_merge(
+    old_index: DataFrame, new_docs: DataFrame, cap: int = 16
+) -> DataFrame:
+    """Incremental inverted-index maintenance: merge a crawl
+    increment into a committed index WITHOUT re-reading committed
+    documents — the retrieval-family counterpart of
+    dedup_incremental (new x old only, history never re-paired).
+
+    Exactness: new doc_ids are disjoint from committed ones, so
+    df/cf merge by addition, and top-cap of (old top-cap block ∪ new
+    postings) equals top-cap of the full corpus — an old entry
+    outside the committed block is dominated by `cap` committed
+    entries that are all still present, so it can never enter the
+    merged block (the standard monotone top-k merge property). The
+    driver oracle exploits this: it recomputes the FULL index from
+    scratch, so a green row proves merge == recompute.
+
+    Scale shape: the increment's tf/window work is increment-sized;
+    the committed side ships one bounded row per term (stats + the
+    cap-length block, never the corpus); the merge itself is a
+    term-keyed full outer join + map-side array sort of <= 2*cap
+    entries.
+    """
+    new_tf = (
+        new_docs.select(
+            "doc_id",
+            F.explode(tokens(F.lower(F.col("text")))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("term").orderBy(F.desc("tf"), F.asc("doc_id"))
+    new_side = (
+        new_tf.withColumn("rn", F.row_number().over(w))
+        .groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df_new"),
+            F.sum("tf").cast("long").alias("cf_new"),
+            F.collect_list(
+                F.when(
+                    F.col("rn") <= cap,
+                    F.struct(
+                        (-F.col("tf")).alias("neg_tf"),
+                        F.col("doc_id").cast("long").alias("doc_id"),
+                    ),
+                )
+            ).alias("pairs_new"),
+        )
+    )
+    old_side = old_index.select(
+        "term",
+        F.col("df").alias("df_old"),
+        F.col("cf").alias("cf_old"),
+        F.expr(
+            "transform(split(top_postings, ','), p -> struct("
+            " -CAST(split(p, ':')[1] AS BIGINT) AS neg_tf,"
+            " CAST(split(p, ':')[0] AS BIGINT) AS doc_id))"
+        ).alias("pairs_old"),
+    )
+    merged = old_side.join(new_side, "term", "full_outer").select(
+        "term",
+        (
+            F.coalesce("df_old", F.lit(0)) + F.coalesce("df_new", F.lit(0))
+        ).cast("long").alias("df"),
+        (
+            F.coalesce("cf_old", F.lit(0)) + F.coalesce("cf_new", F.lit(0))
+        ).cast("long").alias("cf"),
+        F.expr(
+            f"slice(array_sort(concat("
+            f"  coalesce(pairs_old, array()),"
+            f"  filter(coalesce(pairs_new, array()), p -> p IS NOT NULL)"
+            f")), 1, {cap})"
+        ).alias("pairs"),
+    )
+    return merged.select(
+        "term",
+        "df",
+        "cf",
+        F.array_join(
+            F.transform(
+                F.col("pairs"),
+                lambda p: F.concat_ws(
+                    ":",
+                    p["doc_id"].cast("string"),
+                    (-p["neg_tf"]).cast("string"),
+                ),
+            ),
+            ",",
+        ).alias("top_postings"),
     )
