@@ -952,6 +952,26 @@ def q_triangle_count(spark, sf_dir):
     return triangle_count(_near_dup_edges(spark, sf_dir))
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population-Stability-Index drift terms between the src0 slice
+    and the rest over doc-length buckets (textstats.psi_drift) — the
+    per-increment distribution monitor; ppm shares and floor-log2
+    smoothed ratios, all int64."""
+    from two_tier_document_parser_spark.textstats import psi_drift
+
+    return psi_drift(_docs(spark, sf_dir))
+
+
+def q_label_propagation(spark, sf_dir):
+    """Deterministic synchronous label propagation (3 iterations,
+    min-label ties) over the near-dup graph (graph.label_propagation)
+    — community detection beside the exact components: dense cliques
+    converge in one step, chains fragment."""
+    from two_tier_document_parser_spark.graph import label_propagation
+
+    return label_propagation(_near_dup_edges(spark, sf_dir), iters=3)
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance scores (Xie et al. 2023): how
     much more likely each doc's hashed unigram+bigram bag is under
@@ -1680,6 +1700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pmi_bigrams": q_pmi_bigrams,
         "pagerank": q_pagerank,
         "triangle_count": q_triangle_count,
+        "label_propagation": q_label_propagation,
+        "psi_drift": q_psi_drift,
         "span_dedup": q_span_dedup,
         "dsir_weights": q_dsir_weights,
         "media_dhash_pairs": q_media_dhash_pairs,
@@ -1907,6 +1929,8 @@ def oracle_sql() -> dict[str, str]:
         "sparse_topk_pairs": _sparse_pairs_sql(3, 600),
         "pagerank": _pagerank_sql(3),
         "triangle_count": _triangles_sql(),
+        "label_propagation": _label_prop_sql(3),
+        "psi_drift": _psi_sql("src0", 50),
         "span_dedup": _span_dedup_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "emb_near_dups_q8": _emb_near_dups_q8_sql(),
@@ -3027,6 +3051,66 @@ r{i + 1} AS (
 )"""
     sql += f"\nSELECT src AS doc_id, rank AS rank_e12 FROM r{iters}"
     return sql
+
+
+def _label_prop_sql(iters: int) -> str:
+    """Oracle for graph.label_propagation: the identical synchronous
+    mode-label recurrence (count desc, label asc window), unrolled."""
+    sql = f"WITH {_PR_EDGES_SQL.format(jac=_jaccard_sql())},\n"
+    sql += "v AS (SELECT DISTINCT src FROM e),\n"
+    sql += "l0 AS (SELECT src, src AS label FROM v)"
+    for i in range(iters):
+        sql += f""",
+t{i + 1} AS (
+  SELECT e.dst, l{i}.label, count(*) AS cnt
+  FROM e JOIN l{i} ON l{i}.src = e.src GROUP BY 1, 2
+),
+l{i + 1} AS (
+  SELECT dst AS src, label FROM (
+    SELECT dst, label, row_number() OVER (
+      PARTITION BY dst ORDER BY cnt DESC, label ASC) AS rn
+    FROM t{i + 1}
+  ) WHERE rn = 1
+)"""
+    sql += f"\nSELECT src AS doc_id, label AS community FROM l{iters}"
+    return sql
+
+
+def _psi_sql(ref_source: str, bucket_width: int) -> str:
+    """Oracle for textstats.psi_drift: identical ppm shares and
+    floor-log2 smoothed count ratio."""
+    return f"""
+WITH b AS (
+  SELECT CAST(floor(n_chars / {bucket_width}) AS BIGINT) AS len_bucket,
+         source = '{ref_source}' AS is_ref
+  FROM documents
+),
+r AS (SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_ref
+      FROM b WHERE is_ref GROUP BY 1),
+o AS (SELECT len_bucket, CAST(count(*) AS BIGINT) AS n_other
+      FROM b WHERE NOT is_ref GROUP BY 1),
+j AS (
+  SELECT len_bucket, COALESCE(n_ref, 0) AS n_ref,
+         COALESCE(n_other, 0) AS n_other
+  FROM r FULL OUTER JOIN o USING (len_bucket)
+),
+t AS (SELECT CAST(COALESCE(sum(n_ref), 0) AS BIGINT) AS tot_ref,
+             CAST(COALESCE(sum(n_other), 0) AS BIGINT) AS tot_other,
+             CAST(count(*) AS BIGINT) AS n_buckets FROM j),
+x AS (
+  SELECT j.len_bucket, j.n_ref, j.n_other,
+         j.n_ref * 1000000 // greatest(t.tot_ref, 1) AS p_ppm,
+         j.n_other * 1000000 // greatest(t.tot_other, 1) AS q_ppm,
+         (j.n_ref + 1) * (t.tot_other + t.n_buckets) AS a,
+         (j.n_other + 1) * (t.tot_ref + t.n_buckets) AS b_
+  FROM j CROSS JOIN t
+)
+SELECT len_bucket, n_ref, n_other, p_ppm, q_ppm,
+       (p_ppm - q_ppm) * (CASE WHEN a >= b_
+          THEN length(bin(a // b_)) - 1
+          ELSE -(length(bin((b_ + a - 1) // a - 1))) END) AS psi_term
+FROM x
+"""
 
 
 def _triangles_sql() -> str:

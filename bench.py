@@ -281,6 +281,8 @@ def main() -> int:
         "pmi_bigrams",
         "pagerank",
         "triangle_count",
+        "label_propagation",
+        "psi_drift",
         # q8 vs float verify: emb_near_dups (below, LSH path) plus
         # this exact-pair variant measure the quantized-payload win
         "emb_near_dups_q8",

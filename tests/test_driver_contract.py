@@ -50,6 +50,7 @@ EXPECTED_WINDOW_50 = [
     "bm25_topk", "cdc_chunks", "cdc_dup_chunks", "retention_cohorts",
     "inverted_index", "inverted_index_incremental", "sparse_topk_pairs",
     "pmi_bigrams", "pagerank", "triangle_count",
+    "label_propagation", "psi_drift",
     "span_dedup",
     "dsir_weights", "media_dhash_pairs", "emb_near_dups_q8",
     "semantic_dedup_incremental", "semantic_rep_quality", "ccnet_bucket",
@@ -64,11 +65,10 @@ EXPECTED_WINDOW_50 = [
     "dedup_exact", "dedup_rank", "string_features", "quality_score",
     "lang_guess", "fingerprint", "minhash_bands", "lsh_pairs",
     "knn_bruteforce", "event_hour_rollup", "emb_near_dups",
-    "dedup_components", "region_order_counts", "top_customers",
-    "semi_customers",
-    # rotated out when the ten never-attested round-4 ops
-    # (bm25_topk .. triangle_count, cdc/retention, index merge)
-    # entered the head: scan_project, route_tier, split_fast,
+    "dedup_components", "region_order_counts",
+    # rotated out when the twelve never-attested round-4 ops
+    # (bm25_topk .. psi_drift) entered the head: top_customers,
+    # semi_customers, scan_project, route_tier, split_fast,
     # split_deep, union_tiers, distinct_lang_source, bigram_distinct,
     # rollup_lang_source (r01/r02-attested, parity-covered) and the
     # r03-attested fillers pdf_ingest + html_ingest

@@ -236,3 +236,73 @@ def test_sparse_pairs_df_cap_prunes(spark):
     d = _docs(spark, [(1, "x y"), (2, "x y"), (3, "x z")])
     # permille=600: keep df*1000 <= 3*600 -> df <= 1 -> only z, unshared
     assert sparse_topk_pairs(d, k=3, df_cap_permille=600).count() == 0
+
+
+# ------------------------------------------------------ label propagation
+
+
+def test_label_propagation_clique_converges_one_step(spark):
+    from two_tier_document_parser_spark.graph import label_propagation
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = spark.createDataFrame(k4, "a long, b long")
+    # K4, iter 1: every vertex's neighbor labels are distinct -> min
+    # label wins; vertices 2,3,4 see label 1 -> all converge to 1
+    # (vertex 1 sees {2,3,4} -> picks 2, then rejoins 1's community)
+    got = {r.doc_id: r.community for r in label_propagation(e, iters=3).collect()}
+    assert set(got.values()) == {1}
+
+
+def test_label_propagation_two_cliques_stay_separate(spark):
+    from two_tier_document_parser_spark.graph import label_propagation
+
+    c1 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    c2 = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    e = spark.createDataFrame(c1 + c2 + [(4, 10)], "a long, b long")
+    got = {r.doc_id: r.community for r in label_propagation(e, iters=3).collect()}
+    # the bridge edge must not merge the dense cliques
+    assert got[1] == got[2] == got[3]
+    assert got[11] == got[12] == got[13]
+    assert got[1] != got[11]
+
+
+def _psi_ref(rows, ref_source="src0", width=50):
+    """Independent Python PSI reference."""
+    import math
+    from collections import Counter
+
+    r, o = Counter(), Counter()
+    for n_chars, source in rows:
+        (r if source == ref_source else o)[n_chars // width] += 1
+    buckets = sorted(set(r) | set(o))
+    tr, to, nb = sum(r.values()), sum(o.values()), len(buckets)
+    out = {}
+    for bkt in buckets:
+        p = r[bkt] * 1000000 // max(tr, 1)
+        q = o[bkt] * 1000000 // max(to, 1)
+        a = (r[bkt] + 1) * (to + nb)
+        b = (o[bkt] + 1) * (tr + nb)
+        out[bkt] = (r[bkt], o[bkt], p, q, (p - q) * math.floor(math.log2(a / b)))
+    return out
+
+
+def test_psi_drift_matches_reference(spark):
+    from two_tier_document_parser_spark.textstats import psi_drift
+
+    rows = [
+        (10, "src0"), (60, "src0"), (61, "src0"), (120, "src0"),
+        (10, "srcX"), (110, "srcX"), (115, "srcX"), (200, "srcX"),
+        (205, "srcX"),
+    ]
+    d = spark.createDataFrame(
+        [(i, "t", "en", s, n) for i, (n, s) in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.len_bucket: (r.n_ref, r.n_other, r.p_ppm, r.q_ppm, r.psi_term)
+        for r in psi_drift(d).collect()
+    }
+    assert got == _psi_ref(rows)
+    # bucket 0 is balanced (1 vs 1) -> near-zero term; bucket 4 is
+    # other-only -> negative share diff with negative log -> positive
+    assert got[4][4] > 0

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "RANK_SCALE"]
+__all__ = ["pagerank", "triangle_count", "label_propagation", "RANK_SCALE"]
 
 RANK_SCALE = 10**12  # per-vertex initial integer mass
 
@@ -116,4 +116,47 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     )
     return corners.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) on the
+    undirected (a, b) graph: every vertex starts labeled with its own
+    id; each iteration it adopts the MOST FREQUENT label among its
+    neighbors, ties broken by the smallest label — fully
+    deterministic, so the fixed-iteration result is oracle-exact
+    (classic LPA randomizes tie-breaks; the deterministic variant
+    trades some community quality for reproducibility, documented).
+
+    Communities differ from connected components: a long chain is one
+    component but fragments under LPA; dense near-dup cliques
+    converge to one label in one step — the denser-cluster signal a
+    curation keep-policy wants.
+
+    Scale shape: per iteration, one join (neighbor labels — vertex-
+    sized state against the checkpointed edge list) and one
+    (dst, label) aggregate whose partials collapse map-side, then the
+    per-vertex argmax window (bounded by the vertex's distinct
+    neighbor labels). Columns: doc_id, community.
+    """
+    from pyspark.sql import Window
+
+    sym = _symmetric(edges).localCheckpoint(eager=True)
+    labels = sym.select("src").distinct().select(
+        "src", F.col("src").alias("label")
+    )
+    w = Window.partitionBy("dst").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        votes = (
+            sym.join(labels, "src")
+            .groupBy("dst", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("dst").alias("src"), "label")
+        )
+    return labels.select(
+        F.col("src").alias("doc_id"), F.col("label").cast("long").alias("community")
     )

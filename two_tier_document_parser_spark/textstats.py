@@ -644,3 +644,85 @@ def pmi_bigrams(
         )
     )
     return flog2.select("w1", "w2", "c_xy", "c_w1", "c_w2", "pmi2")
+
+
+def psi_drift(
+    df: DataFrame,
+    ref_source: str = "src0",
+    bucket_width: int = 50,
+) -> DataFrame:
+    """Population Stability Index terms between the reference slice
+    (source == ref_source) and the rest of the corpus over document-
+    length buckets — the distribution-drift monitor a production
+    pipeline runs on every increment (PSI = sum (p-q)·ln(p/q); >0.2
+    conventionally flags drift).
+
+    Integer-exact rendition: shares are exact ppm integers
+    (count·10^6 DIV total), the log is the repo's floor-log2 of the
+    add-one-smoothed count ratio (same bitlen identities as
+    pmi_bigrams, proof there), and each bucket's psi term is
+    (p_ppm - q_ppm) · flog2 — all int64. The ln->log2 change and
+    coarse integer log rescale the index but preserve sign and
+    ordering of bucket contributions; raw counts ride along so any
+    finer recalibration is driver-side arithmetic.
+
+    Scale shape: one scan, two count aggregates collapsed map-side
+    to bucket cardinality (~n_chars/bucket_width rows), a bucket-
+    keyed outer join of two bucket-sized sides, 1-row totals
+    broadcast. Columns: len_bucket, n_ref, n_other, p_ppm, q_ppm,
+    psi_term.
+    """
+    b = df.select(
+        F.floor(F.col("n_chars") / bucket_width).cast("long").alias(
+            "len_bucket"
+        ),
+        (F.col("source") == ref_source).alias("is_ref"),
+    )
+    ref = (
+        b.filter("is_ref")
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ref"))
+    )
+    oth = (
+        b.filter(~F.col("is_ref"))
+        .groupBy("len_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_other"))
+    )
+    joined = ref.join(oth, "len_bucket", "full_outer").select(
+        "len_bucket",
+        F.coalesce("n_ref", F.lit(0)).cast("long").alias("n_ref"),
+        F.coalesce("n_other", F.lit(0)).cast("long").alias("n_other"),
+    )
+    totals = joined.agg(
+        F.coalesce(F.sum("n_ref"), F.lit(0)).cast("long").alias("tot_ref"),
+        F.coalesce(F.sum("n_other"), F.lit(0)).cast("long").alias("tot_other"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    )
+    out = (
+        joined.crossJoin(F.broadcast(totals))
+        .withColumn(
+            "p_ppm", F.expr("n_ref * 1000000 DIV greatest(tot_ref, 1)")
+        )
+        .withColumn(
+            "q_ppm", F.expr("n_other * 1000000 DIV greatest(tot_other, 1)")
+        )
+        # add-one smoothed ratio: a/b with
+        # a = (n_ref+1)*(tot_other+n_buckets), b = (n_other+1)*(tot_ref+n_buckets)
+        .withColumn("a", F.expr("(n_ref + 1) * (tot_other + n_buckets)"))
+        .withColumn("b", F.expr("(n_other + 1) * (tot_ref + n_buckets)"))
+        .withColumn(
+            "flog2",
+            F.when(
+                F.col("a") >= F.col("b"),
+                (F.length(F.bin(F.expr("a DIV b"))) - F.lit(1)).cast("long"),
+            ).otherwise(
+                (-F.length(F.bin(F.expr("(b + a - 1) DIV a - 1")))).cast(
+                    "long"
+                )
+            ),
+        )
+        .withColumn("psi_term", F.expr("(p_ppm - q_ppm) * flog2"))
+    )
+    return out.select(
+        "len_bucket", "n_ref", "n_other", "p_ppm", "q_ppm", "psi_term"
+    )
