@@ -3011,15 +3011,16 @@ tot AS (
 ),
 j AS (
   SELECT b.w1, b.w2, b.c_xy, u1.c AS c_w1, u2.c AS c_w2,
-         b.c_xy * t.u_total * t.u_total AS num,
-         t.t_total * u1.c * u2.c AS den
+         CAST(b.c_xy AS HUGEINT) * t.u_total * t.u_total AS num,
+         CAST(t.t_total AS HUGEINT) * u1.c * u2.c AS den
   FROM bgc b JOIN uc u1 ON u1.tok = b.w1 JOIN uc u2 ON u2.tok = b.w2
   CROSS JOIN tot t
 )
 SELECT w1, w2, c_xy, c_w1, c_w2,
-       CAST(CASE WHEN num >= den THEN length(bin(num // den)) - 1
-            ELSE -(length(bin((den + num - 1) // num - 1))) END AS INT)
-         AS pmi2
+       CAST(CASE WHEN num >= den
+            THEN length(bin(CAST(num // den AS BIGINT))) - 1
+            ELSE -(length(bin(CAST((den + num - 1) // num - 1 AS BIGINT))))
+            END AS INT) AS pmi2
 FROM j
 """
 
@@ -3055,15 +3056,20 @@ r{i + 1} AS (
 
 def _label_prop_sql(iters: int) -> str:
     """Oracle for graph.label_propagation: the identical synchronous
-    mode-label recurrence (count desc, label asc window), unrolled."""
+    closed-neighborhood mode-label recurrence (neighbor labels plus
+    one vote for the vertex's own label; count desc, label asc
+    window), unrolled."""
     sql = f"WITH {_PR_EDGES_SQL.format(jac=_jaccard_sql())},\n"
     sql += "v AS (SELECT DISTINCT src FROM e),\n"
     sql += "l0 AS (SELECT src, src AS label FROM v)"
     for i in range(iters):
         sql += f""",
 t{i + 1} AS (
-  SELECT e.dst, l{i}.label, count(*) AS cnt
-  FROM e JOIN l{i} ON l{i}.src = e.src GROUP BY 1, 2
+  SELECT dst, label, count(*) AS cnt FROM (
+    SELECT e.dst, l{i}.label FROM e JOIN l{i} ON l{i}.src = e.src
+    UNION ALL
+    SELECT src AS dst, label FROM l{i}
+  ) GROUP BY 1, 2
 ),
 l{i + 1} AS (
   SELECT dst AS src, label FROM (

@@ -82,6 +82,29 @@ def test_pmi_min_count_filters(spark):
     assert pmi_bigrams(d, min_count=3).count() == 1  # only (a,b) x3
 
 
+def test_pmi_survives_int64_overflow_corpus(spark):
+    """ADVICE r04: num = c_xy * U^2 passed 2^63 once U ~ 3e6 and a
+    bigram dominated the corpus, aborting under ANSI. A degenerate
+    2.4M-token single-word corpus (num ~ 1.4e19 > 2^63-1 ~ 9.2e18)
+    must now compute exactly through the DECIMAL(38,0) path."""
+    from two_tier_document_parser_spark.textstats import pmi_bigrams
+
+    n_docs, toks_per_doc = 2400, 1000
+    word = "a " * toks_per_doc
+    d = spark.range(n_docs).select(
+        F.col("id").alias("doc_id"), F.lit(word.strip()).alias("text")
+    )
+    rows = pmi_bigrams(d, min_count=5).collect()
+    U = n_docs * toks_per_doc
+    T = n_docs * (toks_per_doc - 1)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.w1, r.w2, r.c_xy, r.c_w1, r.c_w2) == ("a", "a", T, U, U)
+    num, den = T * U * U, T * U * U
+    assert num > 2**63 - 1  # the corpus really does overflow int64
+    assert r.pmi2 == (num // den).bit_length() - 1  # == 0
+
+
 # ------------------------------------------------------------ pagerank
 
 
@@ -251,6 +274,21 @@ def test_label_propagation_clique_converges_one_step(spark):
     # (vertex 1 sees {2,3,4} -> picks 2, then rejoins 1's community)
     got = {r.doc_id: r.community for r in label_propagation(e, iters=3).collect()}
     assert set(got.values()) == {1}
+
+
+def test_label_propagation_pair_stabilizes(spark):
+    # ADVICE r04: open-neighborhood voting made a lone edge {1,2}
+    # oscillate (community(1)=2, community(2)=1 after odd iters); the
+    # closed-neighborhood vote converges the pair to min-label 1.
+    from two_tier_document_parser_spark.graph import label_propagation
+
+    e = spark.createDataFrame([(1, 2)], "a long, b long")
+    for iters in (1, 2, 3):
+        got = {
+            r.doc_id: r.community
+            for r in label_propagation(e, iters=iters).collect()
+        }
+        assert got == {1: 1, 2: 1}
 
 
 def test_label_propagation_two_cliques_stay_separate(spark):

@@ -122,11 +122,17 @@ def triangle_count(edges: DataFrame) -> DataFrame:
 def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Synchronous label propagation (Raghavan et al. 2007) on the
     undirected (a, b) graph: every vertex starts labeled with its own
-    id; each iteration it adopts the MOST FREQUENT label among its
-    neighbors, ties broken by the smallest label — fully
+    id; each iteration it adopts the MOST FREQUENT label over its
+    CLOSED neighborhood (its neighbors' labels plus one vote for its
+    own current label), ties broken by the smallest label — fully
     deterministic, so the fixed-iteration result is oracle-exact
     (classic LPA randomizes tie-breaks; the deterministic variant
     trades some community quality for reproducibility, documented).
+    The closed-neighborhood vote keeps pairs and stars stable: a lone
+    edge {1, 2} converges to community 1 instead of oscillating
+    1<->2 forever under the open-neighborhood rule (the r04 ADVICE
+    finding — open voting split every connected pair into two
+    singleton communities downstream).
 
     Communities differ from connected components: a long chain is one
     component but fragments under LPA; dense near-dup cliques
@@ -149,6 +155,10 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     for _ in range(iters):
         votes = (
             sym.join(labels, "src")
+            .select("dst", "label")
+            # closed neighborhood: the vertex's own current label gets
+            # exactly one vote, so pairs/bipartite shapes stabilize
+            .unionByName(labels.select(F.col("src").alias("dst"), "label"))
             .groupBy("dst", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )

@@ -593,9 +593,14 @@ def pmi_bigrams(
     (transform over slice — no window, no per-doc shuffle); the two
     count aggregates partial map-side; the unigram join-back is
     vocab-sized (broadcast the above-min_count slice at 100 TB, as in
-    encode_tokens). int64 headroom: num = c_xy * U^2 — at U ~ 3e6
-    this nears 2^63 for corpus-dominating bigrams; switch to
-    DECIMAL(38,0) past that, noted here rather than paid now.
+    encode_tokens). Overflow headroom (r04 ADVICE fix): num =
+    c_xy * U^2 passes 2^63 once U ~ 3e6 for corpus-dominating
+    bigrams — far below real corpora — so num/den are computed in
+    DECIMAL(38,0) (exact to 1e38, i.e. c_xy,U,T,c_x,c_y up to ~1e12
+    each); the integral quotients num DIV den and ceil(den/num)-1
+    are bounded by U and T respectively, so they still fit the
+    BIGINT that Spark's decimal `div` returns and the floor-log2
+    bitlen path is unchanged.
 
     Columns: w1, w2, c_xy, c_w1, c_w2, pmi2.
     """
@@ -629,8 +634,22 @@ def pmi_bigrams(
         .join(uni.withColumnRenamed("c", "c_w2"), F.col("w2") == F.col("tok"))
         .drop("tok")
         .crossJoin(F.broadcast(totals))
-        .withColumn("num", F.expr("c_xy * u_total * u_total"))
-        .withColumn("den", F.expr("t_total * c_w1 * c_w2"))
+        .withColumn(
+            "num",
+            F.expr(
+                "CAST(c_xy AS DECIMAL(38,0))"
+                " * CAST(u_total AS DECIMAL(38,0))"
+                " * CAST(u_total AS DECIMAL(38,0))"
+            ),
+        )
+        .withColumn(
+            "den",
+            F.expr(
+                "CAST(t_total AS DECIMAL(38,0))"
+                " * CAST(c_w1 AS DECIMAL(38,0))"
+                " * CAST(c_w2 AS DECIMAL(38,0))"
+            ),
+        )
         .withColumn(
             "pmi2",
             F.when(
