@@ -820,15 +820,72 @@ def test_inline_image_skipped_and_kept_in_order():
     ]
 
 
-def test_inline_image_payload_containing_ei_truncates_safely():
-    """' EI ' bytes inside the payload end the skip early (the spec's
-    whitespace-delimited heuristic); the leftover binary must parse
-    as inert operands — no phantom text spans, no exception."""
+def test_inline_image_payload_containing_ei_skips_exactly():
+    """' EI ' bytes inside an UNFILTERED payload no longer truncate
+    the skip: /W /H /BPC /CS size the payload (2*2*1 = 4 bytes), so
+    the embedded ' EI ' (before the sized end) is data, and the next
+    whitespace-delimited EI at/after it terminates — leftover bytes
+    never re-enter the tokenizer (r04 ADVICE fix)."""
     from two_tier_document_parser_spark.pdf_io import parse_pdf
 
     payload = b"\x01\x02 EI \x03\x04 77 88 "
     content = (
         b"BI /W 2 /H 2 /BPC 8 /CS /G ID " + payload + b" EI\n"
+        b"BT /F1 12 Tf 72 650 Td (tail) Tj ET\n"
+    )
+    doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
+    assert doc is not None
+    assert _kinds_texts(doc) == [("image", ""), ("text", "tail")]
+
+
+def test_inline_image_spec_sized_ei_payload_cannot_inject_text():
+    """The r04 ADVICE attack: a spec-sized payload spelling
+    ' EI (evil) Tj ' used to truncate the skip at its own embedded
+    EI and lift 'evil' as a phantom text span. With exact sizing the
+    whole payload is skipped and 'after' still parses."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    payload = b"\x00\x00 EI (evil) Tj "  # 16 bytes = declared 4*4*1
+    assert len(payload) == 16
+    content = (
+        b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /G ID " + payload + b" EI\n"
+        b"BT /F1 12 Tf 72 650 Td (after) Tj ET\n"
+    )
+    doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
+    assert doc is not None
+    assert _kinds_texts(doc) == [
+        ("text", "before"),
+        ("image", ""),
+        ("text", "after"),
+    ]
+
+
+def test_inline_image_explicit_length_param_wins():
+    """PDF 2.0 /L declares the encoded byte length even for filtered
+    data; the skip must honor it over the EI scan."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    payload = b"\xff EI \xfe(evil) Tj xx"  # /L covers all of it
+    content = (
+        b"BI /W 4 /H 1 /BPC 8 /CS /G /F /AHx /L "
+        + str(len(payload)).encode()
+        + b" ID " + payload + b" EI\n"
+        b"BT /F1 12 Tf 72 650 Td (tail) Tj ET\n"
+    )
+    doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
+    assert doc is not None
+    assert _kinds_texts(doc) == [("image", ""), ("text", "tail")]
+
+
+def test_inline_image_short_malformed_payload_resyncs():
+    """A payload SHORTER than its declared size (malformed) must not
+    swallow the rest of the stream: when no EI exists at/after the
+    declared end, the skip resyncs on the first EI."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    content = (
+        b"BI /W 8 /H 8 /BPC 8 /CS /G ID \x01\x02 EI\n"  # declared 64, got 2
         b"BT /F1 12 Tf 72 650 Td (tail) Tj ET\n"
     )
     doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
@@ -859,17 +916,49 @@ def test_inline_image_fuzz_payloads():
         kinds_texts = _kinds_texts(doc)
         assert kinds_texts[0] == ("text", "before")
         assert ("image", "") in kinds_texts
-        # a payload containing ' EI ' truncates the skip early, and
-        # its leftover bytes re-enter the tokenizer — where a
-        # deliberate '(x) Tj' can show text and an unbalanced '(' can
-        # legally swallow the tail as a malformed literal. Absent
-        # that truncation trigger the stream after EI must parse
-        # exactly.
+        # these fuzz images declare 4x4x8/G = 16 bytes but carry
+        # 0..120: for MALFORMED sizes an embedded whitespace-EI can
+        # still truncate/resync the skip and the leftover bytes
+        # re-enter the tokenizer — where a deliberate '(x) Tj' can
+        # show text and an unbalanced '(' can legally swallow the
+        # tail as a malformed literal. Absent that trigger the
+        # stream after EI must parse exactly. (Spec-sized payloads
+        # are covered by the exact-skip fuzz below, no exemption.)
         import re as _re
 
         if not _re.search(rb"(^|[\x00\t\n\x0c\r ])EI", payload):
             assert kinds_texts[-1] == ("text", "after")
             texts = [t for k, t in kinds_texts if k == "text"]
             assert texts == ["before", "after"]
+
+    run()
+
+
+def test_inline_image_fuzz_spec_sized_payloads_skip_exactly():
+    """When /W /H /BPC /CS agree with the actual payload length, the
+    skip is EXACT for ANY payload bytes — embedded ' EI ', operators,
+    parens — with no phantom text and 'after' always intact (the r04
+    ADVICE injection class, property-tested)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=0, max_size=120))
+    def run(payload: bytes) -> None:
+        content = (
+            b"BT /F1 12 Tf 72 700 Td (before) Tj ET\n"
+            b"BI /W " + str(len(payload)).encode()
+            + b" /H 1 /BPC 8 /CS /G ID " + payload + b" EI\n"
+            b"BT /F1 12 Tf 72 650 Td (after) Tj ET\n"
+        )
+        doc = parse_pdf(build_pdf15(_page_objs(content), root=1))
+        assert doc is not None
+        assert _kinds_texts(doc) == [
+            ("text", "before"),
+            ("image", ""),
+            ("text", "after"),
+        ]
 
     run()

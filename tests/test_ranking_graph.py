@@ -233,6 +233,25 @@ def test_inverted_index_merge_equals_recompute(spark):
     assert merged["mango"] == (1, 2, "11:2")
 
 
+def test_inverted_index_merge_rejects_overlapping_increment(spark):
+    """ADVICE r04: overlap between increment and committed doc_ids
+    silently double-counted df/cf. The guard must now fail the job
+    when an increment doc is already in a committed posting block."""
+    import pytest
+
+    from two_tier_document_parser_spark.ranking import (
+        inverted_index,
+        inverted_index_merge,
+    )
+
+    committed = _docs(spark, [(1, "apple pear"), (2, "apple banana")])
+    overlap = _docs(spark, [(2, "apple apple")])  # doc 2 re-submitted
+    with pytest.raises(Exception, match="already present"):
+        inverted_index_merge(
+            inverted_index(committed, cap=2), overlap, cap=2
+        ).collect()
+
+
 # ---------------------------------------------------- sparse topk pairs
 
 

@@ -384,6 +384,56 @@ _MARK_KIND = {
 _INLINE_ID_RE = re.compile(rb"(?<![A-Za-z0-9])ID[\x00\t\n\x0c\r ]")
 _INLINE_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?![A-Za-z0-9])")
 
+# colorspace -> component count for inline-image payload sizing
+# (§8.9.7 abbreviations and the full names; Indexed is 1 sample/px)
+_INLINE_CS_NCOMP = {
+    "G": 1, "DeviceGray": 1, "CalGray": 1,
+    "RGB": 3, "DeviceRGB": 3, "CalRGB": 3,
+    "CMYK": 4, "DeviceCMYK": 4,
+    "I": 1, "Indexed": 1,
+}
+
+
+def _inline_image_data_len(params_raw: bytes) -> int | None:
+    """Byte length of a BI inline image's raw payload when the spec
+    makes it computable: an explicit /L (PDF 2.0 §8.9.7) wins; else,
+    for UNFILTERED data, height * ceil(width * ncomp * bpc / 8) rows
+    (§8.9.5.2 sample layout, rows padded to byte boundaries). Returns
+    None when a /F filter of unknown encoded length hides it — the
+    caller then falls back to the whitespace-delimited-EI scan."""
+    try:
+        d, _ = _parse_obj(b"<<" + params_raw + b">>", 0)
+    except Exception:
+        return None
+    if not isinstance(d, dict):
+        return None
+
+    def get(*names):
+        for n in names:
+            if n in d:
+                return d[n]
+        return None
+
+    ln = get("L", "Length")
+    if isinstance(ln, int) and ln >= 0:
+        return ln
+    if get("F", "Filter") not in (None, []):
+        return None
+    w, h = get("W", "Width"), get("H", "Height")
+    if not isinstance(w, int) or not isinstance(h, int) or w < 0 or h < 0:
+        return None
+    if get("IM", "ImageMask") is True:
+        bpc, ncomp = 1, 1
+    else:
+        bpc = get("BPC", "BitsPerComponent")
+        cs = get("CS", "ColorSpace")
+        if isinstance(cs, list) and cs and isinstance(cs[0], str):
+            cs = cs[0]  # [/I /RGB hival lookup] -> Indexed
+        ncomp = _INLINE_CS_NCOMP.get(cs) if isinstance(cs, str) else None
+        if not isinstance(bpc, int) or bpc <= 0 or ncomp is None:
+            return None
+    return h * ((w * ncomp * bpc + 7) // 8)
+
 
 def _interp_page(
     content: bytes,
@@ -511,15 +561,31 @@ def _interp_page(
             elif op == "BI":
                 # inline image (§8.9.7): skip params + RAW payload to
                 # EI in one jump; the image keeps its reading-order
-                # slot as a span. First whitespace-delimited EI wins —
-                # the spec's own recommended heuristic for unframed
-                # binary (a payload containing ' EI ' truncates the
-                # skip, never corrupts it: the resumed tokenizer sees
-                # leftover binary as operands that no operator
-                # consumes).
+                # slot as a span. The skip is EXACT whenever the spec
+                # makes the payload length computable — an explicit
+                # /L, or unfiltered /W /H /BPC /CS sizing — so a
+                # spec-sized payload containing ' EI ' (or crafted
+                # '(evil) Tj' bytes after it) is skipped in full, not
+                # truncated into the tokenizer (r04 ADVICE fix). Only
+                # filtered data of undeclared length still uses the
+                # first-whitespace-delimited-EI heuristic; and when no
+                # EI exists at/after a declared length (a malformed
+                # short payload), we resync on the first EI rather
+                # than swallow the rest of the stream.
                 mid = _INLINE_ID_RE.search(content, m.end())
                 if mid is not None:
-                    mei = _INLINE_EI_RE.search(content, mid.end())
+                    dlen = _inline_image_data_len(
+                        content[m.end() : mid.start()]
+                    )
+                    mei = None
+                    if dlen is not None:
+                        # -1: tolerate writers whose final data byte
+                        # doubles as the whitespace before EI
+                        mei = _INLINE_EI_RE.search(
+                            content, max(mid.end() + dlen - 1, mid.end())
+                        )
+                    if mei is None:
+                        mei = _INLINE_EI_RE.search(content, mid.end())
                     skip_until = mei.end() if mei else len(content)
                     spans.append(("image", "", ""))
             elif op == "Do" and operands:

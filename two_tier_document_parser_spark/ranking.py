@@ -294,14 +294,27 @@ def inverted_index_merge(
     documents — the retrieval-family counterpart of
     dedup_incremental (new x old only, history never re-paired).
 
-    Exactness: new doc_ids are disjoint from committed ones, so
-    df/cf merge by addition, and top-cap of (old top-cap block ∪ new
-    postings) equals top-cap of the full corpus — an old entry
-    outside the committed block is dominated by `cap` committed
-    entries that are all still present, so it can never enter the
-    merged block (the standard monotone top-k merge property). The
-    driver oracle exploits this: it recomputes the FULL index from
-    scratch, so a green row proves merge == recompute.
+    Exactness REQUIRES new doc_ids disjoint from committed ones (and
+    the same cap as the committed index): on overlap, df/cf would
+    double-count and a posting block could list one doc twice. That
+    precondition is now GUARDED, not assumed (r04 ADVICE fix): every
+    increment (doc_id, term) row is checked against the committed
+    posting blocks' doc ids — a bounded set (<= terms * cap ids, never
+    the corpus) — and the job fails with a clear error instead of
+    silently merging a duplicate. The guard is necessarily partial:
+    a committed doc absent from EVERY top-cap block is invisible in
+    the index artifact itself, so full disjointness remains the
+    caller's contract (the driver query derives old/new from a
+    partition predicate on doc_id, which guarantees it); the guard
+    catches exactly the overlaps that would corrupt a posting block.
+
+    Given disjointness, df/cf merge by addition, and top-cap of (old
+    top-cap block ∪ new postings) equals top-cap of the full corpus —
+    an old entry outside the committed block is dominated by `cap`
+    committed entries that are all still present, so it can never
+    enter the merged block (the standard monotone top-k merge
+    property). The driver oracle exploits this: it recomputes the
+    FULL index from scratch, so a green row proves merge == recompute.
 
     Scale shape: the increment's tf/window work is increment-sized;
     the committed side ships one bounded row per term (stats + the
@@ -316,6 +329,45 @@ def inverted_index_merge(
         )
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    # precondition guard: any increment doc already listed in a
+    # committed posting block double-counts — fail loudly. Lazy
+    # (assert_true folds into the merge job, no extra action); the
+    # committed-block doc set is bounded by terms * cap.
+    committed_docs = (
+        old_index.select(
+            F.explode(
+                F.expr(
+                    "transform(split(top_postings, ','),"
+                    " p -> CAST(split(p, ':')[0] AS BIGINT))"
+                )
+            ).alias("doc_id")
+        )
+        .distinct()
+        .withColumn("_committed", F.lit(True))
+    )
+    new_tf = (
+        new_tf.join(
+            committed_docs, new_tf["doc_id"] == committed_docs["doc_id"], "left"
+        )
+        .drop(committed_docs["doc_id"])
+        .withColumn(
+            "tf",
+            F.when(
+                F.assert_true(
+                    F.col("_committed").isNull(),
+                    F.concat(
+                        F.lit(
+                            "inverted_index_merge: increment doc_id "
+                        ),
+                        F.col("doc_id").cast("string"),
+                        F.lit(" is already present in the committed index"),
+                    ),
+                ).isNull(),
+                F.col("tf"),
+            ),
+        )
+        .drop("_committed")
     )
     new_stats = new_tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("long").alias("df_new"),
