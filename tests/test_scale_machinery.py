@@ -713,6 +713,102 @@ def test_shuffle_rank_empty_and_skewed_partitions(spark):
     assert got == [1, 2, 3, 4, 5]
 
 
+def test_ccnet_bucket_equals_window_without_single_partition(spark):
+    """ccnet_bucket's two-phase rank (r05: the r04 verdict's flagged
+    per-language ntile window replaced by the shuffle_rank range
+    exchange) must be bit-identical to the window form AND its final
+    pass must show no Exchange SinglePartition / no per-language
+    single-task sort."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.textstats import (
+        ccnet_bucket,
+        tokens,
+    )
+
+    docs = spark.range(0, 400).select(
+        F.col("id").alias("doc_id"),
+        # one dominant language (the "en" shape) plus small ones,
+        # uneven sizes so every ntile remainder branch is exercised
+        F.concat(
+            F.lit("l"), (F.col("id") % 7 / 2).cast("int").cast("string")
+        ).alias("lang"),
+        F.concat_ws(
+            " ",
+            F.lit("alpha"),
+            F.concat(F.lit("w"), (F.col("id") % 13).cast("string")),
+            F.concat(F.lit("u"), F.col("id").cast("string")),
+        ).alias("text"),
+    )
+    out = ccnet_bucket(docs, n_buckets=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert "Exchange" not in plan, plan  # narrow over the checkpoint
+
+    tok = docs.select(
+        "doc_id", "lang", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("gfreq")
+    )
+    per_doc = (
+        tok.join(counts, "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(F.length(F.bin("gfreq")) - F.lit(1))
+            .cast("long")
+            .alias("logfreq_sum"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.desc(F.col("logfreq_sum") / F.col("n_tokens")), F.asc("doc_id")
+    )
+    ref = per_doc.withColumn("bucket", F.ntile(3).over(w).cast("int"))
+    cols = ["doc_id", "lang", "n_tokens", "logfreq_sum", "bucket"]
+    assert out.join(ref, cols).count() == 400
+
+
+def test_ccnet_bucket_across_arrow_batch_boundaries(spark):
+    """Per-language running positions must survive Arrow batch splits
+    and language runs that straddle batches."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.textstats import ccnet_bucket
+
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    try:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "23")
+        docs = spark.range(0, 600).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 5 < 4, "en").otherwise("fr").alias("lang"),
+            F.concat(F.lit("tok"), (F.col("id") % 9).cast("string")).alias(
+                "text"
+            ),
+        )
+        rows = ccnet_bucket(docs, n_buckets=3).collect()
+        by_lang = {}
+        for r in rows:
+            by_lang.setdefault(r.lang, []).append(r.bucket)
+        for lang, buckets in by_lang.items():
+            n = len(buckets)
+            from collections import Counter
+
+            c = Counter(buckets)
+            base, rem = n // 3, n % 3
+            want = {
+                b: base + (1 if b <= rem else 0)
+                for b in range(1, 4)
+                if base + (1 if b <= rem else 0) > 0
+            }
+            assert c == Counter(want), (lang, c, want)
+    finally:
+        spark.conf.set(
+            "spark.sql.execution.arrow.maxRecordsPerBatch", prev
+        )
+
+
 def test_shuffle_rank_across_arrow_batch_boundaries(spark):
     """The per-partition running position must survive Arrow batch
     splits (at scale a partition is many batches): force tiny batches
