@@ -1042,6 +1042,36 @@ def q_emb_near_dups_q8(spark, sf_dir):
     return near_dup_pairs_q8(_emb(spark, sf_dir), threshold_x100=44)
 
 
+def q_lsh_near_dups_q8(spark, sf_dir):
+    """The q8 SCALE path (r04 verdict task #2): SRP-LSH candidates +
+    int8-quantized verify, reading a PRE-QUANTIZED q8 table written
+    once by similarity.quantize_at_ingest (the measured-fast "q8 at
+    rest" layout, BENCH/q8_verify.json — inline quantization was a
+    1.8x loss). 4 planes x 48 tables has measured 100% recall of the
+    >= 0.44 q8-space pairs on this corpus at sf0.01 AND sf0.1 (the
+    4x24 float setting misses q8-borderline pairs), so the exact q8
+    cross-join SQL is a true oracle for the bucketed plan."""
+    import tempfile
+
+    from two_tier_document_parser_spark.similarity import (
+        lsh_near_dup_pairs_q8,
+        quantize_at_ingest,
+    )
+
+    q8 = quantize_at_ingest(
+        spark,
+        _emb(spark, sf_dir),
+        tempfile.mkdtemp(prefix="q8_at_rest_"),
+    )
+    return lsh_near_dup_pairs_q8(
+        _emb(spark, sf_dir),
+        threshold_x100=44,
+        n_planes=4,
+        n_tables=48,
+        q8_table=q8,
+    )
+
+
 def q_ccnet_bucket(spark, sf_dir):
     """CCNet head/middle/tail quality terciles per language (Wenzek
     et al. 2020) with the KenLM perplexity replaced by integer-exact
@@ -1675,20 +1705,46 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+# The r05 driver window (first 50 queries() entries): (1) the one
+# query added this round (never attested), then (2) the 49 stalest
+# attestations — the r03-only group the r04 verdict asked to rotate
+# in (task #5). One r03 entry had to yield the slot: media_text_pairs
+# (rows-only by design — its driver check is the weakest kind — and
+# its twin caption_align, which exercises the same multimodal join
+# path, IS in the window; both stay pytest-policy-pinned and
+# parity-run locally).
+_R05_WINDOW = [
+    "lsh_near_dups_q8",
+    "pdf_ingest", "html_ingest", "media_features", "media_frames",
+    "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
+    "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
+    "encode_tokens", "bucketed_join", "token_commonness",
+    "snapshot_diff", "props_rollup", "min_cost_supplier",
+    "incremental_agg", "funnel_counts", "sketch_quantiles",
+    "sketch_distinct_hll", "sketch_heavy_hitters", "redact_pii",
+    "gopher_quality", "dataset_split", "ngram_boilerplate",
+    "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
+    "model_score", "extract_synth_spans", "caption_align",
+    "asof_click_error", "interval_error_view", "lang_intersect",
+    "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
+    "length_quantiles", "pivot_source_lang", "curate",
+    "winnow_fingerprints", "chunk_documents", "pack_sequences",
+    "binary_ingest", "pipeline_documents",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDERING IS DELIBERATE: the driver's correctness gate records
     # the FIRST 50 dict entries (observed in CORRECTNESS_r02/r03), so
-    # the dict rotates each round in attestation-priority order:
-    # (1) queries added this round (never attested), (2) queries whose
-    # newest green row is oldest (here: attested in r01/r02 only —
-    # the 35 entries the round-3 verdict asked to rotate back in),
-    # (3) filler attested in r03, (4) tail: everything else, all
-    # r03-attested. EVERY query — tail included — remains value-
-    # checked against its DuckDB oracle by tests/parity_harness.py,
-    # and tests/test_driver_contract.py pins the exact window content
-    # so a silent cap/order change cannot un-check anything
-    # (round-3 advice).
-    return {
+    # each round the head is re-ordered in attestation-priority order
+    # — queries added this round first, then the stalest green rows
+    # (_R05_WINDOW above; r04 attested the literal's head, so this
+    # round rotates the r03-only group forward). EVERY query — tail
+    # included — remains value-checked against its DuckDB oracle by
+    # tests/parity_harness.py, and tests/test_driver_contract.py pins
+    # the exact window content so a silent cap/order change cannot
+    # un-check anything (round-3 advice).
+    base = {
         # -- group 1: new this round, never attested --
         "bm25_topk": q_bm25_topk,
         "cdc_chunks": q_cdc_chunks,
@@ -1706,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": q_dsir_weights,
         "media_dhash_pairs": q_media_dhash_pairs,
         "emb_near_dups_q8": q_emb_near_dups_q8,
+        "lsh_near_dups_q8": q_lsh_near_dups_q8,
         "semantic_dedup_incremental": q_semantic_dedup_incremental,
         "semantic_rep_quality": q_semantic_rep_quality,
         "ccnet_bucket": q_ccnet_bucket,
@@ -1809,6 +1866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "binary_ingest": q_binary_ingest,
         "pipeline_documents": q_pipeline_documents,
     }
+    ordered = {n: base[n] for n in _R05_WINDOW}
+    ordered.update((n, f) for n, f in base.items() if n not in ordered)
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1934,6 +1994,10 @@ def oracle_sql() -> dict[str, str]:
         "span_dedup": _span_dedup_sql(),
         "dsir_weights": _dsir_weights_sql(),
         "emb_near_dups_q8": _emb_near_dups_q8_sql(),
+        # full-recall LSH parameters (4x48, measured at sf0.01+sf0.1)
+        # make the exact q8 cross-join a true oracle for the bucketed
+        # scale plan — same trick as emb_near_dups_lsh
+        "lsh_near_dups_q8": _emb_near_dups_q8_sql(),
         "source_mixture": _source_mixture_sql(),
         "repetition_stats": _repetition_sql(),
         "substring_overlap": _substring_overlap_sql(),

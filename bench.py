@@ -295,13 +295,33 @@ def main() -> int:
     # tuned for the sf0.01 oracle check; 4-bit buckets on a 10x corpus
     # over-collide by design, so benching that config would measure
     # the oracle harness, not the operator.
-    from two_tier_document_parser_spark.similarity import lsh_near_dup_pairs
+    from two_tier_document_parser_spark.similarity import (
+        lsh_near_dup_pairs,
+        lsh_near_dup_pairs_q8,
+        quantize_embeddings,
+    )
 
     timed(
         "emb_near_dups_lsh",
         lambda: lsh_near_dup_pairs(
             spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
             threshold_x100=44,
+        ).count(),
+        reps=2,
+    )
+    # the q8 scale path at the same scale-path LSH defaults, verify
+    # payload pre-quantized at rest (r05 registered query; the
+    # at-rest table is built once outside the timed region, matching
+    # the quantize-at-ingest layout it models)
+    _q8_at_rest = quantize_embeddings(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    ).localCheckpoint(eager=True)
+    timed(
+        "lsh_near_dups_q8",
+        lambda: lsh_near_dup_pairs_q8(
+            spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+            threshold_x100=44,
+            q8_table=_q8_at_rest,
         ).count(),
         reps=2,
     )

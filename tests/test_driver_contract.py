@@ -28,6 +28,7 @@ SUBSET = [
     "pdf_encrypted_ingest",
     "dsir_weights",
     "emb_near_dups_q8",
+    "lsh_near_dups_q8",
 ]
 
 # the queries with no ANSI-SQL form, each exactness-pinned by
@@ -47,32 +48,29 @@ ROWS_ONLY = {
 # driver checking fails loudly, and assert that every query beyond
 # the cap still carries an oracle (parity_harness value-checks the
 # full set at sf0.01).
+#
+# r05 window (r04 verdict task #5): the one new query this round
+# (lsh_near_dups_q8, never attested) + the 49 stalest entries — the
+# r03-only attestation group. media_text_pairs (rows-only by design,
+# twin caption_align in-window) yields the 50th slot; everything
+# attested in r04 moves to the tail, still parity-run locally.
 EXPECTED_WINDOW_50 = [
-    "bm25_topk", "cdc_chunks", "cdc_dup_chunks", "retention_cohorts",
-    "inverted_index", "inverted_index_incremental", "sparse_topk_pairs",
-    "pmi_bigrams", "pagerank", "triangle_count",
-    "label_propagation", "psi_drift",
-    "span_dedup",
-    "dsir_weights", "media_dhash_pairs", "emb_near_dups_q8",
-    "semantic_dedup_incremental", "semantic_rep_quality", "ccnet_bucket",
-    "semantic_dedup", "source_mixture",
-    "repetition_stats", "substring_overlap", "stratified_sample",
-    "pdf_encrypted_ingest",
-    # last attested r01/r02, rotated back in for r04
-    "sessionize", "tfidf_top_terms", "pricing_summary",
-    "jaccard_near_dups", "filter_valid", "explode_tokens",
-    "reading_order", "doc_token_stats", "token_kind_counts",
-    "topk_largest", "source_stats_join", "anti_join_resume",
-    "dedup_exact", "dedup_rank", "string_features", "quality_score",
-    "lang_guess", "fingerprint", "minhash_bands", "lsh_pairs",
-    "knn_bruteforce", "event_hour_rollup", "emb_near_dups",
-    "dedup_components", "region_order_counts",
-    # rotated out when the twelve never-attested round-4 ops
-    # (bm25_topk .. psi_drift) entered the head: top_customers,
-    # semi_customers, scan_project, route_tier, split_fast,
-    # split_deep, union_tiers, distinct_lang_source, bigram_distinct,
-    # rollup_lang_source (r01/r02-attested, parity-covered) and the
-    # r03-attested fillers pdf_ingest + html_ingest
+    "lsh_near_dups_q8",
+    "pdf_ingest", "html_ingest", "media_features", "media_frames",
+    "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
+    "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
+    "encode_tokens", "bucketed_join", "token_commonness",
+    "snapshot_diff", "props_rollup", "min_cost_supplier",
+    "incremental_agg", "funnel_counts", "sketch_quantiles",
+    "sketch_distinct_hll", "sketch_heavy_hitters", "redact_pii",
+    "gopher_quality", "dataset_split", "ngram_boilerplate",
+    "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
+    "model_score", "extract_synth_spans", "caption_align",
+    "asof_click_error", "interval_error_view", "lang_intersect",
+    "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
+    "length_quantiles", "pivot_source_lang", "curate",
+    "winnow_fingerprints", "chunk_documents", "pack_sequences",
+    "binary_ingest", "pipeline_documents",
 ]
 
 

@@ -92,3 +92,50 @@ def test_lsh_q8_matches_bruteforce_q8(spark):
     }
     assert brute  # the planted copies are above threshold
     assert lsh == brute
+
+
+def test_quantize_at_ingest_roundtrip(spark, tmp_path):
+    """The "q8 at rest" layout: quantize once, snapshot-commit, read
+    back — the committed table must be byte-identical to the inline
+    quantization, carry array<tinyint>, and feed
+    lsh_near_dup_pairs_q8(q8_table=...) to the same pair set."""
+    import numpy as np
+
+    from two_tier_document_parser_spark.similarity import (
+        lsh_near_dup_pairs_q8,
+        quantize_at_ingest,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(40):
+        v = rng.standard_normal(8)
+        rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        if i % 4 == 0:
+            w = np.asarray(rows[-1][1]) + 0.02 * rng.standard_normal(8)
+            rows.append((i + 500, [float(x) for x in w / np.linalg.norm(w)]))
+    df = _emb(spark, rows)
+    path = str(tmp_path / "q8_table")
+    at_rest = quantize_at_ingest(spark, df, path)
+    # committed via the manifest protocol
+    import json
+    import os
+
+    manifest = json.load(open(os.path.join(path, "_manifest.json")))
+    assert manifest["runs"] == ["q8"]
+    assert dict(at_rest.dtypes)["q8"] == "array<tinyint>"
+    inline = {
+        r.vec_id: list(r.q8) for r in quantize_embeddings(df).collect()
+    }
+    stored = {r.vec_id: list(r.q8) for r in at_rest.collect()}
+    assert stored == inline
+    from_disk = {
+        (r.a, r.b)
+        for r in lsh_near_dup_pairs_q8(
+            df, threshold_x100=80, n_planes=4, n_tables=48, q8_table=at_rest
+        ).collect()
+    }
+    brute = {
+        (r.a, r.b) for r in near_dup_pairs_q8(df, threshold_x100=80).collect()
+    }
+    assert from_disk == brute

@@ -728,6 +728,36 @@ def quantize_embeddings(
     return emb.select(F.col(id_col).alias(id_col), q8.alias("q8"))
 
 
+def quantize_at_ingest(
+    spark,
+    emb: DataFrame,
+    table_path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Make "q8 at rest" a first-class table layout: quantize ONCE at
+    ingest (the FAISS pattern — scalar-quantize at index build, not
+    per query), snapshot-commit the (id, q8 array<tinyint>) table via
+    the same staging-dir + manifest protocol as every other sink
+    (table_io.ParquetManifestIO), and return the committed reader.
+
+    This is the measured-fast configuration from BENCH/q8_verify.json:
+    quantizing INLINE per query was a 1.8x loss (the per-row HOF
+    passes outweigh the payload saving), while reading a pre-quantized
+    table was 1.23x faster than the float path at 1M vectors — so the
+    quantization cost must be paid zero times per query, i.e. here.
+    Pass the returned table as lsh_near_dup_pairs_q8(q8_table=...).
+    """
+    from .table_io import ParquetManifestIO
+
+    io = ParquetManifestIO(spark, table_path)
+    io.replace(
+        quantize_embeddings(emb, vec_col=vec_col, id_col=id_col),
+        run_id="q8",
+    )
+    return io.read()
+
+
 def _dot_q8(a: Column, b: Column) -> Column:
     """Exact integer dot product of two int8 vectors (long math —
     64 dims x 127^2 is far inside int64)."""
