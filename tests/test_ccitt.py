@@ -215,3 +215,56 @@ def test_ccitt_random_bytes_terminate():
                 assert out.shape == (7, 53)
             except (ValueError, EOFError):
                 pass
+
+
+# ---------------------------------------------------- JBIG2 dim sniff
+
+
+def _jbig2_page_info(w: int, h: int, first_junk_segment: bool = False,
+                     file_header: bool = False) -> bytes:
+    """Segment stream per ITU-T T.88 §7.2: optional 0-referred junk
+    segment, then a type-48 page-info segment carrying w/h."""
+    out = b""
+    if file_header:
+        out += b"\x97JB2\r\n\x1a\n" + bytes([0x02])  # unknown pages
+    seg = 0
+    if first_junk_segment:
+        out += (
+            seg.to_bytes(4, "big") + bytes([0x00])  # type 0 symbol dict
+            + bytes([0x00]) + bytes([1])            # 0 refs, page 1
+            + (5).to_bytes(4, "big") + b"\x01\x02\x03\x04\x05"
+        )
+        seg += 1
+    data = (
+        w.to_bytes(4, "big") + h.to_bytes(4, "big")
+        + (0).to_bytes(4, "big") + (0).to_bytes(4, "big")
+        + bytes([0]) + (0).to_bytes(2, "big")
+    )
+    out += (
+        seg.to_bytes(4, "big") + bytes([0x30])  # type 48
+        + bytes([0x00]) + bytes([1])
+        + len(data).to_bytes(4, "big") + data
+    )
+    return out
+
+
+def test_jbig2_dims_embedded_and_file_header():
+    from two_tier_document_parser_spark.ccitt import jbig2_dims
+
+    assert jbig2_dims(_jbig2_page_info(2550, 3300)) == (2550, 3300)
+    assert jbig2_dims(
+        _jbig2_page_info(100, 200, first_junk_segment=True)
+    ) == (100, 200)
+    assert jbig2_dims(
+        _jbig2_page_info(64, 32, file_header=True)
+    ) == (64, 32)
+
+
+def test_jbig2_dims_rejects_non_jbig2_and_striped():
+    from two_tier_document_parser_spark.ccitt import jbig2_dims
+
+    assert jbig2_dims(b"") is None
+    # printable text: first 4 bytes read as a huge segment number
+    assert jbig2_dims(b"Lorem ipsum dolor sit amet " * 3) is None
+    # striped page of unknown height must NOT report a fake height
+    assert jbig2_dims(_jbig2_page_info(640, 0xFFFFFFFF)) is None

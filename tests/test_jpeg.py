@@ -391,3 +391,43 @@ def test_color_420_mcu_constant_exact():
         ])), 0, 255).astype(np.uint8)
         px = got[r * 16 : r * 16 + 16, c * 16 : c * 16 + 16]
         assert np.all(px == want[np.newaxis, np.newaxis, :]), (m, px[0, 0], want)
+
+
+# ------------------------------------------------- JPEG-2000 dim sniff
+
+
+def _jp2_container(w: int, h: int) -> bytes:
+    """Minimal JP2 box layout: signature box + ftyp box + jp2h
+    superbox holding the ihdr box (height THEN width, §I.5.3.1)."""
+    sig = b"\x00\x00\x00\x0cjP  \r\n\x87\n"
+    ftyp = (20).to_bytes(4, "big") + b"ftypjp2 " + b"\x00" * 8
+    ihdr = (
+        (22).to_bytes(4, "big") + b"ihdr"
+        + h.to_bytes(4, "big") + w.to_bytes(4, "big")
+        + (1).to_bytes(2, "big") + bytes([7, 7, 0, 0])
+    )
+    jp2h = (8 + len(ihdr)).to_bytes(4, "big") + b"jp2h" + ihdr
+    return sig + ftyp + jp2h
+
+
+def test_jp2_dims_container_and_codestream():
+    from two_tier_document_parser_spark.jpeg import jp2_dims
+
+    assert jp2_dims(_jp2_container(640, 480)) == (640, 480)
+    # raw codestream: SOC + SIZ with reference-grid offsets
+    siz = (
+        b"\xff\x4f\xff\x51" + (47).to_bytes(2, "big") + b"\x00\x00"
+        + (1030).to_bytes(4, "big") + (775).to_bytes(4, "big")
+        + (6).to_bytes(4, "big") + (7).to_bytes(4, "big")
+    )
+    assert jp2_dims(siz + b"\x00" * 16) == (1024, 768)
+
+
+def test_jp2_dims_rejects_non_jp2():
+    from two_tier_document_parser_spark.jpeg import jp2_dims
+
+    assert jp2_dims(b"") is None
+    assert jp2_dims(b"this is not an image, just text " * 4) is None
+    assert jp2_dims(b"\xff\xd8\xff\xe0 jpeg not jp2") is None
+    # signature box present but ihdr truncated
+    assert jp2_dims(b"\x00\x00\x00\x0cjP  \r\n\x87\nihdr\x00\x01") is None

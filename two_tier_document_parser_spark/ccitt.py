@@ -440,6 +440,77 @@ def tiff_dims(data: bytes) -> tuple[int, int] | None:
     return tags[256], tags[257]
 
 
+_JBIG2_FILE_MAGIC = b"\x97JB2\r\n\x1a\n"
+
+# segment types a JBIG2 generic stream can legally start with
+# (ITU-T T.88 §7.3) — part of the embedded-stream sniff gate
+_JBIG2_SEG_TYPES = frozenset(
+    (0, 4, 6, 7, 16, 20, 22, 23, 36, 38, 39, 40, 42, 43,
+     48, 49, 50, 51, 52, 53, 62)
+)
+
+
+def jbig2_dims(data: bytes) -> tuple[int, int] | None:
+    """(width, height) from a JBIG2 page information segment (ITU-T
+    T.88 §7.4.8) — the honest dimension path for JBIG2Decode streams
+    until a full MMR/arithmetic decoder exists (r04 verdict task #8).
+
+    Walks generic-stream segment headers (§7.2) until the first
+    type-48 page-info segment and reads its width/height words. A
+    standalone file header (§9.1, magic 97 4A 42 32 0D 0A 1A 0A) is
+    skipped; PDF-embedded streams omit it and start directly at a
+    segment header, so the sniff is gated hard against false
+    positives on arbitrary binaries: the first segment's number must
+    be tiny (<= 3 — real streams start numbering at 0/1; any
+    printable-ASCII payload reads >= 0x20202020) and its type must
+    be a legal T.88 segment kind. Striped pages of unknown height
+    (0xFFFFFFFF) return None — reporting a fake height would be the
+    hash stub wearing a different hat."""
+    data = bytes(data or b"")
+    i = 0
+    if data.startswith(_JBIG2_FILE_MAGIC):
+        if len(data) < 9:
+            return None
+        i = 9 if data[8] & 2 else 13  # bit 1: page count absent
+    if i + 11 > len(data):
+        return None
+    if int.from_bytes(data[i : i + 4], "big") > 3:
+        return None  # embedded streams start at segment 0/1
+    if data[i + 4] & 0x3F not in _JBIG2_SEG_TYPES:
+        return None
+    for _ in range(64):  # bounded walk — headers, never payloads
+        if i + 11 > len(data):
+            return None
+        segnum = int.from_bytes(data[i : i + 4], "big")
+        flags = data[i + 4]
+        stype = flags & 0x3F
+        rts = data[i + 5]
+        cnt = rts >> 5
+        j = i + 6
+        if cnt == 7:  # long form: 29-bit count + retain-bit bytes
+            cnt = int.from_bytes(data[i + 5 : i + 9], "big") & 0x1FFFFFFF
+            j = i + 9 + (cnt + 8) // 8
+        ref_sz = 1 if segnum <= 256 else (2 if segnum <= 65536 else 4)
+        j += cnt * ref_sz
+        j += 4 if flags & 0x40 else 1  # page association size
+        if j + 4 > len(data):
+            return None
+        dlen = int.from_bytes(data[j : j + 4], "big")
+        j += 4
+        if stype == 48:
+            if j + 8 > len(data):
+                return None
+            w = int.from_bytes(data[j : j + 4], "big")
+            h = int.from_bytes(data[j + 4 : j + 8], "big")
+            if not w or not h or h == 0xFFFFFFFF:
+                return None
+            return w, h
+        if dlen == 0xFFFFFFFF:
+            return None  # unknown-length generic region: stop
+        i = j + dlen
+    return None
+
+
 def decode_tiff_g4(data: bytes) -> np.ndarray | None:
     """Single-strip CCITT TIFF (Compression=4 G4, or Compression=2
     Modified Huffman with its spec-mandated byte-aligned rows) ->
