@@ -431,3 +431,418 @@ def test_jp2_dims_rejects_non_jp2():
     assert jp2_dims(b"\xff\xd8\xff\xe0 jpeg not jp2") is None
     # signature box present but ihdr truncated
     assert jp2_dims(b"\x00\x00\x00\x0cjP  \r\n\x87\nihdr\x00\x01") is None
+
+
+# -------------------------------------------- progressive (SOF2) tests
+# The test-side progressive encoder below is an independent
+# clean-room implementation of T.81 Annex G scan coding (spectral
+# selection + successive approximation, EOBn runs, correction-bit
+# buffering) — built from the spec text, sharing nothing with the
+# decoder under test beyond the public format.
+
+
+class _ProgWriter(_BitWriter):
+    """_BitWriter + the Annex G EOB-run / correction-bit buffers."""
+
+    def __init__(self, codes: dict) -> None:
+        super().__init__()
+        self.codes = codes
+        self.eobrun = 0
+        self.corr: list[int] = []
+
+    def sym(self, s: int) -> None:
+        code, clen = self.codes[s]
+        self.put(code, clen)
+
+    def flush_eobrun(self) -> None:
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            self.sym(nbits << 4)
+            if nbits:
+                self.put(self.eobrun & ((1 << nbits) - 1), nbits)
+            self.eobrun = 0
+            for b in self.corr:
+                self.put(b, 1)
+            self.corr = []
+
+    def emit_corr(self) -> None:
+        for b in self.corr:
+            self.put(b, 1)
+        self.corr = []
+
+
+def _ac_first_symbols(blocks, ss, se, al):
+    """Symbol alphabet a first AC scan needs (pre-pass for the
+    huffman table), mirroring the emission logic below."""
+    syms, eobrun = set(), 0
+    for zz in blocks:
+        r, coded = 0, False
+        for k in range(ss, se + 1):
+            v = zz[k]
+            vq = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if vq == 0:
+                r += 1
+                continue
+            if eobrun:
+                syms.add((eobrun.bit_length() - 1) << 4)
+                eobrun = 0
+            while r > 15:
+                syms.add(0xF0)
+                r -= 16
+            syms.add((r << 4) | abs(vq).bit_length())
+            r, coded = 0, True
+        if r > 0 or not coded:
+            eobrun += 1
+    if eobrun:
+        syms.add((eobrun.bit_length() - 1) << 4)
+    return syms or {0x00}
+
+
+def _emit_ac_first(w: _ProgWriter, blocks, ss, se, al):
+    for zz in blocks:
+        r, coded = 0, False
+        for k in range(ss, se + 1):
+            v = zz[k]
+            vq = (abs(v) >> al) * (1 if v >= 0 else -1)
+            if vq == 0:
+                r += 1
+                continue
+            w.flush_eobrun()
+            while r > 15:
+                w.sym(0xF0)
+                r -= 16
+            s, bits, _ = _magnitude(vq)
+            w.sym((r << 4) | s)
+            w.put(bits, s)
+            r, coded = 0, True
+        if r > 0 or not coded:
+            w.eobrun += 1
+            if w.eobrun == 0x7FFF:
+                w.flush_eobrun()
+    w.flush_eobrun()
+
+
+def _ac_refine_symbols(blocks, ss, se, al):
+    syms, eobrun = set(), 0
+    for zz in blocks:
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        eob = 0
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r, newly = 0, False
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                if eobrun:
+                    syms.add((eobrun.bit_length() - 1) << 4)
+                    eobrun = 0
+                syms.add(0xF0)
+                r -= 16
+            if t > 1:
+                continue
+            if eobrun:
+                syms.add((eobrun.bit_length() - 1) << 4)
+                eobrun = 0
+            syms.add((r << 4) | 1)
+            r, newly = 0, True
+        if r > 0 or any(t > 1 for t in absv) or not newly:
+            eobrun += 1
+    if eobrun:
+        syms.add((eobrun.bit_length() - 1) << 4)
+    return syms or {0x00}
+
+
+def _emit_ac_refine(w: _ProgWriter, blocks, ss, se, al):
+    """T.81 G.1.2.3 encoding with libjpeg-style buffered correction
+    bits: bits for already-nonzero coefs ride behind the next emitted
+    symbol (ZRL / newly-significant / EOBn)."""
+    for zz in blocks:
+        absv = [abs(zz[k]) >> al for k in range(ss, se + 1)]
+        eob = 0
+        for i, t in enumerate(absv):
+            if t == 1:
+                eob = i + 1
+        r = 0
+        pend: list[int] = []
+        emitted = False
+        for i, t in enumerate(absv):
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                w.flush_eobrun()
+                w.sym(0xF0)
+                r -= 16
+                for b in pend:
+                    w.put(b, 1)
+                pend = []
+            if t > 1:
+                pend.append(t & 1)
+                continue
+            w.flush_eobrun()
+            w.sym((r << 4) | 1)
+            w.put(1 if zz[ss + i] >= 0 else 0, 1)
+            for b in pend:
+                w.put(b, 1)
+            pend = []
+            r = 0
+            emitted = True
+        if r > 0 or pend or not emitted:
+            w.eobrun += 1
+            w.corr.extend(pend)
+            if w.eobrun == 0x7FFF:
+                w.flush_eobrun()
+    w.flush_eobrun()
+
+
+def _quantized_blocks(img: np.ndarray, qt: np.ndarray):
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.zeros((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img
+    padded[h:, :w] = img[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    blocks = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            g = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+            F = fdct_block(g)
+            q = np.round(F.flatten() / qt.reshape(8, 8).flatten()).astype(int)
+            blocks.append([int(q[z]) for z in ZZ])
+    return blocks
+
+
+def encode_gray_jpeg_progressive(
+    img: np.ndarray, qt: np.ndarray = QT_LUM, split: int = 6,
+    al_dc: int = 1, al_ac: int = 1,
+) -> bytes:
+    """Grayscale SOF2 with the classic 6-scan script: DC first at
+    Al=1, DC refinement, two banded AC first scans at Al=1, two AC
+    refinement scans — every Annex G decode path in one file."""
+    h, w = img.shape
+    blocks = _quantized_blocks(img, qt)
+
+    out = bytearray(b"\xff\xd8")
+    zz_qt = bytes(int(qt[z]) for z in ZZ)
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + zz_qt
+    sof = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01"
+    sof += b"\x01\x11\x00"
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+
+    def add_scan(tc, syms, emit, ss, se, ah, al):
+        nonlocal out
+        bits, vals, codes = _build_huff(syms)
+        body = bytes([(tc << 4)]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+        sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+        wtr = _ProgWriter(codes)
+        emit(wtr)
+        wtr.flush()
+        out += bytes(wtr.out)
+
+    # scan 1: DC first, point-transformed by al_dc (arithmetic shift)
+    dcv = [zz[0] >> al_dc for zz in blocks]
+    dc_syms = set()
+    pred = 0
+    for v in dcv:
+        s, _, _ = _magnitude(v - pred)
+        dc_syms.add(s)
+        pred = v
+
+    def emit_dc_first(wtr):
+        p = 0
+        for v in dcv:
+            s, bits, _ = _magnitude(v - p)
+            p = v
+            wtr.sym(s)
+            if s:
+                wtr.put(bits, s)
+
+    add_scan(0, dc_syms, emit_dc_first, 0, 0, 0, al_dc)
+
+    # scan 2: DC refinement — one raw bit per block, no symbols
+    def emit_dc_refine(wtr):
+        for zz in blocks:
+            wtr.put((zz[0] >> (al_dc - 1)) & 1, 1)
+
+    add_scan(0, {0}, emit_dc_refine, 0, 0, al_dc, al_dc - 1)
+
+    # scans 3-4: AC first per band at al_ac
+    for ss, se in ((1, split - 1), (split, 63)):
+        add_scan(
+            1, _ac_first_symbols(blocks, ss, se, al_ac),
+            lambda wtr, ss=ss, se=se: _emit_ac_first(
+                wtr, blocks, ss, se, al_ac
+            ),
+            ss, se, 0, al_ac,
+        )
+    # scans 5-6: AC refinement per band
+    for ss, se in ((1, split - 1), (split, 63)):
+        add_scan(
+            1, _ac_refine_symbols(blocks, ss, se, al_ac - 1),
+            lambda wtr, ss=ss, se=se: _emit_ac_refine(
+                wtr, blocks, ss, se, al_ac - 1
+            ),
+            ss, se, al_ac, al_ac - 1,
+        )
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_gray_pixel_equals_baseline():
+    """After all six scans the coefficient array is bit-identical to
+    the sequential coding, so SOF2 decode must be pixel-EQUAL to the
+    SOF0 decode of the same quantized blocks (and to the independent
+    expected reconstruction within 1 grey of float rounding)."""
+    from two_tier_document_parser_spark.jpeg import decode_jpeg
+
+    img = _test_image(29, 37)  # non-multiple-of-8 both axes
+    prog = decode_jpeg(encode_gray_jpeg_progressive(img))
+    base = decode_jpeg(encode_gray_jpeg(img))
+    assert prog is not None and base is not None
+    assert prog.shape == img.shape
+    assert np.array_equal(prog, base)
+    want = expected_gray(img)
+    assert np.abs(prog.astype(int) - want.astype(int)).max() <= 1
+
+
+def test_progressive_band_split_variants():
+    """Different spectral splits and a high-frequency-heavy image
+    (exercises ZRL inside bands, long EOB runs, refinement
+    correction bits after the last newly-significant coef)."""
+    from two_tier_document_parser_spark.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(21)
+    img = (rng.integers(0, 2, size=(24, 24)) * 255).astype(np.uint8)
+    base = decode_jpeg(encode_gray_jpeg(img))
+    for split in (2, 10, 33):
+        prog = decode_jpeg(encode_gray_jpeg_progressive(img, split=split))
+        assert prog is not None
+        assert np.array_equal(prog, base), split
+    # flat image: every AC scan is one long EOB run
+    flat = np.full((17, 19), 77, dtype=np.uint8)
+    assert np.array_equal(
+        decode_jpeg(encode_gray_jpeg_progressive(flat)),
+        decode_jpeg(encode_gray_jpeg(flat)),
+    )
+
+
+def test_jpeg_dims_reads_sof2():
+    from two_tier_document_parser_spark.jpeg import jpeg_dims
+
+    img = _test_image(15, 22)
+    assert jpeg_dims(encode_gray_jpeg_progressive(img)) == (22, 15)
+
+
+def encode_color_jpeg_420_progressive(ymcu: np.ndarray, cbmcu: np.ndarray,
+                                      crmcu: np.ndarray) -> bytes:
+    """Progressive twin of encode_color_jpeg_420: an INTERLEAVED DC
+    first scan at Al=1, an interleaved DC refinement scan, then three
+    single-component AC scans (all pure EOB runs — the planes are
+    MCU-constant so every AC coefficient is zero). Exercises the
+    interleaved progressive-DC path and the non-interleaved AC block
+    raster on subsampled components."""
+    my, mx = ymcu.shape
+    h, w = my * 16, mx * 16
+    qt = np.full(64, 16, dtype=np.int32)
+
+    def dcq(v: float) -> int:
+        return int(np.round(8.0 * (v - 128.0) / 16.0))
+
+    # MCU-interleaved DC sequence: Y00 Y01 Y10 Y11 Cb Cr per MCU
+    seq: list[tuple[int, int]] = []  # (comp index, dc value)
+    for m in range(my * mx):
+        r, c = divmod(m, mx)
+        for _ in range(4):
+            seq.append((0, dcq(ymcu[r, c])))
+        seq.append((1, dcq(cbmcu[r, c])))
+        seq.append((2, dcq(crmcu[r, c])))
+
+    dc_syms = set()
+    preds = [0, 0, 0]
+    for ci, v in seq:
+        s, _, _ = _magnitude((v >> 1) - preds[ci])
+        dc_syms.add(s)
+        preds[ci] = v >> 1
+    dc_bits, dc_vals, dc_codes = _build_huff(dc_syms)
+
+    out = bytearray(b"\xff\xd8")
+    zz_qt = bytes(int(qt[z]) for z in ZZ)
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + zz_qt
+    sof = b"\x08" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x03"
+    sof += b"\x01\x22\x00" + b"\x02\x11\x00" + b"\x03\x11\x00"
+    out += b"\xff\xc2" + (2 + len(sof)).to_bytes(2, "big") + sof
+    body = bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals)
+    out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+
+    # scan 1: interleaved DC first, Al=1
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x01])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for ci, v in seq:
+        s, bits, _ = _magnitude((v >> 1) - preds[ci])
+        preds[ci] = v >> 1
+        code, clen = dc_codes[s]
+        bw.put(code, clen)
+        if s:
+            bw.put(bits, s)
+    bw.flush()
+    out += bytes(bw.out)
+
+    # scan 2: interleaved DC refinement (raw bits, Ah=1 Al=0)
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 0, 0x10])
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    bw = _BitWriter()
+    for ci, v in seq:
+        bw.put(v & 1, 1)
+    bw.flush()
+    out += bytes(bw.out)
+
+    # scans 3-5: per-component AC first — pure EOB run over the TRUE
+    # block raster (Y: 2my x 2mx, Cb/Cr: my x mx)
+    for cid, nblocks in ((1, 4 * my * mx), (2, my * mx), (3, my * mx)):
+        run = nblocks
+        syms = set()
+        while run:
+            nbits = run.bit_length() - 1
+            syms.add(nbits << 4)
+            run = 0
+        ac_bits, ac_vals, ac_codes = _build_huff(syms)
+        body = bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals)
+        out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+        sos = bytes([1, cid, 0x00, 1, 63, 0x00])
+        out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+        bw = _BitWriter()
+        nbits = nblocks.bit_length() - 1
+        code, clen = ac_codes[nbits << 4]
+        bw.put(code, clen)
+        if nbits:
+            bw.put(nblocks & ((1 << nbits) - 1), nbits)
+        bw.flush()
+        out += bytes(bw.out)
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def test_progressive_color_420_interleaved_dc_exact():
+    """Progressive 4:2:0 color (interleaved DC first + refinement +
+    per-component EOB-run AC scans) must decode pixel-equal to the
+    sequential encoding of the same MCU-constant planes."""
+    from two_tier_document_parser_spark.jpeg import decode_jpeg
+
+    ymcu = np.array([[128.0, 144.0], [96.0, 208.0]])
+    cbmcu = np.array([[128.0, 96.0], [160.0, 128.0]])
+    crmcu = np.array([[128.0, 176.0], [112.0, 128.0]])
+    base = decode_jpeg(encode_color_jpeg_420(ymcu, cbmcu, crmcu))
+    prog = decode_jpeg(
+        encode_color_jpeg_420_progressive(ymcu, cbmcu, crmcu)
+    )
+    assert prog is not None and base is not None
+    assert prog.shape == (32, 32, 3)
+    assert np.array_equal(prog, base)

@@ -105,6 +105,35 @@ def test_dhash_tiff_g4_payload(spark):
     assert got["t"][1] is True
 
 
+def test_dhash_progressive_jpeg_payload(spark):
+    """r05 task #3 done-criterion: SOF2 payloads hash over REAL
+    pixels (real_pixels=true) and agree with the baseline encoding of
+    the same image — progressive vs sequential coding is a container
+    difference, not a pixel difference."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_jpeg import (
+        _test_image,
+        encode_gray_jpeg,
+        encode_gray_jpeg_progressive,
+    )
+
+    img = _test_image(32, 48, seed=9)
+    df = _media(
+        spark,
+        [
+            ("prog", "m", encode_gray_jpeg_progressive(img)),
+            ("base", "m", encode_gray_jpeg(img)),
+        ],
+    )
+    got = {r.doc_id: (r.dhash, r.real_pixels)
+           for r in media_dhash(df).collect()}
+    assert got["prog"][1] is True
+    assert got["prog"] == got["base"]
+
+
 def test_dhash_fallback_flagged(spark):
     df = _media(spark, [("j", "m", b"\x00\x01not an image")])
     row = media_dhash(df).collect()[0]

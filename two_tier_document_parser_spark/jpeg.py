@@ -1,24 +1,35 @@
-"""Baseline JPEG (SOF0) decoder built from the public ITU-T T.81
-spec — no PIL/libjpeg in this sandbox, and the reference's image
-crops are overwhelmingly JPEG (accurate/service.py:177 via PyMuPDF).
-Round-3 verdict task #4: DCT payloads get real dimensions and real
-pixels instead of the hash stub.
+"""JPEG decoder built from the public ITU-T T.81 spec — no
+PIL/libjpeg in this sandbox, and the reference's image crops are
+overwhelmingly JPEG (accurate/service.py:177 via PyMuPDF). Round-3
+verdict task #4 added baseline (SOF0); round-5 task #3 adds
+PROGRESSIVE (SOF2) — the bulk of web JPEGs — plus extended
+sequential (SOF1), all through ONE generic scan engine.
 
-Scope (the baseline process, §8 + Annex F):
-- SOF0 (baseline sequential huffman), 8-bit samples,
+Scope (§8, Annex F sequential + Annex G progressive):
+- SOF0/SOF1 (sequential huffman) and SOF2 (progressive huffman),
+  8-bit samples,
 - grayscale (1 component) and YCbCr (3 components) with arbitrary
   sampling factors (4:4:4, 4:2:0, 4:2:2 all fall out of the general
   Hi/Vi handling),
-- DQT (8/16-bit), DHT, DRI/RSTn restart intervals, APPn/COM skip.
-Progressive (SOF2), arithmetic coding, and 12-bit are out of scope
-and return None (callers keep their documented fallback).
+- progressive spectral selection (Ss/Se bands) + successive
+  approximation (Ah/Al bit planes): first and refinement DC scans
+  (interleaved or single-component), first and refinement AC scans
+  with EOBn run decoding (G.1.2.2) and the correction-bit algorithm
+  (G.1.2.3); multi-scan sequential files fall out of the same engine
+  (a baseline scan is just Ss=0, Se=63, Ah=Al=0),
+- DQT (8/16-bit), DHT redefinable between scans, DRI/RSTn restart
+  intervals per scan, APPn/COM skip.
+Arithmetic coding, 12-bit, hierarchical and lossless processes stay
+out of scope and return None (callers keep their documented
+fallback).
 
 Shape of the work: marker/header parse and the entropy decode are a
 per-symbol Python loop fed by a 16-bit-peek huffman lookup table
 (one dict build per DHT, O(1) per symbol); everything after entropy
 decode — dequantization, dezigzag, the 2-D IDCT (orthonormal DCT-II
-basis, two einsums over ALL blocks at once), level shift, chroma
-upsample, YCbCr->RGB — is vectorized numpy over the whole image.
+basis, two einsums over ALL blocks at once), level shift, block-grid
+reassembly (one transpose+reshape), chroma upsample, YCbCr->RGB —
+is vectorized numpy over the whole image.
 """
 
 from __future__ import annotations
@@ -185,9 +196,9 @@ def jp2_dims(data: bytes) -> tuple[int, int] | None:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray | None:
-    """Baseline JPEG -> uint8 array (h, w) for grayscale or
-    (h, w, 3) RGB for YCbCr. None when not a decodable baseline
-    file (caller falls back)."""
+    """Sequential (SOF0/SOF1) or progressive (SOF2) JPEG -> uint8
+    array (h, w) for grayscale or (h, w, 3) RGB for YCbCr. None when
+    not a decodable huffman 8-bit file (caller falls back)."""
     try:
         return _decode_jpeg_inner(data)
     except Exception:
@@ -206,6 +217,131 @@ def decode_jpeg_gray(data: bytes) -> np.ndarray | None:
     return np.clip(np.round(y), 0, 255).astype(np.uint8)
 
 
+def _unstuff_scan(data: bytes, i: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from offset i -> (unstuffed byte runs split
+    at RSTn markers, offset of the terminating marker's 0xFF)."""
+    segments: list[bytes] = []
+    cur = bytearray()
+    n = len(data)
+    while i < n:
+        b = data[i]
+        if b == 0xFF:
+            nxt = data[i + 1] if i + 1 < n else 0xD9
+            if nxt == 0x00:
+                cur.append(0xFF)
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                segments.append(bytes(cur))
+                cur = bytearray()
+                i += 2
+                continue
+            break  # real marker terminates the scan
+        cur.append(b)
+        i += 1
+    segments.append(bytes(cur))
+    return segments, i
+
+
+def _refine_nonzero(br: _Bits, row: np.ndarray, k: int, se: int, p1: int) -> None:
+    """G.1.2.3 correction-bit sweep: for every already-nonzero coef
+    in zigzag positions k..se, read one bit and, when set, move its
+    magnitude one step away from zero in the new bit plane."""
+    while k <= se:
+        v = int(row[k])
+        if v != 0 and br.get(1):
+            if (v & p1) == 0:
+                row[k] = v + p1 if v > 0 else v - p1
+        k += 1
+
+
+def _decode_block(
+    br: _Bits,
+    row: np.ndarray,
+    hdc: _Huff | None,
+    hac: _Huff | None,
+    pred: list[int],
+    ci: int,
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    eobrun: int,
+) -> int:
+    """Decode one block's contribution for the current scan band
+    (generic over sequential and progressive: a baseline scan is
+    ss=0, se=63, ah=al=0). Returns the updated EOB run."""
+    k = ss
+    if ss == 0:  # DC portion
+        if ah == 0:  # first DC scan (or sequential)
+            s = hdc.decode(br)
+            pred[ci] += _extend(br.get(s), s)
+            row[0] = pred[ci] << al
+        else:  # DC refinement: one bit per block
+            if br.get(1):
+                row[0] = int(row[0]) | (1 << al)
+        if se == 0:
+            return eobrun  # pure DC scan
+        k = 1
+
+    if ah == 0:  # first AC scan / sequential AC (G.1.2.2)
+        if eobrun > 0:
+            return eobrun - 1
+        while k <= se:
+            rs = hac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r == 15:
+                    k += 16  # ZRL
+                    continue
+                eobrun = (1 << r) - 1  # EOBn: this block is done
+                if r:
+                    eobrun += br.get(r)
+                break
+            k += r
+            if k > se:
+                raise ValueError("AC run past band end")
+            row[k] = _extend(br.get(s), s) << al
+            k += 1
+        return eobrun
+
+    # AC refinement scan (G.1.2.3)
+    p1 = 1 << al
+    if eobrun == 0:
+        while k <= se:
+            rs = hac.decode(br)
+            r, s = rs >> 4, rs & 0xF
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.get(r)
+                    break  # EOB logic below corrects the tail
+                # r == 15: pass 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("refinement magnitude != 1")
+                val = p1 if br.get(1) else -p1
+            while k <= se:
+                v = int(row[k])
+                if v != 0:
+                    if br.get(1) and (v & p1) == 0:
+                        row[k] = v + p1 if v > 0 else v - p1
+                else:
+                    r -= 1
+                    if r < 0:
+                        break
+                k += 1
+            if val and k <= se:
+                row[k] = val
+            k += 1
+    if eobrun > 0:
+        _refine_nonzero(br, row, k, se, p1)
+        eobrun -= 1
+    return eobrun
+
+
 def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     if data[:2] != b"\xff\xd8":
         return None
@@ -213,14 +349,15 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     huff_dc: dict[int, _Huff] = {}
     huff_ac: dict[int, _Huff] = {}
     comps: list[dict] = []
+    grids: list[np.ndarray] = []  # per comp: (blocks_y, blocks_x, 64)
     w = h = 0
+    hmax = vmax = mcux = mcuy = 0
     restart = 0
     i = 2
     n = len(data)
-    scan: bytes | None = None
-    scan_map: list[tuple[int, int]] = []  # (dc table, ac table) per comp
+    saw_scan = False
 
-    while i + 4 <= n and scan is None:
+    while i + 2 <= n:
         if data[i] != 0xFF:
             i += 1
             continue
@@ -228,6 +365,10 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
         if m == 0xD8 or m == 0x01 or 0xD0 <= m <= 0xD7:
             i += 2
             continue
+        if m == 0xD9:  # EOI
+            break
+        if i + 4 > n:
+            break
         seglen = int.from_bytes(data[i + 2 : i + 4], "big")
         seg = data[i + 4 : i + 2 + seglen]
         if m == 0xDB:  # DQT
@@ -246,7 +387,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                     ).astype(np.int32)
                     j += 64
                 qt[tq] = tbl
-        elif m == 0xC4:  # DHT
+        elif m == 0xC4:  # DHT (redefinable between scans)
             j = 0
             while j < len(seg):
                 tc, th = seg[j] >> 4, seg[j] & 0xF
@@ -255,7 +396,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 vals = seg[j + 17 : j + 17 + nv]
                 (huff_ac if tc else huff_dc)[th] = _Huff(bits, vals)
                 j += 17 + nv
-        elif m == 0xC0:  # SOF0 baseline
+        elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
             if seg[0] != 8:
                 return None  # 12-bit out of scope
             h = int.from_bytes(seg[1:3], "big")
@@ -268,121 +409,80 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "q": tq}
                 )
-        elif m in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                   0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # non-baseline SOF
+            hmax = max(c["h"] for c in comps)
+            vmax = max(c["v"] for c in comps)
+            mcux = -(-w // (8 * hmax))
+            mcuy = -(-h // (8 * vmax))
+            # MCU-padded block grid per component; every scan kind
+            # (interleaved or single-component) indexes (by, bx)
+            grids = [
+                np.zeros((mcuy * c["v"], mcux * c["h"], 64), dtype=np.int32)
+                for c in comps
+            ]
+            # per-component TRUE block extents (non-interleaved scans
+            # cover ceil(comp_dims / 8), NOT the MCU-padded grid)
+            for c in comps:
+                cw = -(-w * c["h"] // hmax)
+                ch = -(-h * c["v"] // vmax)
+                c["bx"] = -(-cw // 8)
+                c["by"] = -(-ch // 8)
+        elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                   0xCE, 0xCF):
+            return None  # lossless / arithmetic / hierarchical
         elif m == 0xDD:  # DRI
             restart = int.from_bytes(seg[0:2], "big")
-        elif m == 0xDA:  # SOS
-            ns = seg[0]
-            if ns != len(comps):
+        elif m == 0xDA:  # SOS: decode this scan immediately
+            if not comps:
                 return None
+            ns = seg[0]
+            sel: list[tuple[int, _Huff | None, _Huff | None]] = []
             for c in range(ns):
                 cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
                 idx = next(
                     k for k, cc in enumerate(comps) if cc["id"] == cid
                 )
-                scan_map.append((tt >> 4, tt & 0xF))
-                if idx != c:
-                    return None  # reordered scan: out of scope
-            scan = data[i + 2 + seglen :]
+                sel.append(
+                    (idx, huff_dc.get(tt >> 4), huff_ac.get(tt & 0xF))
+                )
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if not (0 <= ss <= se <= 63):
+                return None
+            if ss > 0 and ns != 1:
+                return None  # progressive AC scans are single-comp
+            segments, i = _unstuff_scan(data, i + 2 + seglen)
+            _decode_scan(
+                segments, comps, grids, sel, ss, se, ah, al, restart,
+                mcux, mcuy,
+            )
+            saw_scan = True
+            continue
         i += 2 + seglen
 
-    if scan is None or not comps or not w or not h:
+    if not saw_scan or not comps or not w or not h:
         return None
-
-    hmax = max(c["h"] for c in comps)
-    vmax = max(c["v"] for c in comps)
-    mcux = -(-w // (8 * hmax))
-    mcuy = -(-h // (8 * vmax))
-
-    # un-stuff the entropy segment, splitting at RST markers
-    segments: list[bytes] = []
-    cur = bytearray()
-    j = 0
-    sn = len(scan)
-    while j < sn:
-        b = scan[j]
-        if b == 0xFF:
-            nxt = scan[j + 1] if j + 1 < sn else 0xD9
-            if nxt == 0x00:
-                cur.append(0xFF)
-                j += 2
-                continue
-            if 0xD0 <= nxt <= 0xD7:
-                segments.append(bytes(cur))
-                cur = bytearray()
-                j += 2
-                continue
-            break  # EOI or next marker
-        cur.append(b)
-        j += 1
-    segments.append(bytes(cur))
-
-    # entropy-decode every block's zigzag coefficients
-    nblk = [mcux * mcuy * c["h"] * c["v"] for c in comps]
-    coefs = [np.zeros((k, 64), dtype=np.int32) for k in nblk]
-    counters = [0] * len(comps)
-    pred = [0] * len(comps)
-    br = _Bits(segments[0])
-    seg_idx = 0
-    mcu_count = mcux * mcuy
-    for mcu in range(mcu_count):
-        if restart and mcu and mcu % restart == 0:
-            seg_idx += 1
-            if seg_idx >= len(segments):
-                raise ValueError("missing restart segment")
-            br = _Bits(segments[seg_idx])
-            pred = [0] * len(comps)
-        for ci, c in enumerate(comps):
-            hdc = huff_dc[scan_map[ci][0]]
-            hac = huff_ac[scan_map[ci][1]]
-            for _ in range(c["h"] * c["v"]):
-                row = coefs[ci][counters[ci]]
-                counters[ci] += 1
-                s = hdc.decode(br)
-                pred[ci] += _extend(br.get(s), s)
-                row[0] = pred[ci]
-                k = 1
-                while k < 64:
-                    rs = hac.decode(br)
-                    r, s = rs >> 4, rs & 0xF
-                    if s == 0:
-                        if r == 15:
-                            k += 16  # ZRL
-                            continue
-                        break  # EOB
-                    k += r
-                    if k > 63:
-                        raise ValueError("AC run past block end")
-                    row[k] = _extend(br.get(s), s)
-                    k += 1
 
     # vectorized: dequant + dezigzag + IDCT + level shift per plane
     planes: list[np.ndarray] = []
     for ci, c in enumerate(comps):
         q = qt[c["q"]]
-        blocks = np.zeros((nblk[ci], 64), dtype=np.float64)
-        blocks[:, _ZZ] = coefs[ci] * q[np.newaxis, :]
+        g = grids[ci]
+        by_, bx_ = g.shape[0], g.shape[1]
+        blocks = np.zeros((by_ * bx_, 64), dtype=np.float64)
+        blocks[:, _ZZ] = g.reshape(-1, 64) * q[np.newaxis, :]
         blocks = blocks.reshape(-1, 8, 8)
         # 2-D IDCT: C^T @ F @ C over all blocks at once
         spatial = np.einsum(
             "kK,nKL,Ll->nkl", _C.T, blocks, _C, optimize=True
         )
         spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
-        # blocks are MCU-ordered: reassemble the component plane
-        bw, bh = c["h"], c["v"]
-        pw, ph = mcux * bw * 8, mcuy * bh * 8
-        plane = np.zeros((ph, pw), dtype=np.uint8)
-        idx = 0
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for by in range(bh):
-                    for bx in range(bw):
-                        y0 = (my * bh + by) * 8
-                        x0 = (mx * bw + bx) * 8
-                        plane[y0 : y0 + 8, x0 : x0 + 8] = spatial[idx]
-                        idx += 1
+        # grid order (by, bx): one transpose+reshape rebuilds the plane
+        plane = (
+            spatial.reshape(by_, bx_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(by_ * 8, bx_ * 8)
+        )
         # crop to this component's true extent, then upsample to full
         cw = -(-w * c["h"] // hmax)
         ch = -(-h * c["v"] // vmax)
@@ -403,3 +503,62 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_scan(
+    segments: list[bytes],
+    comps: list[dict],
+    grids: list[np.ndarray],
+    sel: list[tuple[int, _Huff | None, _Huff | None]],
+    ss: int,
+    se: int,
+    ah: int,
+    al: int,
+    restart: int,
+    mcux: int,
+    mcuy: int,
+) -> None:
+    """Entropy-decode one scan into the coefficient grids. Interleaved
+    scans (ns > 1) walk MCUs; single-component scans walk the
+    component's TRUE block raster (its MCU is one block, so restart
+    intervals count blocks). Predictors and the EOB run reset at every
+    restart segment."""
+    br = _Bits(segments[0])
+    seg_idx = 0
+    pred = [0] * len(comps)
+    eobrun = 0
+
+    def _restart_boundary(unit: int) -> None:
+        nonlocal br, seg_idx, pred, eobrun
+        if restart and unit and unit % restart == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("missing restart segment")
+            br = _Bits(segments[seg_idx])
+            pred = [0] * len(comps)
+            eobrun = 0
+
+    if len(sel) > 1:
+        # interleaved: all blocks of each MCU in component order
+        for mcu in range(mcux * mcuy):
+            _restart_boundary(mcu)
+            my, mx = divmod(mcu, mcux)
+            for ci, hdc, hac in sel:
+                c = comps[ci]
+                for b in range(c["h"] * c["v"]):
+                    by, bx = divmod(b, c["h"])
+                    row = grids[ci][my * c["v"] + by, mx * c["h"] + bx]
+                    eobrun = _decode_block(
+                        br, row, hdc, hac, pred, ci, ss, se, ah, al,
+                        eobrun,
+                    )
+    else:
+        ci, hdc, hac = sel[0]
+        c = comps[ci]
+        for b in range(c["by"] * c["bx"]):
+            _restart_boundary(b)
+            by, bx = divmod(b, c["bx"])
+            eobrun = _decode_block(
+                br, grids[ci][by, bx], hdc, hac, pred, ci, ss, se, ah,
+                al, eobrun,
+            )

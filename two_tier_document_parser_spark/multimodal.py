@@ -169,9 +169,10 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
     """Arrow-batched resize: scale so the longer side is `max_side`,
     preserving aspect ratio in integer math.
 
-    For PNG payloads (png.decode_png_gray), baseline-JPEG payloads
-    (jpeg.decode_jpeg_gray — from-scratch T.81 huffman + IDCT,
-    round-3 verdict task #4), and G4-TIFF payloads
+    For PNG payloads (png.decode_png_gray), JPEG payloads — baseline
+    AND progressive SOF2 (jpeg.decode_jpeg_gray — from-scratch T.81
+    huffman + IDCT + Annex G scan engine, round-3 task #4 + round-5
+    task #3), and G4-TIFF payloads
     (ccitt.decode_tiff_g4 — from-scratch T.6 MMR, the scanned-bilevel
     leg of round-3 "what's missing" #2) the resample is REAL: decode
     pixels, nearest-neighbor index-sample in numpy, and re-encode —
@@ -442,11 +443,13 @@ def media_dhash(media: DataFrame) -> DataFrame:
     accurate/service.py's first-seen id policy; dHash extends that
     from exact bytes to perceptual identity).
 
-    Decode is REAL for PNG / baseline-JPEG / G4-TIFF payloads (the
-    from-scratch codecs), with the same nearest-neighbor resample as
-    resize_media. Non-decodable payloads (no pixel semantics in this
-    sandbox) fall back to a sha256-derived hash — exact-dup-only for
-    those, flagged real_pixels=false so downstream policy can tell.
+    Decode is REAL for PNG / JPEG (baseline SOF0/SOF1 AND progressive
+    SOF2 — r05 task #3 closed the dominant web-JPEG gap) / G4-TIFF
+    payloads (the from-scratch codecs), with the same nearest-neighbor
+    resample as resize_media. Non-decodable payloads (no pixel
+    semantics in this sandbox) fall back to a sha256-derived hash —
+    exact-dup-only for those, flagged real_pixels=false so downstream
+    policy can tell.
 
     Scale shape: one map-only Arrow pass, 12 bytes of output per
     asset; no shuffle. The pairs join happens on the 64-bit hash,
