@@ -279,3 +279,198 @@ def test_standard_mac_glyph_order_shape():
     assert STANDARD_MAC_GLYPHS[3] == "space"
     assert STANDARD_MAC_GLYPHS[36] == "A"  # 3 + (0x41 - 0x20)
     assert STANDARD_MAC_GLYPHS[257] == "dcroat"
+
+
+# ---------------------------------------------------------------------------
+# embedded CFF (/FontFile3) — r04 verdict task #4. The builder below
+# is an independent minimal CFF writer from Tech Note #5176 (INDEX
+# layout, fixed-width op-29 offsets in the Top DICT, charset format
+# 0, encoding format 0); the SID values for standard names are taken
+# straight from Appendix A, not from the module's table.
+# ---------------------------------------------------------------------------
+
+CFF_TEST_SIDS = {"space": 1, "A": 34, "a": 66, "bullet": 116,
+                 "eacute": 207}
+
+
+def _cff_index_bytes(items: list[bytes]) -> bytes:
+    if not items:
+        return struct.pack(">H", 0)
+    offs = [1]
+    for it in items:
+        offs.append(offs[-1] + len(it))
+    return (
+        struct.pack(">HB", len(items), 2)
+        + b"".join(struct.pack(">H", o) for o in offs)
+        + b"".join(items)
+    )
+
+
+def build_cff(glyphs: list[str], codes_by_gid: list[int]) -> bytes:
+    """Bare Type1C: gid 0 is .notdef; `glyphs[i]` names gid i+1;
+    encoding format 0 assigns codes_by_gid[i] to gid i+1."""
+    custom: list[bytes] = []
+    sids = []
+    for nm in glyphs:
+        if nm in CFF_TEST_SIDS:
+            sids.append(CFF_TEST_SIDS[nm])
+        else:
+            sids.append(391 + len(custom))
+            custom.append(nm.encode("ascii"))
+    header = bytes([1, 0, 4, 2])
+    name_idx = _cff_index_bytes([b"TestFont"])
+    string_idx = _cff_index_bytes(custom)
+    gsubr_idx = _cff_index_bytes([])
+    nglyphs = len(glyphs) + 1
+    charstrings = _cff_index_bytes([b"\x0e"] * nglyphs)  # endchar
+    charset = b"\x00" + b"".join(struct.pack(">H", s) for s in sids)
+    encoding = bytes([0, len(codes_by_gid)]) + bytes(codes_by_gid)
+    top_dict_len = 18  # three ops, op-29 fixed 4-byte operands
+    top_idx_len = len(_cff_index_bytes([b"\x00" * top_dict_len]))
+    base = (
+        len(header) + len(name_idx) + top_idx_len + len(string_idx)
+        + len(gsubr_idx)
+    )
+    charset_off = base
+    enc_off = charset_off + len(charset)
+    cs_off = enc_off + len(encoding)
+    top = (
+        bytes([29]) + struct.pack(">i", charset_off) + bytes([15])
+        + bytes([29]) + struct.pack(">i", enc_off) + bytes([16])
+        + bytes([29]) + struct.pack(">i", cs_off) + bytes([17])
+    )
+    assert len(top) == top_dict_len
+    return (
+        header + name_idx + _cff_index_bytes([top]) + string_idx
+        + gsubr_idx + charset + encoding + charstrings
+    )
+
+
+def _cff_font_objs(cff: bytes, flags: int = 4):
+    return (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /TestCFF"
+        b" /FontDescriptor 6 0 R >>",
+        {
+            6: b"<< /Type /FontDescriptor /FontName /TestCFF"
+               b" /Flags %d /FontFile3 7 0 R >>" % flags,
+            7: b"<< /Length %d /Subtype /Type1C >>\nstream\n%s\nendstream"
+               % (len(cff), cff),
+        },
+    )
+
+
+def test_cff_unit_custom_encoding_and_charset():
+    from two_tier_document_parser_spark.pdf_fonts import cff_code_map
+
+    cff = build_cff(
+        ["eacute", "uni0394", "bullet", "space"], [65, 66, 67, 32]
+    )
+    got = cff_code_map(cff)
+    assert got == {65: "é", 66: "Δ", 67: "•", 32: " "}
+
+
+def test_cff_unit_standard_encoding_and_junk():
+    from two_tier_document_parser_spark.pdf_fonts import cff_code_map
+
+    # predefined encoding 0 -> the Annex D Standard map
+    custom: list[bytes] = []
+    header = bytes([1, 0, 4, 2])
+    name_idx = _cff_index_bytes([b"T"])
+    string_idx = _cff_index_bytes(custom)
+    gsubr_idx = _cff_index_bytes([])
+    charstrings = _cff_index_bytes([b"\x0e"] * 2)
+    base = None  # layout: charset fmt0 with one SID then charstrings
+    charset = b"\x00" + struct.pack(">H", 34)  # gid1 = 'A'
+    top_len = 18
+    top_idx_len = len(_cff_index_bytes([b"\x00" * top_len]))
+    base = (len(header) + len(name_idx) + top_idx_len
+            + len(string_idx) + len(gsubr_idx))
+    top = (
+        bytes([29]) + struct.pack(">i", base) + bytes([15])
+        + bytes([29]) + struct.pack(">i", 0) + bytes([16])
+        + bytes([29]) + struct.pack(">i", base + len(charset)) + bytes([17])
+    )
+    cff = (header + name_idx + _cff_index_bytes([top]) + string_idx
+           + gsubr_idx + charset + charstrings)
+    got = cff_code_map(cff)
+    assert got is not None and got[0x41] == "A" and got[0x27] == "’"
+    # junk never raises
+    assert cff_code_map(b"") is None
+    assert cff_code_map(b"\x01\x00\x04\x02junkjunk") is None
+    assert cff_code_map(b"not a font at all") is None
+
+
+def test_cff_fontfile3_decodes_custom_encoded_text():
+    """A symbolic font whose ONLY mapping lives in the embedded CFF
+    program (no ToUnicode, no /Differences) must decode through the
+    charset + built-in encoding instead of WinAnsi mojibake or
+    quarantine."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    cff = build_cff(["eacute", "uni0394", "bullet"], [65, 66, 67])
+    font, extra = _cff_font_objs(cff, flags=4)
+    doc = parse_pdf(_font_page(font, b"BT /F1 12 Tf 72 700 Td (ABC) Tj ET",
+                               extra))
+    assert doc is not None
+    assert _texts(doc) == [("text", "éΔ•")]
+
+
+def test_cff_truly_unmappable_glyphs_quarantine():
+    """A symbolic CFF whose glyph names resolve to NOTHING under AGL
+    keeps the quarantine rule — only truly unmappable fonts do."""
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    cff = build_cff(["glyphx1", "glyphx2"], [65, 66])
+    font, extra = _cff_font_objs(cff, flags=4)
+    doc = parse_pdf(_font_page(font, b"BT /F1 12 Tf 72 700 Td (AB) Tj ET",
+                               extra))
+    assert doc is None  # shown text with no mapping -> quarantined
+
+
+# ---------------------------------------------------------------------------
+# bare Type 1 (/FontFile): cleartext /Encoding array
+# ---------------------------------------------------------------------------
+
+def _type1_program(pairs: dict[int, str]) -> bytes:
+    body = b"%!PS-AdobeFont-1.0: TestT1 001.001\n"
+    body += b"/FontName /TestT1 def\n/Encoding 256 array\n"
+    body += b"0 1 255 {1 index exch /.notdef put} for\n"
+    for code, name in pairs.items():
+        body += b"dup %d /%s put\n" % (code, name.encode("ascii"))
+    body += b"readonly def\ncurrentdict end\ncurrentfile eexec\n"
+    body += b"\xa5\x13" * 40  # fake encrypted section
+    return body
+
+
+def test_type1_fontfile_cleartext_encoding_decodes():
+    from two_tier_document_parser_spark.pdf_io import parse_pdf
+
+    t1 = _type1_program({65: "eacute", 66: "bullet", 67: "uni0416"})
+    font = (
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /TestT1"
+        b" /FontDescriptor 6 0 R >>"
+    )
+    extra = {
+        6: b"<< /Type /FontDescriptor /FontName /TestT1 /Flags 4"
+           b" /FontFile 7 0 R >>",
+        7: b"<< /Length %d /Length1 %d /Length2 0 /Length3 0 >>\n"
+           b"stream\n%s\nendstream" % (len(t1), len(t1), t1),
+    }
+    doc = parse_pdf(_font_page(font, b"BT /F1 12 Tf 72 700 Td (ABC) Tj ET",
+                               extra))
+    assert doc is not None
+    assert _texts(doc) == [("text", "é•Ж")]
+
+
+def test_type1_pfb_segments_and_standard_encoding():
+    from two_tier_document_parser_spark.pdf_fonts import type1_code_map
+
+    ascii_part = (b"%!PS-AdobeFont-1.0\n"
+                  b"/Encoding StandardEncoding def\n")
+    pfb = (b"\x80\x01" + len(ascii_part).to_bytes(4, "little")
+           + ascii_part
+           + b"\x80\x02" + (8).to_bytes(4, "little") + b"\x00" * 8
+           + b"\x80\x03")
+    got = type1_code_map(pfb)
+    assert got is not None and got[0x41] == "A" and got[0xA1] == "¡"
+    assert type1_code_map(b"no encoding here") is None

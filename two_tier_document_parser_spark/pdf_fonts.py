@@ -17,6 +17,12 @@ WinAnsi. Two public-spec mechanisms close the gap:
   — AGL turns those into text. When the font carries a (3,1)
   Unicode subtable but no usable ``post`` names, its inverse
   (gid -> unicode) is the fallback.
+- Round-5 (r04 verdict task #4): embedded CFF programs (/FontFile3,
+  bare Type1C or OpenType-wrapped) — the charset table gives
+  glyph -> SID -> name and the built-in Encoding gives code ->
+  glyph, no charstring interpretation needed — and bare Type 1
+  programs (/FontFile), whose /Encoding array is cleartext
+  ("dup <code> /<name> put") ahead of the eexec section.
 
 Everything here is built from the public specs (ISO 32000-1,
 Apple/Microsoft TrueType ``cmap``/``post`` references, Adobe AGL);
@@ -440,6 +446,296 @@ def truetype_code_map(data: bytes) -> dict[int, str] | None:
         if ch is not None:
             out[code] = ch
     return out or None
+
+
+# ---------------------------------------------------------------------------
+# embedded CFF (/FontFile3, Subtype Type1C/OpenType) parsing — r04
+# verdict task #4: charstring-packaged fonts with custom built-in
+# encodings and no ToUnicode//Differences defaulted to WinAnsi. The
+# text mapping needs NO charstring interpretation: the CFF charset
+# table gives glyph -> SID -> name and the built-in Encoding gives
+# code -> glyph; AGL turns names into text. Built from the public
+# Adobe CFF spec (Tech Note #5176 §§5-13, 16-19).
+# ---------------------------------------------------------------------------
+
+# CFF standard strings, SIDs 0-228 (Tech Note #5176 Appendix A) —
+# the Latin text set. SIDs 229-390 are the Expert-set names
+# (small caps, oldstyle figures, fraction pieces, weight words):
+# none of them resolves to text under the Adobe Glyph List, so they
+# are represented by unmappable placeholders; only their COUNT
+# matters (custom strings index from SID 391).
+_CFF_STD = (
+    ".notdef space exclam quotedbl numbersign dollar percent "
+    "ampersand quoteright parenleft parenright asterisk plus comma "
+    "hyphen period slash zero one two three four five six seven "
+    "eight nine colon semicolon less equal greater question at "
+    "A B C D E F G H I J K L M N O P Q R S T U V W X Y Z "
+    "bracketleft backslash bracketright asciicircum underscore "
+    "quoteleft a b c d e f g h i j k l m n o p q r s t u v w x y z "
+    "braceleft bar braceright asciitilde exclamdown cent sterling "
+    "fraction yen florin section currency quotesingle quotedblleft "
+    "guillemotleft guilsinglleft guilsinglright fi fl endash dagger "
+    "daggerdbl periodcentered paragraph bullet quotesinglbase "
+    "quotedblbase quotedblright guillemotright ellipsis perthousand "
+    "questiondown grave acute circumflex tilde macron breve "
+    "dotaccent dieresis ring cedilla hungarumlaut ogonek caron "
+    "emdash AE ordfeminine Lslash Oslash OE ordmasculine ae "
+    "dotlessi lslash oslash oe germandbls onesuperior logicalnot mu "
+    "trademark Eth onehalf plusminus Thorn onequarter divide "
+    "brokenbar degree thorn threequarters twosuperior registered "
+    "minus eth multiply threesuperior copyright Aacute Acircumflex "
+    "Adieresis Agrave Aring Atilde Ccedilla Eacute Ecircumflex "
+    "Edieresis Egrave Iacute Icircumflex Idieresis Igrave Ntilde "
+    "Oacute Ocircumflex Odieresis Ograve Otilde Scaron Uacute "
+    "Ucircumflex Udieresis Ugrave Yacute Ydieresis Zcaron aacute "
+    "acircumflex adieresis agrave aring atilde ccedilla eacute "
+    "ecircumflex edieresis egrave iacute icircumflex idieresis "
+    "igrave ntilde oacute ocircumflex odieresis ograve otilde "
+    "scaron uacute ucircumflex udieresis ugrave yacute ydieresis "
+    "zcaron"
+).split()
+assert len(_CFF_STD) == 229
+
+CFF_STANDARD_STRINGS: list[str] = _CFF_STD + [
+    f"expertsid{i}" for i in range(229, 391)
+]
+
+
+def _cff_index(b: bytes, p: int) -> tuple[list[bytes], int]:
+    """CFF INDEX at offset p -> (items, offset past the INDEX)."""
+    count = _u16(b, p)
+    if count == 0:
+        return [], p + 2
+    off_size = b[p + 2]
+    if not 1 <= off_size <= 4:
+        raise ValueError("bad CFF offSize")
+    q = p + 3
+    offs = []
+    for _ in range(count + 1):
+        offs.append(int.from_bytes(b[q : q + off_size], "big"))
+        q += off_size
+    base = q - 1  # offsets are 1-based from the byte before the data
+    items = [b[base + offs[i] : base + offs[i + 1]] for i in range(count)]
+    return items, base + offs[-1]
+
+
+def _cff_dict(b: bytes) -> dict[int, list]:
+    """CFF DICT -> {operator: operands}; two-byte operators are keyed
+    1200+op2. Reals are parsed structurally but returned as 0.0 (no
+    text-mapping operator takes a real we need)."""
+    out: dict[int, list] = {}
+    operands: list = []
+    i = 0
+    n = len(b)
+    while i < n:
+        b0 = b[i]
+        if b0 <= 21:
+            op = b0
+            i += 1
+            if b0 == 12:
+                op = 1200 + b[i]
+                i += 1
+            out[op] = operands
+            operands = []
+        elif b0 == 28:
+            operands.append(int.from_bytes(b[i + 1 : i + 3], "big", signed=True))
+            i += 3
+        elif b0 == 29:
+            operands.append(int.from_bytes(b[i + 1 : i + 5], "big", signed=True))
+            i += 5
+        elif b0 == 30:  # real: nibbles until an 0xF terminator
+            i += 1
+            while i < n:
+                v = b[i]
+                i += 1
+                if (v & 0x0F) == 0x0F or (v >> 4) == 0x0F:
+                    break
+            operands.append(0.0)
+        elif 32 <= b0 <= 246:
+            operands.append(b0 - 139)
+            i += 1
+        elif 247 <= b0 <= 250:
+            operands.append((b0 - 247) * 256 + b[i + 1] + 108)
+            i += 2
+        elif 251 <= b0 <= 254:
+            operands.append(-(b0 - 251) * 256 - b[i + 1] - 108)
+            i += 2
+        else:
+            i += 1  # reserved byte: skip
+    return out
+
+
+def cff_code_map(data: bytes) -> dict[int, str] | None:
+    """Embedded CFF (bare Type1C or OpenType-wrapped) ->
+    {single-byte char code: text} from the font's BUILT-IN encoding
+    and charset, or None when nothing is recoverable."""
+    try:
+        return _cff_code_map_inner(data)
+    except Exception:
+        return None
+
+
+def _cff_code_map_inner(data: bytes) -> dict[int, str] | None:
+    tables = sfnt_tables(data)
+    if tables is not None:
+        data = tables.get(b"CFF ", b"")
+    if len(data) < 4 or data[0] != 1:
+        return None
+    p = data[2]  # hdrSize
+    _names, p = _cff_index(data, p)
+    tops, p = _cff_index(data, p)
+    strings, p = _cff_index(data, p)
+    if not tops:
+        return None
+    top = _cff_dict(tops[0])
+    if 1230 in top:
+        return None  # CIDFont (ROS): composite, handled by CMaps
+    cs = top.get(17)
+    if not cs or not isinstance(cs[0], int):
+        return None
+    nglyphs = _u16(data, cs[0])
+    if not nglyphs:
+        return None
+
+    # charset: gid -> SID (predefined 0 = ISOAdobe, sid == gid)
+    charset_off = top.get(15, [0])[0]
+    sids = list(range(nglyphs))
+    if charset_off in (1, 2):
+        return None  # Expert charsets carry no AGL text
+    if charset_off not in (0, 1, 2):
+        fmt = data[charset_off]
+        q = charset_off + 1
+        sids = [0] * nglyphs
+        gid = 1
+        if fmt == 0:
+            while gid < nglyphs:
+                sids[gid] = _u16(data, q)
+                q += 2
+                gid += 1
+        elif fmt in (1, 2):
+            while gid < nglyphs:
+                first = _u16(data, q)
+                q += 2
+                if fmt == 1:
+                    nleft = data[q]
+                    q += 1
+                else:
+                    nleft = _u16(data, q)
+                    q += 2
+                for k in range(nleft + 1):
+                    if gid < nglyphs:
+                        sids[gid] = first + k
+                        gid += 1
+        else:
+            return None
+
+    def sid_name(sid: int) -> str | None:
+        if sid < 391:
+            return CFF_STANDARD_STRINGS[sid]
+        ix = sid - 391
+        if ix < len(strings):
+            return strings[ix].decode("latin-1")
+        return None
+
+    # encoding: code -> gid. Predefined 0 = Standard (code->char is
+    # the Annex D Standard map), 1 = Expert (no text semantics).
+    enc_off = top.get(16, [0])[0]
+    if enc_off == 0:
+        return base_encoding_map("StandardEncoding")
+    if enc_off == 1:
+        return None
+    fmt = data[enc_off]
+    q = enc_off + 1
+    code_gid: dict[int, int] = {}
+    base_fmt = fmt & 0x7F
+    if base_fmt == 0:
+        ncodes = data[q]
+        q += 1
+        for gid in range(1, min(ncodes, nglyphs - 1) + 1):
+            code_gid[data[q]] = gid
+            q += 1
+    elif base_fmt == 1:
+        nranges = data[q]
+        q += 1
+        gid = 1
+        for _ in range(nranges):
+            first, nleft = data[q], data[q + 1]
+            q += 2
+            for k in range(nleft + 1):
+                if gid < nglyphs and first + k <= 0xFF:
+                    code_gid[first + k] = gid
+                gid += 1
+    else:
+        return None
+    if fmt & 0x80:  # supplements: (code, SID) pairs
+        nsup = data[q]
+        q += 1
+        sid_to_gid = {s: g for g, s in enumerate(sids)}
+        for _ in range(nsup):
+            code, sid = data[q], _u16(data, q + 1)
+            q += 3
+            g = sid_to_gid.get(sid)
+            if g:
+                code_gid[code] = g
+
+    out: dict[int, str] = {}
+    for code, gid in code_gid.items():
+        nm = sid_name(sids[gid]) if gid < nglyphs else None
+        ch = glyph_to_char(nm) if nm else None
+        if ch is not None:
+            out[code] = ch
+    return out or None
+
+
+# ---------------------------------------------------------------------------
+# bare Type1 (/FontFile, PFA/PFB) — the built-in /Encoding array is
+# CLEARTEXT ("dup <code> /<glyphname> put"), so code -> name -> AGL
+# needs no eexec decryption (Adobe Type 1 Font Format §2.3).
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+_T1_DUP_RE = _re.compile(rb"dup\s+(\d+)\s*/([^\s/{}()<>\[\]]+)\s+put")
+_T1_STD_RE = _re.compile(rb"/Encoding\s+StandardEncoding\s+def")
+
+
+def type1_code_map(data: bytes) -> dict[int, str] | None:
+    """Embedded Type 1 program -> {char code: text} from its
+    cleartext /Encoding array, or None. PFB segment headers
+    (0x80 0x01/0x02 + little-endian length) are unwrapped; only the
+    ASCII segments are scanned."""
+    try:
+        if data[:1] == b"\x80":
+            parts = []
+            i = 0
+            while i + 6 <= len(data) and data[i] == 0x80:
+                t = data[i + 1]
+                ln = int.from_bytes(data[i + 2 : i + 6], "little")
+                if t == 1:
+                    parts.append(data[i + 6 : i + 6 + ln])
+                if t == 3:
+                    break
+                i += 6 + ln
+            text = b"".join(parts)
+        else:
+            # scan only the cleartext header (up to eexec)
+            cut = data.find(b"eexec")
+            text = data[: cut if cut >= 0 else len(data)]
+        if b"/Encoding" not in text:
+            return None
+        if _T1_STD_RE.search(text):
+            return base_encoding_map("StandardEncoding")
+        out: dict[int, str] = {}
+        for m in _T1_DUP_RE.finditer(text):
+            code = int(m.group(1))
+            if not 0 <= code <= 0xFF:
+                continue
+            ch = glyph_to_char(m.group(2).decode("latin-1"))
+            if ch is not None:
+                out[code] = ch
+        return out or None
+    except Exception:
+        return None
 
 
 #: sentinel: a symbolic font whose embedded program yields NO

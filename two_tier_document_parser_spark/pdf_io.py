@@ -1165,16 +1165,24 @@ def _font_decoder(objs: dict[int, bytes], fd: dict | None, cmap_cache: dict):
         return {(1, c): ch for c, ch in enc_map.items()}, [1]
     desc = _obj_dict(objs, fd.get("FontDescriptor"))
     if desc:
-        ff = desc.get("FontFile2")
-        if isinstance(ff, Ref):
+        # embedded font programs, in sfnt -> CFF -> Type1 order
+        # (r04 verdict task #4 added the charstring-packaged kinds:
+        # /FontFile3 CFF charset+builtin-encoding, /FontFile Type1
+        # cleartext /Encoding array)
+        for key, parser in (
+            ("FontFile2", pdf_fonts.truetype_code_map),
+            ("FontFile3", pdf_fonts.cff_code_map),
+            ("FontFile", pdf_fonts.type1_code_map),
+        ):
+            ff = desc.get(key)
+            if not isinstance(ff, Ref):
+                continue
             try:
-                tt_map = pdf_fonts.truetype_code_map(
-                    _stream_bytes(objs, ff)
-                )
+                code_map = parser(_stream_bytes(objs, ff))
             except Exception:
-                tt_map = None
-            if tt_map:
-                return {(1, c): ch for c, ch in tt_map.items()}, [1]
+                code_map = None
+            if code_map:
+                return {(1, c): ch for c, ch in code_map.items()}, [1]
         flags = desc.get("Flags")
         if isinstance(flags, (int, float)) and int(flags) & 4:
             return pdf_fonts.UNMAPPABLE
