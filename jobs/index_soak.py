@@ -16,6 +16,12 @@ the retrieval-family scale evidence:
   posting-block cap must keep per-term state bounded regardless of
   stopword df (the most frequent Zipf token appears in ~every doc).
 
+Round 5 adds --retrieval (r04 verdict task #6): bm25_topk with a
+stopword-class query term and sparse_topk_pairs at the same 1M-doc
+Zipf corpus, with prune diagnostics (max surviving df and the exact
+sum(df^2) candidate volume) proving the absolute df cap bounds the
+hot term's quadratic bucket. Writes BENCH/soak_retrieval.json.
+
 Run: python jobs/index_soak.py [n_docs] [--cores 8,32]
 Writes BENCH/soak_index.json and prints the same JSON line.
 """
@@ -36,6 +42,9 @@ sys.path.insert(0, str(REPO))
 TOKENS_PER_DOC = 120
 VOCAB = 50_000
 CAP = 16
+# retrieval mode: absolute df cap for the sparse similarity join —
+# the hot-bucket bound under test (df^2 pair fan-out per term)
+DF_CAP_ABS = 100
 
 
 def materialize(n: int) -> str:
@@ -105,7 +114,7 @@ if mode == "build":
         "terms": n_terms, "wall_sec": round(wall, 2),
         "docs_per_sec": round(n_docs / wall, 1),
     }}))
-else:  # merge-verify: committed 95%, increment 5%
+elif mode == "merge":  # merge-verify: committed 95%, increment 5%
     committed = docs.filter(F.col("doc_id") % 20 != 0)
     increment = docs.filter(F.col("doc_id") % 20 == 0)
     base = inverted_index(committed, cap={cap}).localCheckpoint()
@@ -121,11 +130,52 @@ else:  # merge-verify: committed 95%, increment 5%
         "merge_wall_sec": round(merge_wall, 2),
         "diff_rows_vs_recompute": diff,
     }}))
+else:  # retrieval: bm25 + sparse similarity pairs at volume
+    from two_tier_document_parser_spark.ranking import (
+        bm25_topk, sparse_topk_pairs, tokens)
+    # bm25 with one stopword-class term (w1 ~ 64% of docs) + two
+    # mid/rare terms: the scoring join must survive the hot posting
+    t0 = time.time()
+    top = bm25_topk(docs, ("w1", "w777", "w4242"), k=20).collect()
+    bm25_wall = time.time() - t0
+    # prune diagnostics BEFORE the self-join: with the absolute cap
+    # the max surviving df (hot-bucket bound) and the exact candidate
+    # volume sum(df^2) are the two numbers that prove the bound
+    tf = (docs.select("doc_id",
+                      F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+          .groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = dfreq.filter(F.col("df") <= {df_abs})
+    diag = kept.agg(
+        F.count(F.lit(1)).alias("kept_terms"),
+        F.max("df").alias("max_kept_df"),
+        F.sum(F.expr("df * df")).alias("candidate_volume"),
+    ).collect()[0]
+    pruned = dfreq.agg(
+        F.count(F.lit(1)).alias("vocab"), F.max("df").alias("max_df")
+    ).collect()[0]
+    t0 = time.time()
+    n_pairs = sparse_topk_pairs(
+        docs, k=3, df_cap_abs={df_abs}).count()
+    sparse_wall = time.time() - t0
+    print(json.dumps({{
+        "cores": cores, "mode": mode, "docs": n_docs,
+        "bm25_wall_sec": round(bm25_wall, 2),
+        "bm25_rows": len(top),
+        "bm25_top_doc": top[0].doc_id if top else None,
+        "vocab": pruned.vocab, "corpus_max_df": pruned.max_df,
+        "df_cap_abs": {df_abs},
+        "kept_terms": diag.kept_terms,
+        "max_kept_df": diag.max_kept_df,
+        "candidate_volume_sum_df2": diag.candidate_volume,
+        "sparse_wall_sec": round(sparse_wall, 2),
+        "sparse_pairs_rows": n_pairs,
+    }}))
 """
 
 
 def run_child(corpus: str, cores: int, mode: str) -> dict:
-    script = CHILD.format(repo=str(REPO), cap=CAP)
+    script = CHILD.format(repo=str(REPO), cap=CAP, df_abs=DF_CAP_ABS)
     launch_load = round(os.getloadavg()[0], 2)
     proc = subprocess.Popen(
         [sys.executable, "-c", script, corpus, str(cores), mode],
@@ -171,10 +221,36 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n", nargs="?", type=int, default=1_000_000)
     ap.add_argument("--cores", default="8,32")
+    ap.add_argument(
+        "--retrieval",
+        action="store_true",
+        help="bm25 + sparse-similarity soak only (r04 verdict task "
+        "#6); writes BENCH/soak_retrieval.json",
+    )
     args = ap.parse_args()
     load0 = os.getloadavg()[0]
     corpus = materialize(args.n)
     cores = [int(c) for c in args.cores.split(",")]
+    if args.retrieval:
+        runs = [run_child(corpus, c, "retrieval") for c in cores]
+        result = {
+            "n_docs": args.n,
+            "tokens_per_doc": TOKENS_PER_DOC,
+            "vocab": VOCAB,
+            "df_cap_abs": DF_CAP_ABS,
+            "loadavg_1m_start": round(load0, 2),
+            "runs": runs,
+        }
+        if len(runs) >= 2 and runs[0]["cores"] * 4 == runs[1]["cores"]:
+            eff = (
+                runs[0]["sparse_wall_sec"]
+                / (4 * runs[1]["sparse_wall_sec"])
+            )
+            result["sparse_scaling_efficiency_n_to_4n"] = round(eff, 3)
+        out = REPO / "BENCH" / "soak_retrieval.json"
+        out.write_text(json.dumps(result, indent=1))
+        print(json.dumps(result))
+        return
     runs = [run_child(corpus, c, "build") for c in cores]
     merge = run_child(corpus, cores[-1], "merge")
     result = {

@@ -124,6 +124,7 @@ import json, sys, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession, functions as F
 corpus, cores = sys.argv[1], int(sys.argv[2])
+q8_path = sys.argv[3] if len(sys.argv) > 3 else ""
 spark = (SparkSession.builder.master(f"local[{{cores}}]")
     .config("spark.ui.enabled", "false")
     .config("spark.driver.memory", "24g")
@@ -132,10 +133,11 @@ spark = (SparkSession.builder.master(f"local[{{cores}}]")
 spark.sparkContext.setLogLevel("ERROR")
 from two_tier_document_parser_spark.similarity import semantic_dedup
 emb = spark.read.parquet(corpus)
+q8 = spark.read.parquet(q8_path + "/runs/q8") if q8_path else None
 t0 = time.time()
 res = semantic_dedup(
     emb, threshold_x100={thr}, n_planes={planes}, n_tables={tables},
-    max_bucket=2000,
+    max_bucket=2000, q8_table=q8,
 ).localCheckpoint()
 n = res.count()
 wall = time.time() - t0
@@ -156,7 +158,30 @@ print(json.dumps({{
 """
 
 
-def run_child(corpus: str, cores: int, n: int) -> dict:
+def quantize_corpus(corpus: str, n: int) -> str:
+    """Write the "q8 at rest" layout beside the float corpus (the
+    quantize-at-ingest cost, paid once outside every timed run)."""
+    q8_path = f"{corpus}_q8"
+    if (Path(q8_path) / "_manifest.json").exists():
+        return q8_path
+    from pyspark.sql import SparkSession
+
+    from two_tier_document_parser_spark.similarity import quantize_at_ingest
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.shuffle.partitions", "64")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    quantize_at_ingest(spark, spark.read.parquet(corpus), q8_path)
+    spark.stop()
+    return q8_path
+
+
+def run_child(corpus: str, cores: int, n: int, q8_path: str = "") -> dict:
     """Run one cascade in a subprocess; sample the tree's peak RSS."""
     script = CHILD.format(
         repo=str(REPO),
@@ -166,7 +191,7 @@ def run_child(corpus: str, cores: int, n: int) -> dict:
     )
     launch_load = round(os.getloadavg()[0], 2)
     proc = subprocess.Popen(
-        [sys.executable, "-c", script, corpus, str(cores)],
+        [sys.executable, "-c", script, corpus, str(cores), q8_path],
         stdout=subprocess.PIPE,
         stderr=subprocess.DEVNULL,
         text=True,
@@ -209,9 +234,62 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("n", nargs="?", type=int, default=1_000_000)
     ap.add_argument("--cores", default="8,32")
+    ap.add_argument(
+        "--q8-compare",
+        action="store_true",
+        help="float vs pre-quantized verify at the first core count; "
+        "writes BENCH/soak_semantic_q8.json (r04 verdict task #7)",
+    )
     args = ap.parse_args()
     load0 = os.getloadavg()[0]
     corpus = materialize(args.n)
+    if args.q8_compare:
+        cores = int(args.cores.split(",")[0])
+        q8_path = quantize_corpus(corpus, args.n)
+        # paired A/B reps with a quiesce gap — the first capture of
+        # this comparison recorded the q8 run at loadavg 19 (machine
+        # still draining the float run) and was discarded under the
+        # repo's contended-capture rule; the min of two reps per arm
+        # with cool-downs is the honest figure
+        reps = []
+        for _ in range(2):
+            time.sleep(45)
+            f = run_child(corpus, cores, args.n)
+            f["verify"] = "float"
+            reps.append(f)
+            time.sleep(45)
+            q = run_child(corpus, cores, args.n, q8_path)
+            q["verify"] = "q8_at_rest"
+            reps.append(q)
+        fl = min(
+            (r for r in reps if r["verify"] == "float"),
+            key=lambda r: r["wall_sec"],
+        )
+        q8 = min(
+            (r for r in reps if r["verify"] == "q8_at_rest"),
+            key=lambda r: r["wall_sec"],
+        )
+        result = {
+            "n_vectors": args.n,
+            "dim": DIM,
+            "lsh": {
+                "n_planes": planes_for(args.n),
+                "n_tables": N_TABLES,
+                "threshold_x100": THRESHOLD_X100,
+                "max_bucket": 2000,
+            },
+            "loadavg_1m_start": round(load0, 2),
+            "all_reps": reps,
+            "runs": [fl, q8],
+            "q8_wall_delta_pct": round(
+                100.0 * (q8["wall_sec"] - fl["wall_sec"]) / fl["wall_sec"],
+                1,
+            ),
+        }
+        out = REPO / "BENCH" / "soak_semantic_q8.json"
+        out.write_text(json.dumps(result, indent=1))
+        print(json.dumps(result))
+        return
     runs = [run_child(corpus, int(c), args.n) for c in args.cores.split(",")]
     result = {
         "n_vectors": args.n,

@@ -139,3 +139,37 @@ def test_quantize_at_ingest_roundtrip(spark, tmp_path):
         (r.a, r.b) for r in near_dup_pairs_q8(df, threshold_x100=80).collect()
     }
     assert from_disk == brute
+
+
+def test_semantic_dedup_q8_table_path(spark, tmp_path):
+    """semantic_dedup(q8_table=...) must produce the same
+    (id, rep_id, keep) set as the float verify when no pair sits
+    within quantization error of the threshold (planted clusters at
+    cosine ~0.997 vs threshold 0.80)."""
+    import numpy as np
+
+    from two_tier_document_parser_spark.similarity import (
+        quantize_at_ingest,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for i in range(0, 200, 10):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        rows.append((i, [float(x) for x in base]))
+        for j in (1, 2):
+            v = base + 0.02 * rng.standard_normal(16)
+            v /= np.linalg.norm(v)
+            rows.append((i + j, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q8 = quantize_at_ingest(spark, df, str(tmp_path / "q8"))
+    fl = {(r.vec_id, r.rep_id, r.keep)
+          for r in semantic_dedup(df, threshold_x100=80).collect()}
+    qq = {(r.vec_id, r.rep_id, r.keep)
+          for r in semantic_dedup(df, threshold_x100=80,
+                                  q8_table=q8).collect()}
+    assert fl == qq
+    # the planted clusters really collapse: 20 kept of 60
+    assert sum(k for _, _, k in fl) == 20

@@ -280,6 +280,28 @@ def test_sparse_pairs_df_cap_prunes(spark):
     assert sparse_topk_pairs(d, k=3, df_cap_permille=600).count() == 0
 
 
+def test_sparse_pairs_absolute_df_cap(spark):
+    """r05: the web-scale knob — an absolute df cap applies on top of
+    the permille predicate and prunes the hot term even when the
+    relative cut keeps it."""
+    from two_tier_document_parser_spark.ranking import sparse_topk_pairs
+
+    d = _docs(
+        spark,
+        [(1, "hot rare1"), (2, "hot rare1"), (3, "hot"), (4, "hot")],
+    )
+    # permille=1000 keeps everything; 'hot' (df 4) pairs all 4 docs,
+    # rare1 (df 2) pairs docs 1-2
+    loose = sparse_topk_pairs(d, k=5, df_cap_permille=1000)
+    assert loose.count() == 12  # 6 unordered pairs, mirrored
+    # absolute cap 2 drops 'hot': only the rare1 pair survives
+    tight = sparse_topk_pairs(
+        d, k=5, df_cap_permille=1000, df_cap_abs=2
+    )
+    got = {(r.src, r.dst) for r in tight.collect()}
+    assert got == {(1, 2), (2, 1)}
+
+
 # ------------------------------------------------------ label propagation
 
 

@@ -212,7 +212,10 @@ def inverted_index(
 
 
 def sparse_topk_pairs(
-    docs: DataFrame, k: int = 3, df_cap_permille: int = 600
+    docs: DataFrame,
+    k: int = 3,
+    df_cap_permille: int = 600,
+    df_cap_abs: int | None = None,
 ) -> DataFrame:
     """Per-document top-k lexically similar documents by an
     idf-weighted sparse dot product — similar-document search over
@@ -228,6 +231,17 @@ def sparse_topk_pairs(
     is quadratic in df) and standard impact pruning in one — common
     terms carry ~zero idf weight anyway. Pairs materialize once
     (a < b), then mirror for the per-doc ranking window.
+
+    `df_cap_abs` (r05, from the retrieval soak): a RELATIVE cap
+    stops scaling once corpora get big — at 10^6+ docs even
+    1 permille keeps df-1000 terms whose pair fan-out is df^2 = 10^6
+    each, and integer permille cannot express a finer cut. The
+    absolute cap is the production knob (classic impact-pruned
+    similarity joins cap posting length absolutely); when set it
+    applies IN ADDITION to the permille predicate. The registered
+    driver query keeps the permille-only configuration (its oracle
+    encodes it); the 1M-doc soak (jobs/index_soak.py --retrieval)
+    measures the absolute cap bounding the hot bucket.
 
     Columns: src, dst, score, rnk (1..k per src; ties by dst asc).
     """
@@ -249,9 +263,12 @@ def sparse_topk_pairs(
         .agg(F.count(F.lit(1)).cast("long").alias("df"))
         .crossJoin(F.broadcast(n_docs))
         .filter(F.expr(f"df * 1000 <= n_docs * {df_cap_permille}"))
-        .withColumn("w", F.length(F.bin(F.expr("n_docs DIV df"))))
-        .select("term", "w")
     )
+    if df_cap_abs is not None:
+        dfreq = dfreq.filter(F.col("df") <= int(df_cap_abs))
+    dfreq = dfreq.withColumn(
+        "w", F.length(F.bin(F.expr("n_docs DIV df")))
+    ).select("term", "w")
     ta = tf.join(dfreq, "term").select(
         "term", F.col("doc_id").alias("a"), F.col("tf").alias("tf_a"), "w"
     )

@@ -333,6 +333,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int | None = 2000,
+    q8_table: DataFrame | None = None,
 ) -> DataFrame:
     """Semantic deduplication over an embedding column (SemDeDup,
     Abbas et al. 2023, arXiv:2303.09540): group semantically
@@ -353,18 +354,42 @@ def semantic_dedup(
     driver-side state. At the default full-recall parameters
     (4 planes x 24 tables, measured 100% recall of >= 0.44 pairs on
     this corpus) the exact all-pairs SQL is a true oracle.
+
+    `q8_table` (r04 verdict task #7, OFF by default): pass a
+    pre-quantized (id, q8 array<tinyint>) table — the
+    quantize_at_ingest "q8 at rest" layout — and the verify join
+    ships int8 payloads instead of float arrays, attacking the
+    measured single-box bandwidth wall directly. Same documented
+    semantics shift as emb_near_dups_q8: the threshold decision
+    happens in q8 cosine space (exact within quantization error of
+    float), so the float default remains the oracle-exact path and
+    the q8 variant is the explicitly-opted-in scale configuration
+    (wall delta measured by jobs/soak_semantic.py --q8, recorded in
+    BENCH/soak_semantic_q8.json).
     """
     from .dedup import connected_components_star
 
-    pairs = lsh_near_dup_pairs(
-        emb,
-        threshold_x100=threshold_x100,
-        n_planes=n_planes,
-        n_tables=n_tables,
-        vec_col=vec_col,
-        id_col=id_col,
-        max_bucket=max_bucket,
-    )
+    if q8_table is not None:
+        pairs = lsh_near_dup_pairs_q8(
+            emb,
+            threshold_x100=threshold_x100,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_bucket=max_bucket,
+            q8_table=q8_table,
+        )
+    else:
+        pairs = lsh_near_dup_pairs(
+            emb,
+            threshold_x100=threshold_x100,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_bucket=max_bucket,
+        )
     comps = connected_components_star(pairs).withColumnRenamed(
         "doc_id", id_col
     )
