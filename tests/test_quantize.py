@@ -173,3 +173,82 @@ def test_semantic_dedup_q8_table_path(spark, tmp_path):
     assert fl == qq
     # the planted clusters really collapse: 20 kept of 60
     assert sum(k for _, _, k in fl) == 20
+
+
+def test_semantic_rep_by_score_q8_table_path(spark, tmp_path):
+    """semantic_rep_by_score(q8_table=...): same keep-best-rep output
+    as the float verify on planted clusters far from the threshold."""
+    import numpy as np
+
+    from two_tier_document_parser_spark.similarity import (
+        quantize_at_ingest,
+        semantic_rep_by_score,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(0, 120, 10):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        # score rises with the member index, so the BEST member of
+        # each planted cluster is i+2, never the smallest id
+        rows.append((i, [float(x) for x in base], float(i % 7)))
+        for j in (1, 2):
+            v = base + 0.02 * rng.standard_normal(16)
+            v /= np.linalg.norm(v)
+            rows.append((i + j, [float(x) for x in v], float(i % 7) + j))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label double"
+    )
+    q8 = quantize_at_ingest(spark, df, str(tmp_path / "q8"))
+    fl = {(r.vec_id, r.rep_id, r.keep)
+          for r in semantic_rep_by_score(df, threshold_x100=80).collect()}
+    qq = {(r.vec_id, r.rep_id, r.keep)
+          for r in semantic_rep_by_score(df, threshold_x100=80,
+                                         q8_table=q8).collect()}
+    assert fl == qq
+    # best-scoring member (i+2) represents every 3-member cluster
+    reps = {r for _, r, k in fl if k == 1}
+    assert reps == {i + 2 for i in range(0, 120, 10)}
+
+
+def test_incremental_semantic_dedup_old_q8_table(spark, tmp_path):
+    """incremental_semantic_dedup(old_q8_table=...): identical
+    (id, status, matched_old) rows to the float verify — the
+    committed corpus lives q8-at-rest, the new batch quantizes
+    inline."""
+    import numpy as np
+
+    from two_tier_document_parser_spark.similarity import (
+        incremental_semantic_dedup,
+        quantize_at_ingest,
+    )
+
+    rng = np.random.default_rng(11)
+    old_rows, new_rows = [], []
+    for i in range(0, 100, 10):
+        base = rng.standard_normal(16)
+        base /= np.linalg.norm(base)
+        old_rows.append((i, [float(x) for x in base]))
+        if i % 20 == 0:  # half the new batch duplicates a committed vector
+            v = base + 0.02 * rng.standard_normal(16)
+            v /= np.linalg.norm(v)
+            new_rows.append((1000 + i, [float(x) for x in v]))
+        else:
+            v = rng.standard_normal(16)
+            v /= np.linalg.norm(v)
+            new_rows.append((1000 + i, [float(x) for x in v]))
+    schema = "vec_id long, embedding array<float>"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    q8_old = quantize_at_ingest(spark, old, str(tmp_path / "q8_old"))
+    fl = {(r.vec_id, r.status, r.matched_old)
+          for r in incremental_semantic_dedup(
+              new, old, threshold_x100=80).collect()}
+    qq = {(r.vec_id, r.status, r.matched_old)
+          for r in incremental_semantic_dedup(
+              new, old, threshold_x100=80,
+              old_q8_table=q8_old).collect()}
+    assert fl == qq
+    dups = {i for i, s, _ in fl if s == "dup"}
+    assert dups == {1000 + i for i in range(0, 100, 20)}

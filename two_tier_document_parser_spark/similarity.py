@@ -580,6 +580,7 @@ def incremental_semantic_dedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int = 2000,
+    old_q8_table: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental cross-batch SEMANTIC dedup — the embedding-side
     twin of `dedup.dedup_incremental`: a new embedding batch is
@@ -597,6 +598,15 @@ def incremental_semantic_dedup(
     Returns one row per NEW vector, mirroring dedup_incremental's
     contract: (id_col, status in {'dup','novel'}, matched_old =
     minimal matching old id or NULL).
+
+    `old_q8_table` (r05): the committed corpus is exactly the side
+    that should live "q8 at rest" (it is read by EVERY incremental
+    batch — the quantize_at_ingest cost amortizes across all of
+    them); when passed, the verify ships the old side's
+    array<tinyint> payload from the table and quantizes only the
+    (small) new batch inline, and the threshold decision moves to q8
+    cosine space — the same documented semantics shift as
+    emb_near_dups_q8. Float remains the oracle-exact default.
     """
     sig_new = srp_sig_rows(new, id_col, vec_col, n_planes, n_tables)
     sig_old = srp_sig_rows(old, id_col, vec_col, n_planes, n_tables)
@@ -623,31 +633,56 @@ def incremental_semantic_dedup(
         .select("a", "b")
         .distinct()
     )
-    va = new.select(
-        F.col(id_col).alias("a"),
-        F.col(vec_col).alias("avec"),
-        _norm(F.col(vec_col)).alias("na"),
-    )
-    vb = old.select(
-        F.col(id_col).alias("b"),
-        F.col(vec_col).alias("bvec"),
-        _norm(F.col(vec_col)).alias("nb"),
-    )
-    hits = (
-        cand.join(va, "a")
-        .join(vb, "b")
-        .filter(
-            F.round(
-                _cosine_pre(
-                    F.col("avec"), F.col("bvec"), F.col("na"), F.col("nb")
-                ),
-                6,
-            )
-            >= F.lit(threshold_x100) / 100.0
+    if old_q8_table is not None:
+        qa = quantize_embeddings(new, vec_col=vec_col, id_col=id_col)
+        va = qa.select(
+            F.col(id_col).alias("a"),
+            F.col("q8").alias("aq"),
+            _norm_q8(F.col("q8")).alias("na"),
         )
-        .groupBy("a")
-        .agg(F.min("b").alias("matched_old"))
-    )
+        vb = old_q8_table.select(
+            F.col(id_col).alias("b"),
+            F.col("q8").alias("bq"),
+            _norm_q8(F.col("q8")).alias("nb"),
+        )
+        verified = (
+            cand.join(va, "a")
+            .join(vb, "b")
+            .filter((F.col("na") > 0.0) & (F.col("nb") > 0.0))
+            .filter(
+                F.round(
+                    _dot_q8(F.col("aq"), F.col("bq")).cast("double")
+                    / (F.col("na") * F.col("nb")),
+                    6,
+                )
+                >= F.lit(threshold_x100) / 100.0
+            )
+        )
+    else:
+        va = new.select(
+            F.col(id_col).alias("a"),
+            F.col(vec_col).alias("avec"),
+            _norm(F.col(vec_col)).alias("na"),
+        )
+        vb = old.select(
+            F.col(id_col).alias("b"),
+            F.col(vec_col).alias("bvec"),
+            _norm(F.col(vec_col)).alias("nb"),
+        )
+        verified = (
+            cand.join(va, "a")
+            .join(vb, "b")
+            .filter(
+                F.round(
+                    _cosine_pre(
+                        F.col("avec"), F.col("bvec"), F.col("na"), F.col("nb")
+                    ),
+                    6,
+                )
+                >= F.lit(threshold_x100) / 100.0
+            )
+        )
+    hits = verified.groupBy("a").agg(F.min("b").alias("matched_old"))
     return (
         new.select(F.col(id_col).alias("a"))
         .join(hits, "a", "left")
@@ -670,6 +705,7 @@ def semantic_rep_by_score(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_bucket: int | None = 2000,
+    q8_table: DataFrame | None = None,
 ) -> DataFrame:
     """`semantic_dedup` with the production keep-policy: the
     representative of each duplicate component is its BEST-scoring
@@ -684,18 +720,36 @@ def semantic_rep_by_score(
     extra work is one row_number window partitioned by component —
     per-partition state bounded by the duplicate-cluster size, which
     `max_bucket` already bounds upstream. -> (id, rep_id, keep).
+
+    `q8_table` (r05): same opt-in as semantic_dedup — a pre-quantized
+    (id, q8 array<tinyint>) quantize_at_ingest table routes the
+    verify join through int8 payloads (threshold decided in q8
+    cosine space, same documented semantics shift as
+    emb_near_dups_q8); float stays the oracle-exact default.
     """
     from .dedup import connected_components_star
 
-    pairs = lsh_near_dup_pairs(
-        emb,
-        threshold_x100=threshold_x100,
-        n_planes=n_planes,
-        n_tables=n_tables,
-        vec_col=vec_col,
-        id_col=id_col,
-        max_bucket=max_bucket,
-    )
+    if q8_table is not None:
+        pairs = lsh_near_dup_pairs_q8(
+            emb,
+            threshold_x100=threshold_x100,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_bucket=max_bucket,
+            q8_table=q8_table,
+        )
+    else:
+        pairs = lsh_near_dup_pairs(
+            emb,
+            threshold_x100=threshold_x100,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            vec_col=vec_col,
+            id_col=id_col,
+            max_bucket=max_bucket,
+        )
     comps = connected_components_star(pairs).withColumnRenamed(
         "doc_id", id_col
     )
