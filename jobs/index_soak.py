@@ -232,7 +232,15 @@ def main() -> None:
     corpus = materialize(args.n)
     cores = [int(c) for c in args.cores.split(",")]
     if args.retrieval:
-        runs = [run_child(corpus, c, "retrieval") for c in cores]
+        # quiesce between children: the first capture launched the
+        # 32-core child at loadavg 7.17 (the 8-core run still
+        # draining), inflating its wall and distorting the scaling
+        # figure — same contended-capture rule as the semantic soak
+        runs = []
+        for c in cores:
+            if runs:
+                time.sleep(45)
+            runs.append(run_child(corpus, c, "retrieval"))
         result = {
             "n_docs": args.n,
             "tokens_per_doc": TOKENS_PER_DOC,
