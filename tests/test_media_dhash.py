@@ -105,6 +105,40 @@ def test_dhash_tiff_g4_payload(spark):
     assert got["t"][1] is True
 
 
+def test_dhash_jbig2_payload(spark):
+    """r05 close of the last "what's missing" #1 format family: a
+    JBIG2 generic-region stream decodes through jbig2.py and hashes
+    identically to the same bilevel pixels as PNG and as G4-TIFF —
+    three codecs, one perceptual identity."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_jbig2 import generic_region_payload, page_info, seg, stream
+
+    bilevel = (
+        (np.add.outer(np.arange(24), np.arange(40)) % 7 < 3)
+        .astype(np.uint8) * 255
+    )
+    bits = (bilevel == 0).astype(np.uint8)  # JBIG2: 1 = black
+    jb2 = stream(
+        seg(0, 48, 1, page_info(40, 24)),
+        seg(1, 38, 1, generic_region_payload(bits, tpgdon=True)),
+    )
+    df = _media(
+        spark,
+        [
+            ("j2", "m", jb2),
+            ("t", "m", tiff_wrap_g4(bilevel)),
+            ("p", "m", encode_png_gray(bilevel)),
+        ],
+    )
+    got = {r.doc_id: (r.dhash, r.real_pixels)
+           for r in media_dhash(df).collect()}
+    assert got["j2"][1] is True
+    assert got["j2"] == got["t"] == got["p"]
+
+
 def test_dhash_progressive_jpeg_payload(spark):
     """r05 task #3 done-criterion: SOF2 payloads hash over REAL
     pixels (real_pixels=true) and agree with the baseline encoding of

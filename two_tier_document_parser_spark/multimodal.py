@@ -172,9 +172,12 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
     For PNG payloads (png.decode_png_gray), JPEG payloads — baseline
     AND progressive SOF2 (jpeg.decode_jpeg_gray — from-scratch T.81
     huffman + IDCT + Annex G scan engine, round-3 task #4 + round-5
-    task #3), and G4-TIFF payloads
+    task #3), G4-TIFF payloads
     (ccitt.decode_tiff_g4 — from-scratch T.6 MMR, the scanned-bilevel
-    leg of round-3 "what's missing" #2) the resample is REAL: decode
+    leg of round-3 "what's missing" #2), and JBIG2 generic-region
+    payloads (jbig2.decode_jbig2_gray — from-scratch T.88 MQ coder,
+    the round-5 close of the last round-4 "what's missing" #1 format
+    family) the resample is REAL: decode
     pixels, nearest-neighbor index-sample in numpy, and re-encode —
     the output payload is a PNG whose IHDR dims equal the reported
     (width, height). Remaining non-decodable payloads (no pixel
@@ -186,6 +189,7 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
     import numpy as np
 
     from .ccitt import decode_tiff_g4
+    from .jbig2 import decode_jbig2_gray
     from .jpeg import decode_jpeg_gray
     from .png import decode_png_gray, encode_png_gray
 
@@ -205,6 +209,8 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
                     pix = decode_jpeg_gray(raw)
                 if pix is None:
                     pix = decode_tiff_g4(raw)
+                if pix is None:
+                    pix = decode_jbig2_gray(raw)
                 if pix is not None:
                     h0, w0 = pix.shape
                     w, h = _target(w0, h0)
@@ -444,9 +450,10 @@ def media_dhash(media: DataFrame) -> DataFrame:
     from exact bytes to perceptual identity).
 
     Decode is REAL for PNG / JPEG (baseline SOF0/SOF1 AND progressive
-    SOF2 — r05 task #3 closed the dominant web-JPEG gap) / G4-TIFF
-    payloads (the from-scratch codecs), with the same nearest-neighbor
-    resample as resize_media. Non-decodable payloads (no pixel
+    SOF2 — r05 task #3 closed the dominant web-JPEG gap) / G4-TIFF /
+    JBIG2 generic-region payloads (the from-scratch codecs), with the
+    same nearest-neighbor resample as resize_media. Non-decodable
+    payloads (no pixel
     semantics in this sandbox) fall back to a sha256-derived hash —
     exact-dup-only for those, flagged real_pixels=false so downstream
     policy can tell.
@@ -458,6 +465,7 @@ def media_dhash(media: DataFrame) -> DataFrame:
     import numpy as np
 
     from .ccitt import decode_tiff_g4
+    from .jbig2 import decode_jbig2_gray
     from .jpeg import decode_jpeg_gray
     from .png import decode_png_gray
 
@@ -482,6 +490,8 @@ def media_dhash(media: DataFrame) -> DataFrame:
                     pix = decode_jpeg_gray(raw)
                 if pix is None:
                     pix = decode_tiff_g4(raw)
+                if pix is None:
+                    pix = decode_jbig2_gray(raw)
                 if pix is not None and pix.size:
                     hashes.append(_dhash(pix))
                     real.append(True)
