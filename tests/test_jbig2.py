@@ -143,10 +143,14 @@ def encode_generic(bmp, template=0, at=None, tpgdon=False) -> bytes:
 # ---------------------------------------------------------------------------
 
 
-def seg(segnum, stype, page, payload, page4=False):
+def seg(segnum, stype, page, payload, page4=False, refs=()):
     b = bytearray(segnum.to_bytes(4, "big"))
     b.append(stype | (0x40 if page4 else 0))
-    b.append(0)  # no referred-to segments
+    assert len(refs) <= 4, "short-form referred-to count only"
+    b.append(len(refs) << 5)
+    ref_sz = 1 if segnum <= 256 else (2 if segnum <= 65536 else 4)
+    for r in refs:
+        b += r.to_bytes(ref_sz, "big")
     b += page.to_bytes(4 if page4 else 1, "big")
     b += len(payload).to_bytes(4, "big")
     return bytes(b) + payload
@@ -189,6 +193,163 @@ def generic_region_payload(
 
 def stream(*segments):
     return b"".join(segments)
+
+
+# ---------------------------------------------------------------------------
+# test-side symbol-dictionary / text-region ENCODERS (written from the
+# T.88 §6.4/§6.5/Annex A ENCODING direction, independent of the engine)
+# ---------------------------------------------------------------------------
+
+OOB = object()
+
+
+def encode_int(enc, state, v):
+    """Annex A.2 IAx forward coder: sign + range prefix + offset bits,
+    context chained through PREV exactly as the spec table A.1."""
+    prev = 1
+
+    def bit(b):
+        nonlocal prev
+        enc.encode(state, prev, b)
+        prev = (
+            ((prev << 1) | b)
+            if prev < 256
+            else ((((prev << 1) | b) & 511) | 256)
+        )
+
+    if v is OOB:
+        s, mag = 1, 0
+    else:
+        s, mag = (1, -v) if v < 0 else (0, v)
+    bit(s)
+    # range prefixes 0 / 10 / 110 / 1110 / 11110 / 11111 (table A.1)
+    ranges = ((0, 2), (4, 4), (20, 6), (84, 8), (340, 12), (4436, 32))
+    for k, (lo, nbits) in enumerate(ranges):
+        if mag < lo + (1 << nbits) or k == 5:
+            for _ in range(k):
+                bit(1)
+            if k < 5:
+                bit(0)
+            for j in range(nbits - 1, -1, -1):
+                bit((mag - lo) >> j & 1)
+            break
+
+
+def encode_iaid(enc, state, sid, codelen):
+    prev = 1
+    for j in range(codelen - 1, -1, -1):
+        b = (sid >> j) & 1
+        enc.encode(state, prev, b)
+        prev = (prev << 1) | b
+
+
+def symbol_dict_payload(symbols, template=0, at=None, in_count=0):
+    """§7.4.3 arithmetic symbol dictionary exporting ALL symbols
+    (input symbols first when in_count > 0), grouping consecutive
+    equal-height symbols into height classes."""
+    at = tuple(at) if at is not None else NOMINAL_AT[template]
+    flags = template << 10
+    at_bytes = b"".join(
+        ax.to_bytes(1, "big", signed=True) + ay.to_bytes(1, "big", signed=True)
+        for ax, ay in at
+    )
+    numnew = len(symbols)
+    numex = in_count + numnew
+    head = (
+        flags.to_bytes(2, "big")
+        + at_bytes
+        + numex.to_bytes(4, "big")
+        + numnew.to_bytes(4, "big")
+    )
+    enc = MQEncoder()
+    iadh, iadw, iaex, gb = {}, {}, {}, {}
+    hc = 0
+    i = 0
+    while i < numnew:
+        h = symbols[i].shape[0]
+        encode_int(enc, iadh, h - hc)
+        hc = h
+        symwidth = 0
+        while i < numnew and symbols[i].shape[0] == hc:
+            w = symbols[i].shape[1]
+            encode_int(enc, iadw, w - symwidth)
+            symwidth = w
+            bmp = symbols[i]
+            for y in range(hc):
+                for x in range(w):
+                    enc.encode(
+                        gb, _ctx(bmp, x, y, template, at), int(bmp[y, x])
+                    )
+            i += 1
+        encode_int(enc, iadw, OOB)
+    # export runs: exclude 0, include everything
+    encode_int(enc, iaex, 0)
+    encode_int(enc, iaex, numex)
+    return head + enc.flush()
+
+
+def text_region_payload(
+    instances,
+    nsyms,
+    w,
+    h,
+    x=0,
+    y=0,
+    comb=0,
+    refcorner=1,
+    combop=0,
+    defpixel=0,
+    dsoffset=0,
+    sym_widths=None,
+):
+    """§7.4.4 arithmetic text region with SBSTRIPS=1: `instances` is a
+    list of (s_left, t, sid) sorted by t then s; symbols sharing a t
+    share one strip. `sym_widths[sid]` drives the CURS advance."""
+    flags = (
+        (refcorner << 4) | (combop << 7) | (defpixel << 9)
+        | ((dsoffset & 0x1F) << 10)
+    )
+    head = (
+        w.to_bytes(4, "big")
+        + h.to_bytes(4, "big")
+        + x.to_bytes(4, "big")
+        + y.to_bytes(4, "big")
+        + bytes([comb])
+        + flags.to_bytes(2, "big")
+        + len(instances).to_bytes(4, "big")
+    )
+    codelen = max(0, (nsyms - 1).bit_length())
+    enc = MQEncoder()
+    iadt, iafs, iads, iaid = {}, {}, {}, {}
+    # group into strips of equal t
+    strips = []
+    for s_left, t, sid in instances:
+        if strips and strips[-1][0] == t:
+            strips[-1][1].append((s_left, sid))
+        else:
+            strips.append((t, [(s_left, sid)]))
+    encode_int(enc, iadt, 0)  # STRIPT starts at 0
+    stript = 0
+    firsts = 0
+    placed = 0
+    for t, members in strips:
+        encode_int(enc, iadt, t - stript)
+        stript = t
+        curs = 0
+        for k, (s_left, sid) in enumerate(members):
+            if k == 0:
+                encode_int(enc, iafs, s_left - firsts)
+                firsts = s_left
+                curs = firsts
+            else:
+                encode_int(enc, iads, s_left - curs - dsoffset)
+                curs = s_left
+            encode_iaid(enc, iaid, sid, codelen)
+            curs += sym_widths[sid] - 1
+            placed += 1
+        if placed < len(instances):
+            encode_int(enc, iads, OOB)
+    return head + enc.flush()
 
 
 def _rand(h, w, p, seed):
@@ -409,6 +570,147 @@ def test_stream_globals_prepend():
     assert np.array_equal(decode_jbig2(d, globals_data=g), bmp)
 
 
+# ---------------------------------------------------------------------------
+# symbol dictionary + text region round trips
+# ---------------------------------------------------------------------------
+
+_GLYPHS = [
+    np.array([[0, 1, 0], [1, 0, 1], [1, 1, 1], [1, 0, 1]], dtype=np.uint8),
+    np.array([[1, 1, 1, 0], [1, 0, 0, 1], [1, 1, 1, 0], [1, 0, 0, 1]],
+             dtype=np.uint8),
+    np.array([[1, 1], [1, 0], [1, 0]], dtype=np.uint8),  # new height class
+]
+
+
+def _paste_expect(page, sym, sx, ty, op=0):
+    h, w = sym.shape
+    ph, pw = page.shape
+    h = min(h, ph - ty)
+    w = min(w, pw - sx)
+    if op == 0:
+        page[ty : ty + h, sx : sx + w] |= sym[:h, :w]
+    else:
+        page[ty : ty + h, sx : sx + w] = sym[:h, :w]
+
+
+@pytest.mark.parametrize("template", [0, 2])
+def test_symbol_text_round_trip(template):
+    """Dict of three glyphs (two height classes) + a text region
+    placing eight instances across three strips — decoded page equals
+    the numpy-pasted expectation pixel for pixel."""
+    widths = [g.shape[1] for g in _GLYPHS]
+    inst = [
+        (0, 0, 0), (5, 0, 1), (11, 0, 2),
+        (2, 6, 2), (6, 6, 0),
+        (0, 12, 1), (6, 12, 1), (12, 12, 0),
+    ]
+    payload = text_region_payload(
+        inst, len(_GLYPHS), w=16, h=17, sym_widths=widths
+    )
+    data = stream(
+        seg(0, 48, 1, page_info(16, 17)),
+        seg(1, 0, 1, symbol_dict_payload(_GLYPHS, template=template)),
+        seg(2, 6, 1, payload, refs=(1,)),
+    )
+    got = decode_jbig2(data)
+    assert got is not None
+    expect = np.zeros((17, 16), dtype=np.uint8)
+    for s, t, sid in inst:
+        _paste_expect(expect, _GLYPHS[sid], s, t)  # refcorner=TOPLEFT
+    assert np.array_equal(got, expect)
+
+
+def test_text_region_bottomleft_and_offset():
+    """REFCORNER=BOTTOMLEFT places T at the glyph's bottom row; the
+    region's own (x, y) offset shifts the page composition; a
+    non-zero SBDSOFFSET round-trips through the IADS deltas."""
+    widths = [g.shape[1] for g in _GLYPHS]
+    inst = [(1, 5, 0), (6, 5, 2), (2, 11, 1)]
+    payload = text_region_payload(
+        inst, len(_GLYPHS), w=12, h=12, x=3, y=2,
+        refcorner=0, dsoffset=-2, sym_widths=widths,
+    )
+    data = stream(
+        seg(0, 48, 1, page_info(16, 15)),
+        seg(1, 0, 1, symbol_dict_payload(_GLYPHS)),
+        seg(2, 6, 1, payload, refs=(1,)),
+    )
+    got = decode_jbig2(data)
+    assert got is not None
+    expect = np.zeros((15, 16), dtype=np.uint8)
+    for s, t, sid in inst:
+        g = _GLYPHS[sid]
+        _paste_expect(expect, g, 3 + s, 2 + t - g.shape[0] + 1)
+    assert np.array_equal(got, expect)
+
+
+def test_symbol_dict_chained_inputs():
+    """Dict B refers to dict A: A's exports become B's input symbols
+    and are re-exported ahead of B's new glyphs (§6.5.8 input symbol
+    ordering), so the text region's symbol ids span both dicts."""
+    a_syms = [_GLYPHS[0]]
+    b_syms = [_GLYPHS[1], _GLYPHS[2]]
+    widths = [g.shape[1] for g in a_syms + b_syms]
+    inst = [(0, 0, 0), (4, 0, 1), (10, 0, 2)]
+    payload = text_region_payload(
+        inst, 3, w=13, h=5, sym_widths=widths
+    )
+    data = stream(
+        seg(0, 48, 1, page_info(13, 5)),
+        seg(1, 0, 1, symbol_dict_payload(a_syms)),
+        seg(2, 0, 1, symbol_dict_payload(b_syms, in_count=1), refs=(1,)),
+        seg(3, 6, 1, payload, refs=(2,)),
+    )
+    got = decode_jbig2(data)
+    assert got is not None
+    expect = np.zeros((5, 13), dtype=np.uint8)
+    for s, t, sid in inst:
+        _paste_expect(expect, (a_syms + b_syms)[sid], s, t)
+    assert np.array_equal(got, expect)
+
+
+def test_text_region_out_of_profile_variants():
+    """SBHUFF / TRANSPOSED text regions and SDHUFF / SDREFAGG dicts
+    fall back to None instead of decoding garbage."""
+    widths = [g.shape[1] for g in _GLYPHS]
+    ok_text = text_region_payload(
+        [(0, 0, 0)], len(_GLYPHS), w=8, h=8, sym_widths=widths
+    )
+    ok_dict = symbol_dict_payload(_GLYPHS)
+
+    def build(dict_payload, text_payload):
+        return stream(
+            seg(0, 48, 1, page_info(8, 8)),
+            seg(1, 0, 1, dict_payload),
+            seg(2, 6, 1, text_payload, refs=(1,)),
+        )
+
+    assert decode_jbig2(build(ok_dict, ok_text)) is not None
+    # SBHUFF=1 (bit 0 of the text flags at offset 17)
+    huff = bytearray(ok_text)
+    huff[18] |= 0x01
+    assert decode_jbig2(build(ok_dict, bytes(huff))) is None
+    # TRANSPOSED=1 (bit 6, low flag byte at offset 18)
+    trans = bytearray(ok_text)
+    trans[18] |= 0x40
+    assert decode_jbig2(build(ok_dict, bytes(trans))) is None
+    # SDHUFF=1 / SDREFAGG=1 (bits 0/1 of the dict flags)
+    for bad_bit in (0x01, 0x02):
+        d = bytearray(ok_dict)
+        d[1] |= bad_bit
+        assert decode_jbig2(build(bytes(d), ok_text)) is None
+    # text region referring to a non-dictionary segment
+    assert (
+        decode_jbig2(
+            stream(
+                seg(0, 48, 1, page_info(8, 8)),
+                seg(2, 6, 1, ok_text, refs=(7,)),
+            )
+        )
+        is None
+    )
+
+
 def test_honest_fallbacks():
     """Out-of-profile or malformed streams return None, never
     garbage pixels or exceptions."""
@@ -419,10 +721,10 @@ def test_honest_fallbacks():
     assert decode_jbig2(b"") is None
     assert decode_jbig2(b"not jbig2 at all") is None
     assert decode_jbig2(ok[:-3]) is None  # truncated segment data
-    # text region (type 6) -> scoped out
+    # garbage text region payload -> None (zero-sized region)
     text = stream(seg(0, 48, 1, page_info(4, 4)), seg(1, 6, 1, b"\0" * 20))
     assert decode_jbig2(text) is None
-    # symbol dictionary (type 0) -> scoped out
+    # truncated symbol dictionary header -> None
     sym = stream(seg(0, 0, 0, b"\0" * 12), ok)
     assert decode_jbig2(sym) is None
     # unknown-length generic region -> scoped out

@@ -139,6 +139,73 @@ def test_dhash_jbig2_payload(spark):
     assert got["j2"] == got["t"] == got["p"]
 
 
+def test_dhash_jbig2_symbol_text_payload(spark):
+    """r05 extension: an OCR-style JBIG2 stream (symbol dictionary +
+    text region) decodes to REAL pixels through the Spark dhash path
+    and agrees with the same page rendered as PNG."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_jbig2 import (
+        _GLYPHS,
+        _paste_expect,
+        page_info,
+        seg,
+        stream,
+        symbol_dict_payload,
+        text_region_payload,
+    )
+
+    widths = [g.shape[1] for g in _GLYPHS]
+    inst = [(0, 0, 0), (6, 0, 1), (12, 2, 2), (3, 8, 1), (9, 9, 0)]
+    jb2 = stream(
+        seg(0, 48, 1, page_info(18, 14)),
+        seg(1, 0, 1, symbol_dict_payload(_GLYPHS)),
+        seg(
+            2, 6, 1,
+            text_region_payload(inst, len(_GLYPHS), w=18, h=14,
+                                sym_widths=widths),
+            refs=(1,),
+        ),
+    )
+    bits = np.zeros((14, 18), dtype=np.uint8)
+    for s, t, sid in inst:
+        _paste_expect(bits, _GLYPHS[sid], s, t)
+    gray = np.where(bits == 1, 0, 255).astype(np.uint8)
+    df = _media(spark, [("ocr", "m", jb2), ("p", "m", encode_png_gray(gray))])
+    got = {r.doc_id: (r.dhash, r.real_pixels)
+           for r in media_dhash(df).collect()}
+    assert got["ocr"][1] is True
+    assert got["ocr"] == got["p"]
+
+
+def test_dhash_jpx_payload(spark):
+    """r05 close of the JPXDecode leg: a lossless JPEG-2000 payload
+    decodes through jpeg2000.py and hashes identically to the same
+    pixels as PNG — real_pixels=true for the last format family."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_jpeg2000 import encode_j2k, wrap_jp2
+
+    img = (
+        (np.add.outer(np.arange(24), np.arange(40)) * 7) % 251
+    ).astype(np.uint8)
+    df = _media(
+        spark,
+        [
+            ("jpx", "m", wrap_jp2(encode_j2k(img, nl=2, cb=16), 40, 24)),
+            ("p", "m", encode_png_gray(img)),
+        ],
+    )
+    got = {r.doc_id: (r.dhash, r.real_pixels)
+           for r in media_dhash(df).collect()}
+    assert got["jpx"][1] is True
+    assert got["jpx"] == got["p"]
+
+
 def test_dhash_progressive_jpeg_payload(spark):
     """r05 task #3 done-criterion: SOF2 payloads hash over REAL
     pixels (real_pixels=true) and agree with the baseline encoding of

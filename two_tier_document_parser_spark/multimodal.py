@@ -174,10 +174,12 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
     huffman + IDCT + Annex G scan engine, round-3 task #4 + round-5
     task #3), G4-TIFF payloads
     (ccitt.decode_tiff_g4 — from-scratch T.6 MMR, the scanned-bilevel
-    leg of round-3 "what's missing" #2), and JBIG2 generic-region
-    payloads (jbig2.decode_jbig2_gray — from-scratch T.88 MQ coder,
-    the round-5 close of the last round-4 "what's missing" #1 format
-    family) the resample is REAL: decode
+    leg of round-3 "what's missing" #2), JBIG2 generic-region
+    payloads (jbig2.decode_jbig2_gray — from-scratch T.88 MQ coder),
+    and reversible JPEG-2000 payloads (jpeg2000.decode_jp2_gray —
+    from-scratch T.800 EBCOT + 5/3 lifting; with JBIG2 this closes
+    the round-4 "what's missing" #1 format families) the resample is
+    REAL: decode
     pixels, nearest-neighbor index-sample in numpy, and re-encode —
     the output payload is a PNG whose IHDR dims equal the reported
     (width, height). Remaining non-decodable payloads (no pixel
@@ -191,6 +193,7 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
     from .ccitt import decode_tiff_g4
     from .jbig2 import decode_jbig2_gray
     from .jpeg import decode_jpeg_gray
+    from .jpeg2000 import decode_jp2_gray
     from .png import decode_png_gray, encode_png_gray
 
     def _target(w: int, h: int) -> tuple[int, int]:
@@ -211,6 +214,8 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
                     pix = decode_tiff_g4(raw)
                 if pix is None:
                     pix = decode_jbig2_gray(raw)
+                if pix is None:
+                    pix = decode_jp2_gray(raw)
                 if pix is not None:
                     h0, w0 = pix.shape
                     w, h = _target(w0, h0)
@@ -451,9 +456,9 @@ def media_dhash(media: DataFrame) -> DataFrame:
 
     Decode is REAL for PNG / JPEG (baseline SOF0/SOF1 AND progressive
     SOF2 — r05 task #3 closed the dominant web-JPEG gap) / G4-TIFF /
-    JBIG2 generic-region payloads (the from-scratch codecs), with the
-    same nearest-neighbor resample as resize_media. Non-decodable
-    payloads (no pixel
+    JBIG2 generic-region / reversible JPEG-2000 payloads (the
+    from-scratch codecs), with the same nearest-neighbor resample as
+    resize_media. Non-decodable payloads (no pixel
     semantics in this sandbox) fall back to a sha256-derived hash —
     exact-dup-only for those, flagged real_pixels=false so downstream
     policy can tell.
@@ -467,6 +472,7 @@ def media_dhash(media: DataFrame) -> DataFrame:
     from .ccitt import decode_tiff_g4
     from .jbig2 import decode_jbig2_gray
     from .jpeg import decode_jpeg_gray
+    from .jpeg2000 import decode_jp2_gray
     from .png import decode_png_gray
 
     def _dhash(pix: "np.ndarray") -> int:
@@ -492,6 +498,8 @@ def media_dhash(media: DataFrame) -> DataFrame:
                     pix = decode_tiff_g4(raw)
                 if pix is None:
                     pix = decode_jbig2_gray(raw)
+                if pix is None:
+                    pix = decode_jp2_gray(raw)
                 if pix is not None and pix.size:
                     hashes.append(_dhash(pix))
                     real.append(True)
