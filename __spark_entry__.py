@@ -701,6 +701,61 @@ def q_pdf_ingest(spark, sf_dir):
     )
 
 
+def q_pdf_media_extract(spark, sf_dir):
+    """Embedded-image media extraction from PDF bytes (reference
+    parity: the accurate tier crops and exports every embedded image,
+    accurate/service.py:177 get_crop_img): each document becomes a
+    synthetic PDF embedding two REAL deterministic images (raw-gray
+    Flate samples + CCITT G4 with /DecodeParms), and
+    pdf_io.extract_pdf_media lifts them back out through the object
+    scan, /Filter chain, and from-scratch codec decode into
+    PNG-normalised payloads with page_{p}_img_{i} ids in
+    content-stream execution order. The query reports decoded pixel
+    sums, so the oracle replicates the WHOLE byte path — PDF write,
+    Flate, G4 encode/decode, PNG encode/decode — arithmetically.
+    Map-only end to end (render kernel -> extract kernel -> sum
+    kernel): zero exchanges; at 10^12 docs it parallelises purely by
+    input split."""
+    import pyarrow as pa
+
+    from two_tier_document_parser_spark.pdf_io import (
+        extract_pdf_media,
+        render_media_table,
+    )
+    from two_tier_document_parser_spark.pipeline import ship_package
+
+    ship_package(spark)
+    media = extract_pdf_media(
+        render_media_table(_docs(spark, sf_dir).select("doc_id"))
+    )
+
+    def _sums(batches):
+        from two_tier_document_parser_spark.png import decode_png_gray
+
+        for b in batches:
+            sums = []
+            for p in b.column("payload"):
+                g = decode_png_gray(bytes(p.as_py() or b""))
+                sums.append(int(g.sum()) if g is not None else -1)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column("doc_id"), b.column("media_ref"),
+                    b.column("codec"), b.column("width"),
+                    b.column("height"), pa.array(sums, type=pa.int64()),
+                ],
+                names=[
+                    "doc_id", "media_ref", "codec", "width", "height",
+                    "pixel_sum",
+                ],
+            )
+
+    return media.mapInArrow(
+        _sums,
+        "doc_id string, media_ref string, codec string, width int, "
+        "height int, pixel_sum long",
+    )
+
+
 def q_pdf_encrypted_ingest(spark, sf_dir):
     """O1 bytes-in for ENCRYPTED PDFs — the reference opens these
     transparently via PyMuPDF (fast/service.py:42); here the standard
@@ -1714,6 +1769,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # path, IS in the window; both stay pytest-policy-pinned and
 # parity-run locally).
 _R05_WINDOW = [
+    "pdf_media_extract",
     "lsh_near_dups_q8",
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
@@ -1729,7 +1785,7 @@ _R05_WINDOW = [
     "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
     "length_quantiles", "pivot_source_lang", "curate",
     "winnow_fingerprints", "chunk_documents", "pack_sequences",
-    "binary_ingest", "pipeline_documents",
+    "binary_ingest",
 ]
 
 
@@ -1746,6 +1802,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # un-check anything (round-3 advice).
     base = {
         # -- group 1: new this round, never attested --
+        "pdf_media_extract": q_pdf_media_extract,
         "bm25_topk": q_bm25_topk,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_chunks": q_cdc_dup_chunks,
@@ -2312,6 +2369,7 @@ def oracle_sql() -> dict[str, str]:
         # decrypt(encrypt(render(x))) must equal parse(render(x)):
         # the encrypted path shares pdf_ingest's span-lift oracle
         "pdf_encrypted_ingest": _binary_ingest_sql(),
+        "pdf_media_extract": _pdf_media_sql(),
         "winnow_fingerprints": _winnow_sql(4, 5),
         "chunk_documents": _chunk_sql(50, 10),
         "pack_sequences": _pack_sql(256, 100),
@@ -2388,6 +2446,39 @@ decided AS (
   FROM base
 )
 SELECT doc_id, reason, reason = '' AS keep FROM decided
+"""
+
+
+def _pdf_media_sql() -> str:
+    """Replica of q_pdf_media_extract's derivation: the embedded
+    images are deterministic functions of doc_id (pdf_io.
+    render_media_pdf — Im0 raw gray pixel[i] = (i + doc_id) % 251,
+    Im1 G4 bilevel black where (i + doc_id) % 3 == 0, gray 0/255),
+    so their decoded dims and pixel sums are computable arithmetically
+    — a value-exact match proves the PDF write + object scan + filter
+    chain + G4/PNG codec round trip without the oracle parsing a
+    single PDF byte (same trick as the pdf_ingest span oracle)."""
+    return """
+WITH imgs AS (
+  SELECT doc_id, 'page_0_img_0' AS media_ref, 'raw' AS codec,
+         8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'page_0_img_1', 'ccitt', 16 + doc_id % 8, 8 + doc_id % 4
+  FROM documents
+)
+, px AS (
+  SELECT doc_id, media_ref, codec, w, h,
+         unnest(range(CAST(w * h AS BIGINT))) AS i
+  FROM imgs
+)
+SELECT printf('d%09d', doc_id) AS doc_id, media_ref, codec,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(sum(CASE WHEN codec = 'raw' THEN (i + doc_id) % 251
+                     WHEN (i + doc_id) % 3 = 0 THEN 0
+                     ELSE 255 END) AS BIGINT) AS pixel_sum
+FROM px
+GROUP BY 1, 2, 3, 4, 5
 """
 
 

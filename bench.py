@@ -286,6 +286,8 @@ def main() -> int:
         # q8 vs float verify: emb_near_dups (below, LSH path) plus
         # this exact-pair variant measure the quantized-payload win
         "emb_near_dups_q8",
+        # round-5 additions
+        "pdf_media_extract",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

@@ -1,7 +1,7 @@
 """Driver-contract smoke + DuckDB parity on a representative subset
 (the driver runs its 50-entry window; tests/parity_harness.py runs
-the FULL queries() set locally — 110/110 OK at sf0.01, last full run
-end of round 4)."""
+the FULL queries() set locally — 112/112 OK at sf0.01, last full run
+round 5 after registering pdf_media_extract)."""
 
 from __future__ import annotations
 
@@ -49,12 +49,15 @@ ROWS_ONLY = {
 # the cap still carries an oracle (parity_harness value-checks the
 # full set at sf0.01).
 #
-# r05 window (r04 verdict task #5): the one new query this round
-# (lsh_near_dups_q8, never attested) + the 49 stalest entries — the
-# r03-only attestation group. media_text_pairs (rows-only by design,
-# twin caption_align in-window) yields the 50th slot; everything
-# attested in r04 moves to the tail, still parity-run locally.
+# r05 window (r04 verdict task #5): the two new queries this round
+# (pdf_media_extract + lsh_near_dups_q8, never attested) + the 48
+# stalest entries — the r03-only attestation group. media_text_pairs
+# (rows-only by design, twin caption_align in-window) and
+# pipeline_documents (r01-attested goldens) yield the last slots;
+# everything attested in r04 moves to the tail, still parity-run
+# locally.
 EXPECTED_WINDOW_50 = [
+    "pdf_media_extract",
     "lsh_near_dups_q8",
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
@@ -70,7 +73,7 @@ EXPECTED_WINDOW_50 = [
     "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
     "length_quantiles", "pivot_source_lang", "curate",
     "winnow_fingerprints", "chunk_documents", "pack_sequences",
-    "binary_ingest", "pipeline_documents",
+    "binary_ingest",
 ]
 
 

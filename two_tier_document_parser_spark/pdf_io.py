@@ -440,11 +440,16 @@ def _interp_page(
     xobjects: dict[str, dict],
     spans: list,
     fonts: dict[str, tuple] | None = None,
+    image_uses: list[str] | None = None,
 ) -> None:
     """Execute one page's content stream, appending lifted spans.
     `fonts` maps font resource names to parsed ToUnicode
     (cmap, widths) — strings shown while such a font is selected
-    decode through the CMap instead of the WinAnsi default."""
+    decode through the CMap instead of the WinAnsi default.
+    `image_uses`, when given, collects the XObject resource NAME of
+    every image `Do` in execution order — the media extractor's way
+    of assigning page_{p}_img_{i} ids by reading order without
+    re-tokenizing content streams itself."""
     size = BODY_PT
     y = 0.0
     stack: list[tuple[str, dict]] = []   # open marked-content regions
@@ -595,6 +600,8 @@ def _interp_page(
                         ("image", str(xo.get("TTDPAlt", "")),
                          str(xo.get("TTDPRef", "")))
                     )
+                    if image_uses is not None:
+                        image_uses.append(str(operands[-1]))
             operands.clear()
     # unterminated regions at stream end: flush best-effort
     while stack:
@@ -1189,7 +1196,12 @@ def _font_decoder(objs: dict[int, bytes], fd: dict | None, cmap_cache: dict):
     return None
 
 
-def _parse_pdf_inner(data: bytes) -> dict | None:
+def _open_pdf(data: bytes):
+    """Shared document-open path: object scan, trailer arbitration,
+    encryption setup, /ObjStm expansion, page-tree walk. Returns
+    (objs, trailer, pages) or None when the file has no recoverable
+    catalog/pages (the span parser and the media extractor both
+    quarantine on None)."""
     objs = _scan_objects(data)
     trailer = _find_trailer(data, objs)
     if trailer is None:
@@ -1209,8 +1221,6 @@ def _parse_pdf_inner(data: bytes) -> dict | None:
     root = _obj_dict(objs, trailer.get("Root"))
     if not root:
         return None
-    info = _obj_dict(objs, trailer.get("Info")) or {}
-    doc_class = str(info.get("DocClass", "")) or "pdf"
 
     # walk the page tree in order
     pages: list[dict] = []
@@ -1230,6 +1240,16 @@ def _parse_pdf_inner(data: bytes) -> dict | None:
     walk(root.get("Pages"))
     if not pages:
         return None
+    return objs, trailer, pages
+
+
+def _parse_pdf_inner(data: bytes) -> dict | None:
+    opened = _open_pdf(data)
+    if opened is None:
+        return None
+    objs, trailer, pages = opened
+    info = _obj_dict(objs, trailer.get("Info")) or {}
+    doc_class = str(info.get("DocClass", "")) or "pdf"
 
     spans: list[tuple[str, str, str]] = []
     cmap_cache: dict[int, tuple | None] = {}
@@ -1707,4 +1727,333 @@ def parse_table(bin_df):
     """(doc_id, payload binary) of PDFs -> documents_raw rows."""
     return bin_df.select("doc_id", "payload").mapInArrow(
         parse_batches, RAW_SCHEMA
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedded-image media extraction (reference parity: the accurate tier
+# crops and exports every embedded image, accurate/service.py:177 /
+# get_crop_img — this is the bytes-level analogue: lift each image
+# XObject's stream out of the PDF into a media-table row, normalised
+# to a container the repo's from-scratch codecs can decode)
+# ---------------------------------------------------------------------------
+
+MEDIA_TABLE_SCHEMA = (
+    "doc_id string, media_ref string, kind string, codec string, "
+    "width int, height int, payload binary"
+)
+
+
+def _terminal_filter(objs: dict[int, bytes], d: dict):
+    """(terminal image filter name or None, its DecodeParms dict) for
+    a stream dict — the parms entry aligned with the filter position
+    exactly as _apply_filters aligns them."""
+    filt = _resolve(objs, d.get("Filter"))
+    filters = filt if isinstance(filt, list) else ([filt] if filt else [])
+    if not filters or filters[-1] not in _IMAGE_FILTERS:
+        return None, {}
+    parms = _resolve(objs, d.get("DecodeParms", d.get("DP")))
+    parm_list = parms if isinstance(parms, list) else [parms] * len(filters)
+    p = _resolve(objs, parm_list[-1]) if len(parm_list) >= len(filters) else None
+    return filters[-1], (p if isinstance(p, dict) else {})
+
+
+def _lift_image(objs, d: dict, ref, media_ref: str) -> dict | None:
+    """One image XObject -> media row dict. `codec` records the PDF's
+    terminal filter family; `payload` is normalised to a decodable
+    container: DCT/JPX streams pass through byte-exact (jpeg.py /
+    jpeg2000.py decode them directly), JBIG2 streams get their
+    /JBIG2Globals segments PREPENDED (T.88 §9 embedded organisation —
+    globals are just segments that belong in front, and
+    jbig2.decode_jbig2 consumes exactly that layout), CCITT and raw
+    sample images are decoded here (ccitt.decode_g4/_g3_1d, numpy)
+    and re-encoded as PNG — the repo's canonical raster container.
+    Streams we cannot normalise keep their bytes with codec suffix
+    '-opaque' so downstream policy can tell."""
+    import numpy as np
+
+    from .ccitt import decode_g3_1d, decode_g4
+    from .png import encode_png_gray
+
+    w = _resolve(objs, d.get("Width"))
+    h = _resolve(objs, d.get("Height"))
+    if not (isinstance(w, int) and isinstance(h, int)):
+        return None
+    if w <= 0 or h <= 0 or w * h > 64_000_000:
+        return None
+    data = _stream_bytes(objs, ref)
+    term, parms = _terminal_filter(objs, d)
+    row = {
+        "media_ref": media_ref,
+        "kind": "image",
+        "width": w,
+        "height": h,
+    }
+    if term in ("DCTDecode", "DCT"):
+        row["codec"] = "jpeg"
+        row["payload"] = data
+        return row
+    if term == "JPXDecode":
+        row["codec"] = "jp2"
+        row["payload"] = data
+        return row
+    if term == "JBIG2Decode":
+        g = parms.get("JBIG2Globals")
+        gdata = _stream_bytes(objs, g) if isinstance(g, Ref) else b""
+        row["codec"] = "jbig2"
+        row["payload"] = gdata + data
+        return row
+    if term == "CCITTFaxDecode":
+        k = parms.get("K", 0)
+        cols = parms.get("Columns", 1728)
+        rows_n = parms.get("Rows", h)
+        cols = cols if isinstance(cols, int) and cols > 0 else w
+        rows_n = rows_n if isinstance(rows_n, int) and rows_n > 0 else h
+        try:
+            if isinstance(k, int) and k < 0:
+                bmp = decode_g4(data, columns=cols, rows=rows_n)
+            elif k == 0:
+                bmp = decode_g3_1d(data, columns=cols, rows=rows_n)
+            else:
+                raise ValueError("mixed 2-D G3 out of scope")
+            # semantic decode: 1 = black regardless of /BlackIs1 (the
+            # flag flips raw SAMPLE bits; run-length decode yields
+            # semantics directly)
+            gray = np.where(bmp[:h, :w] == 1, 0, 255).astype(np.uint8)
+            if gray.shape != (h, w):
+                raise ValueError("CCITT underruns declared dims")
+            row["codec"] = "ccitt"
+            row["payload"] = encode_png_gray(gray)
+        except ValueError:
+            row["codec"] = "ccitt-opaque"
+            row["payload"] = data
+        return row
+    # no terminal image codec: `data` is raw samples after transport
+    # filters — normalise the sample layouts PDFs actually ship
+    bpc = _resolve(objs, d.get("BitsPerComponent")) or 8
+    cs = _resolve(objs, d.get("ColorSpace"))
+    cs = str(cs) if cs is not None else "DeviceGray"
+    try:
+        if bpc == 8 and cs == "DeviceGray" and len(data) >= w * h:
+            gray = np.frombuffer(data[: w * h], dtype=np.uint8).reshape(h, w)
+        elif bpc == 8 and cs == "DeviceRGB" and len(data) >= 3 * w * h:
+            rgb = np.frombuffer(data[: 3 * w * h], dtype=np.uint8).reshape(
+                h, w, 3
+            )
+            # BT.601 integer luma — the repo-wide grayscale convention
+            gray = (
+                (77 * rgb[:, :, 0].astype(np.uint32)
+                 + 150 * rgb[:, :, 1].astype(np.uint32)
+                 + 29 * rgb[:, :, 2].astype(np.uint32)) >> 8
+            ).astype(np.uint8)
+        elif bpc == 1 and cs == "DeviceGray":
+            stride = (w + 7) // 8
+            if len(data) < stride * h:
+                raise ValueError("1-bit image underruns")
+            bits = np.unpackbits(
+                np.frombuffer(data[: stride * h], dtype=np.uint8).reshape(
+                    h, stride
+                ),
+                axis=1,
+            )[:, :w]
+            gray = (bits * 255).astype(np.uint8)  # 1 = white (§8.9.5.2)
+        else:
+            raise ValueError("unsupported raw sample layout")
+        row["codec"] = "raw"
+        row["payload"] = encode_png_gray(gray)
+    except ValueError:
+        row["codec"] = "raw-opaque"
+        row["payload"] = data
+    return row
+
+
+def _pdf_media_inner(data: bytes) -> list[dict]:
+    """PDF bytes -> media rows for every image XObject, ids assigned
+    page_{p}_img_{i} in content-stream execution order (the same
+    first-seen discipline as tier-2 image extraction, SURVEY §2.1
+    O14); an XObject reused across pages lifts ONCE at its first
+    use."""
+    opened = _open_pdf(data)
+    if opened is None:
+        return []
+    objs, _trailer, pages = opened
+    out: list[dict] = []
+    seen: set = set()
+    for p_idx, page in enumerate(pages):
+        res = _obj_dict(objs, page.get("Resources")) or {}
+        xo_map = _resolve(objs, res.get("XObject")) or {}
+        xobjects: dict[str, dict] = {}
+        xrefs: dict[str, object] = {}
+        if isinstance(xo_map, dict):
+            for nm, ref in xo_map.items():
+                body = objs.get(ref.num) if isinstance(ref, Ref) else None
+                if body is not None:
+                    dd = _parse_obj(body, 0)[0]
+                    if isinstance(dd, dict):
+                        xobjects[nm] = dd
+                        xrefs[nm] = ref
+        contents = page.get("Contents")
+        content_refs = contents if isinstance(contents, list) else [contents]
+        content = b"".join(
+            _stream_bytes(objs, r) for r in content_refs if r is not None
+        )
+        uses: list[str] = []
+        try:
+            _interp_page(content, xobjects, [], None, image_uses=uses)
+        except Exception:
+            continue  # page quarantines; other pages still lift
+        img_i = 0
+        for nm in uses:
+            dd = xobjects.get(nm)
+            ref = xrefs.get(nm)
+            if dd is None or dd.get("Subtype") != "Image":
+                continue
+            key = ref.num if isinstance(ref, Ref) else (p_idx, nm)
+            if key in seen:
+                continue
+            seen.add(key)
+            try:
+                row = _lift_image(
+                    objs, dd, ref, f"page_{p_idx}_img_{img_i}"
+                )
+            except Exception:
+                row = None
+            if row is not None:
+                out.append(row)
+                img_i += 1
+    return out
+
+
+def media_batches(batches):
+    """(doc_id, payload binary) -> MEDIA_TABLE_SCHEMA rows; malformed
+    payloads lift zero rows (O19: never raise)."""
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        cols: dict[str, list] = {
+            "doc_id": [], "media_ref": [], "kind": [], "codec": [],
+            "width": [], "height": [], "payload": [],
+        }
+        for did, p in zip(batch.column("doc_id"), batch.column("payload")):
+            try:
+                rows = _pdf_media_inner(bytes(p.as_py() or b""))
+            except Exception:
+                rows = []
+            for r in rows:
+                cols["doc_id"].append(did.as_py())
+                cols["media_ref"].append(r["media_ref"])
+                cols["kind"].append(r["kind"])
+                cols["codec"].append(r["codec"])
+                cols["width"].append(r["width"])
+                cols["height"].append(r["height"])
+                cols["payload"].append(r["payload"])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(cols["doc_id"], type=pa.string()),
+                pa.array(cols["media_ref"], type=pa.string()),
+                pa.array(cols["kind"], type=pa.string()),
+                pa.array(cols["codec"], type=pa.string()),
+                pa.array(cols["width"], type=pa.int32()),
+                pa.array(cols["height"], type=pa.int32()),
+                pa.array(cols["payload"], type=pa.binary()),
+            ],
+            names=list(cols.keys()),
+        )
+
+
+def extract_pdf_media(bin_df):
+    """(doc_id, payload binary) of PDFs -> media table of embedded
+    images (MEDIA_TABLE_SCHEMA). Map-only: one Arrow kernel, zero
+    exchanges — at 10^12 docs the job parallelises purely by input
+    split, same shape as parse_table."""
+    return bin_df.select("doc_id", "payload").mapInArrow(
+        media_batches, MEDIA_TABLE_SCHEMA
+    )
+
+
+# -- synthetic media-PDF producer (harness side, like render_pdf) ----------
+
+
+def render_media_pdf(did: int) -> bytes:
+    """One synthetic PDF embedding two REAL deterministic images for
+    doc number `did` (the derivation is SQL-replicable so the driver
+    oracle can verify the full byte path end-to-end):
+
+    - Im0: 8-bit gray raw samples, FlateDecode, w = 8 + did%16,
+      h = 6 + did%12, pixel[i] = (i + did) % 251.
+    - Im1: CCITT G4 (K=-1), w = 16 + did%8, h = 8 + did%4,
+      black where (i + did) % 3 == 0.
+    """
+    import numpy as np
+
+    from .ccitt import encode_g4
+
+    w = _PdfWriter()
+    w0, h0 = 8 + did % 16, 6 + did % 12
+    pix0 = ((np.arange(w0 * h0, dtype=np.int64) + did) % 251).astype(
+        np.uint8
+    )
+    comp0 = zlib.compress(pix0.tobytes())
+    im0 = w.add(
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 8"
+        b" /Filter /FlateDecode /Length %d >>\nstream\n"
+        % (w0, h0, len(comp0)) + comp0 + b"\nendstream"
+    )
+    w1, h1 = 16 + did % 8, 8 + did % 4
+    bits = (
+        ((np.arange(w1 * h1, dtype=np.int64) + did) % 3) == 0
+    ).astype(np.uint8).reshape(h1, w1)
+    g4 = encode_g4(bits, eofb=False)
+    im1 = w.add(
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+        b" /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K -1 /Columns %d /Rows %d >>"
+        b" /Length %d >>\nstream\n" % (w1, h1, w1, h1, len(g4))
+        + g4 + b"\nendstream"
+    )
+    content = b"q /Im0 Do Q q /Im1 Do Q\n"
+    cnum = w.add(
+        b"<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream"
+    )
+    pages_num = w.next_num + 1
+    pnum = w.add(
+        b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
+        b" /Contents %d 0 R /Resources << /XObject"
+        b" << /Im0 %d 0 R /Im1 %d 0 R >> >> >>"
+        % (pages_num, cnum, im0, im1)
+    )
+    real_pages = w.add(
+        b"<< /Type /Pages /Kids [ %d 0 R ] /Count 1 >>" % pnum
+    )
+    if real_pages != pages_num:
+        raise ValueError("media-pdf page numbering drifted")
+    root = w.add(b"<< /Type /Catalog /Pages %d 0 R >>" % pages_num)
+    info = w.add(b"<< /Producer " + _hex_str("synthetic-media") + b" >>")
+    return w.finish(root, info)
+
+
+def render_media_batches(batches):
+    for batch in batches:
+        if batch.num_rows == 0:
+            continue
+        dids = [int(x.as_py()) for x in batch.column("doc_id")]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(["d%09d" % d for d in dids], type=pa.string()),
+                pa.array(
+                    [render_media_pdf(d) for d in dids], type=pa.binary()
+                ),
+            ],
+            names=["doc_id", "payload"],
+        )
+
+
+def render_media_table(docs):
+    """documents DataFrame (numeric doc_id) -> (doc_id 'd%09d',
+    payload binary) of PDFs embedding the deterministic images."""
+    return docs.select("doc_id").mapInArrow(
+        render_media_batches, "doc_id string, payload binary"
     )
