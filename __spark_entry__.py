@@ -701,6 +701,30 @@ def q_pdf_ingest(spark, sf_dir):
     )
 
 
+def q_bpe_merges(spark, sf_dir):
+    """Distributed BPE tokenizer training (Sennrich et al. 2016):
+    learn 5 merges over the corpus's alphanumeric vocabulary. The
+    only corpus-sized stage is the word-frequency groupBy; each
+    iteration is a vocab-sized pair count + a top-1 reduction + a
+    1-row broadcast merge apply (bpe.py's padded double-space
+    encoding makes the greedy merge ONE string replace, identical in
+    Spark and SQL — the oracle unrolls the whole training loop
+    exactly)."""
+    from two_tier_document_parser_spark.bpe import bpe_train
+
+    return bpe_train(_docs(spark, sf_dir), iters=5)
+
+
+def q_bpe_subword_counts(spark, sf_dir):
+    """Tokenizer-coverage report: corpus subword totals after the 5
+    learned merges, top 40 (count desc, subword tie-break) — the
+    segment-apply side of BPE, replayed as a chain of k string
+    replaces over the vocabulary table."""
+    from two_tier_document_parser_spark.bpe import bpe_subword_counts
+
+    return bpe_subword_counts(_docs(spark, sf_dir), iters=5, top_k=40)
+
+
 def q_pdf_media_extract(spark, sf_dir):
     """Embedded-image media extraction from PDF bytes (reference
     parity: the accurate tier crops and exports every embedded image,
@@ -1769,7 +1793,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # path, IS in the window; both stay pytest-policy-pinned and
 # parity-run locally).
 _R05_WINDOW = [
-    "pdf_media_extract",
+    "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
     "lsh_near_dups_q8",
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
@@ -1784,8 +1808,7 @@ _R05_WINDOW = [
     "asof_click_error", "interval_error_view", "lang_intersect",
     "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
     "length_quantiles", "pivot_source_lang", "curate",
-    "winnow_fingerprints", "chunk_documents", "pack_sequences",
-    "binary_ingest",
+    "winnow_fingerprints", "chunk_documents",
 ]
 
 
@@ -1803,6 +1826,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     base = {
         # -- group 1: new this round, never attested --
         "pdf_media_extract": q_pdf_media_extract,
+        "bpe_merges": q_bpe_merges,
+        "bpe_subword_counts": q_bpe_subword_counts,
         "bm25_topk": q_bm25_topk,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_chunks": q_cdc_dup_chunks,
@@ -2370,6 +2395,8 @@ def oracle_sql() -> dict[str, str]:
         # the encrypted path shares pdf_ingest's span-lift oracle
         "pdf_encrypted_ingest": _binary_ingest_sql(),
         "pdf_media_extract": _pdf_media_sql(),
+        "bpe_merges": _bpe_merges_sql(5),
+        "bpe_subword_counts": _bpe_subwords_sql(5, 40),
         "winnow_fingerprints": _winnow_sql(4, 5),
         "chunk_documents": _chunk_sql(50, 10),
         "pack_sequences": _pack_sql(256, 100),
@@ -2446,6 +2473,70 @@ decided AS (
   FROM base
 )
 SELECT doc_id, reason, reason = '' AS keep FROM decided
+"""
+
+
+def _bpe_ctes(iters: int = 5) -> str:
+    """Shared unrolled CTE chain replicating bpe.bpe_train: word
+    frequencies over the alphanumeric vocabulary, char segmentation
+    in the padded double-space encoding, then per iteration an
+    overlap-counting pair aggregate, a deterministic argmax, and the
+    single-replace greedy merge apply. list_zip pads the shifted copy
+    with NULL (filtered); struct fields are positional on the
+    unnamed zip struct."""
+    parts = [
+        r"""
+WITH wf AS (
+  SELECT token AS word, count(*) AS n FROM (
+    SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS token
+    FROM documents
+  ) u WHERE regexp_matches(token, '^[a-z0-9]+$')
+  GROUP BY token
+),
+w0 AS (
+  SELECT word, n,
+         ' ' || array_to_string(
+           list_transform(range(1, length(word) + 1), i -> word[i]), '  '
+         ) || ' ' AS seg
+  FROM wf
+)"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(f"""
+, p{it} AS (
+  SELECT z[1] AS a, z[2] AS b, sum(n) AS c FROM (
+    SELECT n, unnest(list_zip(l, l[2:])) AS z FROM (
+      SELECT n, string_split(trim(seg), '  ') AS l FROM w{it - 1}
+    )
+  ) WHERE z[2] IS NOT NULL GROUP BY 1, 2
+),
+b{it} AS (SELECT a, b, c FROM p{it} ORDER BY c DESC, a, b LIMIT 1),
+w{it} AS (
+  SELECT word, n,
+         replace(seg, ' ' || a || '  ' || b || ' ',
+                 ' ' || a || b || ' ') AS seg
+  FROM w{it - 1}, b{it}
+)""")
+    return "".join(parts)
+
+
+def _bpe_merges_sql(iters: int = 5) -> str:
+    unions = "\nUNION ALL\n".join(
+        f"SELECT CAST({it} AS INT) AS it, a AS lft, b AS rgt,"
+        f" a || b AS merged, CAST(c AS BIGINT) AS pair_count FROM b{it}"
+        for it in range(1, iters + 1)
+    )
+    return _bpe_ctes(iters) + "\n" + unions
+
+
+def _bpe_subwords_sql(iters: int = 5, top_k: int = 40) -> str:
+    return _bpe_ctes(iters) + f"""
+, final AS (
+  SELECT n, unnest(string_split(trim(seg), '  ')) AS subword FROM w{iters}
+)
+SELECT subword, CAST(sum(n) AS BIGINT) AS total
+FROM final GROUP BY subword
+ORDER BY total DESC, subword LIMIT {top_k}
 """
 
 

@@ -288,6 +288,8 @@ def main() -> int:
         "emb_near_dups_q8",
         # round-5 additions
         "pdf_media_extract",
+        "bpe_merges",
+        "bpe_subword_counts",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

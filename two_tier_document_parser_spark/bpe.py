@@ -1,0 +1,177 @@
+"""Distributed byte-pair-encoding tokenizer training (Sennrich,
+Haddow & Birch 2016, ACL — the merge-learning loop every modern LLM
+tokenizer descends from; reference parity is the training-pipeline
+role: the reference's output feeds tokenizer construction downstream
+of extraction, and SURVEY §2 lists token counting/encoding as
+first-class — this adds LEARNING the vocabulary, not just applying
+one).
+
+Semantics (deterministic, within-word BPE):
+
+- Tokenize: lowercase, split on whitespace, keep non-empty tokens
+  matching ``^[a-z0-9]+$`` (the alphanumeric vocabulary — sidesteps
+  unicode-grapheme divergence between engines and guarantees tokens
+  never contain the separator).
+- Word-frequency table once: the ONLY corpus-sized stage (one
+  map-side-combinable groupBy). Everything after runs on the
+  vocabulary-sized table — Heaps' law keeps that sublinear in corpus
+  size (~10^7-10^8 distinct words at 10^12 docs, still distributed,
+  never collected).
+- Each iteration: (1) adjacent-pair counts weighted by word
+  frequency, overlapping occurrences counted per position exactly as
+  the reference implementation's ``zip(symbols, symbols[1:])``;
+  (2) argmax with a deterministic tie-break (count desc, then left,
+  then right lexicographically); (3) apply the merge to every word's
+  segmentation.
+
+The merge application uses a padded double-space encoding:
+segmentations are stored as ``' a  b  c '`` (tokens joined by TWO
+spaces, single-space pads at both ends), so a plain non-overlapping
+left-to-right ``replace(' a  b ', ' ab ')`` is EXACTLY the greedy
+merge the reference applies (its ``re.sub`` is also left-to-right
+non-overlapping): the match consumes one space of each boundary,
+leaving single spaces that re-form valid pads/gaps, and token-aligned
+matches are guaranteed because every token occurrence is
+space-delimited while tokens themselves are space-free. This makes
+each iteration expressible as ONE string replace — the same operator
+in Spark and ANSI SQL, which is what lets the driver oracle unroll
+the whole training loop exactly.
+
+Scale shape per iteration: one vocabulary-sized groupBy (map-side
+partials), one global top-1 (TakeOrdered — a k=1 reduction, not a
+sort), one 1-row broadcast join applying the merge map-only. k
+iterations = k small shuffles; nothing grows with executor count. An
+empty pair table (vocabulary fully merged) empties the cascade from
+that iteration on — deliberately mirrored in the SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "^[a-z0-9]+$"
+
+
+def word_frequencies(docs: DataFrame) -> DataFrame:
+    """documents(text) -> (word, n) over the alphanumeric vocabulary.
+    The single corpus-sized stage of BPE training."""
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), r"\s+"), lambda t: t != F.lit("")
+    )
+    return (
+        docs.select(F.explode(toks).alias("word"))
+        .where(F.col("word").rlike(WORD_RE))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _initial_seg(word):
+    """word -> padded double-space char segmentation ' a  b  c '."""
+    chars = F.filter(F.split(word, ""), lambda c: c != F.lit(""))
+    return F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" "))
+
+
+def _pair_counts(w: DataFrame) -> DataFrame:
+    toks = F.split(F.trim(F.col("seg")), "  ")
+    pairs = F.zip_with(
+        F.slice(toks, 1, F.greatest(F.size(toks) - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+    return (
+        w.select("n", F.explode(pairs).alias("z"))
+        .where(F.col("z.b").isNotNull())
+        .groupBy(F.col("z.a").alias("a"), F.col("z.b").alias("b"))
+        .agg(F.sum("n").alias("c"))
+    )
+
+
+def bpe_train(docs: DataFrame, iters: int = 5) -> DataFrame:
+    """Learn `iters` BPE merges -> (it, lft, rgt, merged, pair_count),
+    one row per iteration in learning order."""
+    spark = docs.sparkSession
+    w = word_frequencies(docs).withColumn(
+        "seg", _initial_seg(F.col("word"))
+    )
+    # the vocab table is re-read once per iteration; cache the only
+    # corpus-shuffle result so docs are scanned exactly once
+    w = w.cache()
+    outs = []
+    for it in range(1, iters + 1):
+        best = (
+            _pair_counts(w)
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+        )
+        outs.append(
+            best.select(
+                F.lit(it).alias("it"),
+                F.col("a").alias("lft"),
+                F.col("b").alias("rgt"),
+                F.concat("a", "b").alias("merged"),
+                F.col("c").alias("pair_count"),
+            )
+        )
+        if it == iters:
+            break
+        bb = F.broadcast(
+            best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
+        )
+        w = w.crossJoin(bb).select(
+            "word",
+            "n",
+            F.replace(
+                F.col("seg"),
+                F.concat(F.lit(" "), "_a", F.lit("  "), "_b", F.lit(" ")),
+                F.concat(F.lit(" "), "_a", "_b", F.lit(" ")),
+            ).alias("seg"),
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    _ = spark  # session only needed by callers composing further
+    return out
+
+
+def bpe_segment(docs: DataFrame, merges: DataFrame) -> DataFrame:
+    """Apply learned merges to the corpus vocabulary ->
+    (word, n, subwords array<string>): join each word to its final
+    segmentation after replaying the merge list in learning order.
+    The merge list is tiny (k rows) and collected ONCE to drive the
+    replay as a chain of column expressions — bounded by k, never by
+    data."""
+    ms = [
+        (r["lft"], r["rgt"])
+        for r in merges.orderBy("it").collect()
+    ]
+    w = word_frequencies(docs).withColumn(
+        "seg", _initial_seg(F.col("word"))
+    )
+    col = F.col("seg")
+    for a, b in ms:
+        col = F.replace(
+            col, F.lit(f" {a}  {b} "), F.lit(f" {a}{b} ")
+        )
+    return w.select(
+        "word", "n", F.split(F.trim(col), "  ").alias("subwords")
+    )
+
+
+def bpe_subword_counts(
+    docs: DataFrame, iters: int = 5, top_k: int = 40
+) -> DataFrame:
+    """Corpus subword statistics after `iters` learned merges ->
+    (subword, total bigint) for the top_k most frequent subwords
+    (ties broken by subword) — the operator a tokenizer-coverage
+    report runs. Scale: vocab-sized explode + one subword-keyed
+    groupBy; the corpus is touched only by word_frequencies."""
+    segs = bpe_segment(docs, bpe_train(docs, iters=iters))
+    return (
+        segs.select("n", F.explode("subwords").alias("subword"))
+        .groupBy("subword")
+        .agg(F.sum("n").alias("total"))
+        .orderBy(F.desc("total"), "subword")
+        .limit(top_k)
+    )
