@@ -90,49 +90,61 @@ def _pair_counts(w: DataFrame) -> DataFrame:
 
 def bpe_train(docs: DataFrame, iters: int = 5) -> DataFrame:
     """Learn `iters` BPE merges -> (it, lft, rgt, merged, pair_count),
-    one row per iteration in learning order."""
+    one row per iteration in learning order.
+
+    Each iteration COLLECTS its single argmax row (driver state
+    bounded by k merge rows total — the same boundedness class as
+    curation.py's P-row pack offsets, never data-sized). Collecting
+    the winner is what keeps the job linear: leaving the 1-row argmax
+    lazy embeds iteration i's TakeOrdered subtree inside every later
+    iteration's lineage, doubling the DAG per merge (measured: 2^k-1
+    TakeOrdered nodes at k=5) — an exponential plan for a linear
+    algorithm. With the winner collected, the apply is a literal
+    string replace and iteration i+1 recomputes from the cached
+    vocabulary table only. Empty pair table (vocabulary fully
+    merged) -> fewer than k rows, mirrored by the SQL oracle's empty
+    cascade."""
     spark = docs.sparkSession
     w = word_frequencies(docs).withColumn(
         "seg", _initial_seg(F.col("word"))
     )
-    # the vocab table is re-read once per iteration; cache the only
-    # corpus-shuffle result so docs are scanned exactly once
+    # cache: the corpus is shuffled exactly once; every iteration
+    # reads the vocab-sized table from memory
     w = w.cache()
-    outs = []
+    prev = None
+    merges: list[tuple] = []
     for it in range(1, iters + 1):
-        best = (
-            _pair_counts(w)
-            .orderBy(F.desc("c"), "a", "b")
-            .limit(1)
+        rows = (
+            _pair_counts(w).orderBy(F.desc("c"), "a", "b").limit(1).collect()
         )
-        outs.append(
-            best.select(
-                F.lit(it).alias("it"),
-                F.col("a").alias("lft"),
-                F.col("b").alias("rgt"),
-                F.concat("a", "b").alias("merged"),
-                F.col("c").alias("pair_count"),
-            )
-        )
+        if prev is not None:
+            prev.unpersist()
+        prev = w
+        if not rows:
+            break
+        a, b, c = rows[0]["a"], rows[0]["b"], int(rows[0]["c"])
+        merges.append((it, a, b, a + b, c))
         if it == iters:
             break
-        bb = F.broadcast(
-            best.select(F.col("a").alias("_a"), F.col("b").alias("_b"))
-        )
-        w = w.crossJoin(bb).select(
+        w = w.select(
             "word",
             "n",
             F.replace(
                 F.col("seg"),
-                F.concat(F.lit(" "), "_a", F.lit("  "), "_b", F.lit(" ")),
-                F.concat(F.lit(" "), "_a", "_b", F.lit(" ")),
+                F.lit(f" {a}  {b} "),
+                F.lit(f" {a}{b} "),
             ).alias("seg"),
-        )
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionByName(o)
-    _ = spark  # session only needed by callers composing further
-    return out
+        ).cache()
+    # the result is the collected merge list, not a view over w:
+    # release every cached vocab table (same cache-freeing hygiene
+    # as the graph/dedup iteration loops)
+    w.unpersist()
+    if prev is not None and prev is not w:
+        prev.unpersist()
+    return spark.createDataFrame(
+        merges,
+        "it int, lft string, rgt string, merged string, pair_count long",
+    )
 
 
 def bpe_segment(docs: DataFrame, merges: DataFrame) -> DataFrame:
