@@ -725,6 +725,19 @@ def q_bpe_subword_counts(spark, sf_dir):
     return bpe_subword_counts(_docs(spark, sf_dir), iters=5, top_k=40)
 
 
+def q_lm_surprisal(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): add-one
+    bigram model trained on the corpus scores each doc's mean
+    next-token surprisal in integer whole bits (the pmi_bigrams
+    floor-log2 bitlen identity — no transcendental, bit-identical in
+    any engine). Two map-side-combinable training aggregates, then
+    the pair stream joins vocab-sized count tables (one row per key —
+    AQE-skew-splittable) and one per-doc aggregate."""
+    from two_tier_document_parser_spark.bpe import lm_surprisal
+
+    return lm_surprisal(_docs(spark, sf_dir))
+
+
 def q_pdf_media_extract(spark, sf_dir):
     """Embedded-image media extraction from PDF bytes (reference
     parity: the accurate tier crops and exports every embedded image,
@@ -1794,7 +1807,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity-run locally).
 _R05_WINDOW = [
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
-    "lsh_near_dups_q8",
+    "lm_surprisal", "lsh_near_dups_q8",
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
@@ -1808,7 +1821,7 @@ _R05_WINDOW = [
     "asof_click_error", "interval_error_view", "lang_intersect",
     "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
     "length_quantiles", "pivot_source_lang", "curate",
-    "winnow_fingerprints", "chunk_documents",
+    "winnow_fingerprints",
 ]
 
 
@@ -1828,6 +1841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_media_extract": q_pdf_media_extract,
         "bpe_merges": q_bpe_merges,
         "bpe_subword_counts": q_bpe_subword_counts,
+        "lm_surprisal": q_lm_surprisal,
         "bm25_topk": q_bm25_topk,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_chunks": q_cdc_dup_chunks,
@@ -2397,6 +2411,7 @@ def oracle_sql() -> dict[str, str]:
         "pdf_media_extract": _pdf_media_sql(),
         "bpe_merges": _bpe_merges_sql(5),
         "bpe_subword_counts": _bpe_subwords_sql(5, 40),
+        "lm_surprisal": _lm_surprisal_sql(),
         "winnow_fingerprints": _winnow_sql(4, 5),
         "chunk_documents": _chunk_sql(50, 10),
         "pack_sequences": _pack_sql(256, 100),
@@ -2537,6 +2552,65 @@ def _bpe_subwords_sql(iters: int = 5, top_k: int = 40) -> str:
 SELECT subword, CAST(sum(n) AS BIGINT) AS total
 FROM final GROUP BY subword
 ORDER BY total DESC, subword LIMIT {top_k}
+"""
+
+
+def _lm_surprisal_sql() -> str:
+    """Oracle for bpe.lm_surprisal: same array-built bigrams as
+    _pmi_sql, add-one smoothing, and the exact ceil-log2 bitlen
+    identity (den >= num always, so the surprisal branch is the
+    num<den arm of pmi's floor-log2)."""
+    return r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '') AS t
+  FROM documents
+),
+uni AS (
+  SELECT tok, CAST(count(*) AS BIGINT) AS c1
+  FROM (SELECT unnest(t) AS tok FROM t) GROUP BY tok
+),
+big AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM (
+    SELECT p['w1'] AS w1, p['w2'] AS w2 FROM (
+      SELECT unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+                     for i in generate_series(1, len(t) - 1)]) AS p
+      FROM t
+    )
+  ) GROUP BY w1, w2
+),
+v AS (SELECT CAST(count(*) AS BIGINT) AS v FROM uni),
+pairs AS (
+  SELECT doc_id, p['w1'] AS w1, p['w2'] AS w2 FROM (
+    SELECT doc_id,
+           unnest([struct_pack(w1 := t[i], w2 := t[i + 1])
+                   for i in generate_series(1, len(t) - 1)]) AS p
+    FROM t
+  )
+),
+s AS (
+  SELECT doc_id,
+         COALESCE(b.c2, 0) + 1 AS num,
+         COALESCE(u.c1, 0) + v.v AS den
+  FROM pairs p
+  LEFT JOIN big b ON b.w1 = p.w1 AND b.w2 = p.w2
+  LEFT JOIN uni u ON u.tok = p.w1
+  CROSS JOIN v
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(bits) AS BIGINT) AS total_bits,
+       CAST(sum(bits) // count(*) AS BIGINT) AS bits_per_pair
+FROM (
+  SELECT doc_id,
+         CASE WHEN den > num
+              THEN CAST(length(bin(CAST((den + num - 1) // num - 1
+                                        AS BIGINT))) AS BIGINT)
+              ELSE 0 END AS bits
+  FROM s
+)
+GROUP BY doc_id
 """
 
 

@@ -290,6 +290,7 @@ def main() -> int:
         "pdf_media_extract",
         "bpe_merges",
         "bpe_subword_counts",
+        "lm_surprisal",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

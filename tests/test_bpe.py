@@ -149,6 +149,43 @@ def test_matches_independent_python_bpe(spark):
     assert got == expect
 
 
+def test_lm_surprisal_hand_values(spark):
+    """Add-one bigram surprisal worked by hand: vocab V=6
+    {the,cat,sat,zx,qq,one}; c1(the)=c1(cat)=c1(sat)=3;
+    c2(the,cat)=c2(cat,sat)=3, c2(sat,the)=c2(zx,qq)=1.
+    (the,cat): ceil(9/4) -> bitlen(2) = 2 bits; (sat,the):
+    ceil(9/2) -> bitlen(4) = 3 bits; (zx,qq): ceil(7/2) ->
+    bitlen(3) = 2 bits. Single-token docs emit no row."""
+    from two_tier_document_parser_spark.bpe import lm_surprisal
+
+    docs = _docs(
+        spark,
+        ["the cat sat", "the cat sat the cat sat", "zx qq", "one"],
+    )
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["total_bits"], r["bits_per_pair"])
+        for r in lm_surprisal(docs).collect()
+    }
+    assert got == {0: (2, 4, 2), 1: (5, 11, 2), 2: (1, 2, 2)}
+
+
+def test_lm_surprisal_cross_corpus_unseen(spark):
+    """Scoring a different corpus than the model was trained on:
+    unseen bigrams/unigrams coalesce to count 0 and stay finite via
+    the add-one smoothing (p = 1/V for a fully unseen pair)."""
+    from two_tier_document_parser_spark.bpe import lm_surprisal
+
+    train = _docs(spark, ["a b a b a b"])  # V=2, c1(a)=3, c2(a,b)=3
+    score = _docs(spark, ["a b", "x y"])
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["total_bits"])
+        for r in lm_surprisal(score, train=train).collect()
+    }
+    # (a,b): num=4, den=3+2=5 -> ceil(5/4)=2 -> bitlen(1)=1 bit
+    # (x,y): num=1, den=0+2=2 -> ceil(2/1)=2 -> bitlen(1)=1 bit
+    assert got == {0: (1, 1), 1: (1, 1)}
+
+
 def test_oracle_sql_matches_spark(spark):
     """The unrolled DuckDB oracle reproduces bpe_train/-subword
     value-for-value on an adversarial corpus (ties, overlaps,

@@ -187,3 +187,105 @@ def bpe_subword_counts(
         .orderBy(F.desc("total"), "subword")
         .limit(top_k)
     )
+
+
+def lm_surprisal(
+    docs: DataFrame,
+    train: DataFrame | None = None,
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality scoring (Wenzek et al.
+    2020 score documents by LM perplexity; ccnet_bucket then cuts the
+    score into head/middle/tail terciles): an add-one-smoothed BIGRAM
+    model trained on `train` (default: the corpus itself) scores each
+    document's mean next-token surprisal.
+
+    Integer-exact rendition: per adjacent pair the conditional
+    p(w2|w1) = (c2 + 1) / (c1 + V) with V the training vocabulary
+    size, and the per-pair surprisal is the repo's floor-log2 bitlen
+    identity in whole bits: -floor(log2(num/den)) = ceil(log2(den/
+    num)) = bitlen(ceil(den/num) - 1) for den > num (proof at
+    textstats.pmi_bigrams), 0 when num == den. num = c2+1 <= c1+1 <=
+    c1+V = den always, so the value is a non-negative int — bit-
+    identical in any engine, no transcendental. Granularity is whole
+    bits; raw totals ride along for finer driver-side calibration.
+
+    Columns: doc_id, n_pairs, total_bits, bits_per_pair
+    (total DIV n_pairs). Documents with fewer than two tokens carry
+    no pairs and emit no row (mirrored by the oracle's group-by over
+    exploded pairs).
+
+    Scale shape: training is two corpus-sized aggregates that combine
+    map-side (unigram + bigram counts, both vocabulary-sized after)
+    plus a 1-row vocab count; scoring joins the corpus-sized pair
+    stream against the bigram-vocab table on (w1, w2) and the unigram
+    table on w1 — count sides have ONE row per key, so Zipf-hot keys
+    are AQE-skew-splittable shuffle joins, never a fan-out; then one
+    per-doc aggregate. Unseen pairs/words (train != score corpus)
+    coalesce to c=0 — the add-one smoothing keeps them finite."""
+    if train is None:
+        train = docs
+
+    def _tokarr(col):
+        return F.filter(
+            F.split(F.lower(col), r"\s+"), lambda t: t != F.lit("")
+        )
+
+    tbase = train.select(_tokarr(F.col(text_col)).alias("t"))
+    uni = (
+        tbase.select(F.explode("t").alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    )
+    big = (
+        tbase.select(
+            F.explode(
+                F.expr(
+                    "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                    " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.w1", "p.w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c2"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).cast("long").alias("v"))
+
+    pairs = docs.select(
+        "doc_id", _tokarr(F.col(text_col)).alias("t")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " (x, i) -> struct(x AS w1, t[i + 1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+
+    j = (
+        pairs.join(big, ["w1", "w2"], "left")
+        .join(uni, pairs["w1"] == uni["tok"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (F.coalesce(F.col("c2"), F.lit(0)) + 1).alias("num"),
+            (F.coalesce(F.col("c1"), F.lit(0)) + F.col("v")).alias("den"),
+        )
+        .withColumn(
+            "bits",
+            F.when(
+                F.col("den") > F.col("num"),
+                F.length(F.bin(F.expr("(den + num - 1) DIV num - 1"))).cast(
+                    "long"
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        )
+    )
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("bits").cast("long").alias("total_bits"),
+        F.expr("sum(bits) DIV count(1)").cast("long").alias(
+            "bits_per_pair"
+        ),
+    )
