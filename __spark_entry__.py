@@ -373,6 +373,38 @@ def q_model_score(spark, sf_dir):
     )
 
 
+def q_fit_linear_quality(spark, sf_dir):
+    """LEARN the quality model model_score only APPLIES: distributed
+    OLS (y = stopword count ~ token count + n_chars) via exact
+    DECIMAL moment sums + closed-form Cramer solve — one aggregate
+    over the corpus, O(1) rows shuffled (regress.py docstring has the
+    FineWeb-Edu-style distillation framing and the IEEE-determinism
+    contract that makes the oracle hash-exact)."""
+    from two_tier_document_parser_spark.regress import (
+        fit_ols2,
+        quality_features,
+        weights_long,
+    )
+
+    feat = quality_features(_docs(spark, sf_dir), _STOP_ALL)
+    return weights_long(fit_ols2(feat))
+
+
+def q_residual_outliers(spark, sf_dir):
+    """Label-noise candidates (Northcutt et al. 2021 confident
+    learning): top-20 documents whose gold label the fitted linear
+    model most badly mispredicts — broadcast 1-row weights, map-side
+    residuals, TakeOrdered top-k."""
+    from two_tier_document_parser_spark.regress import (
+        fit_ols2,
+        quality_features,
+        residuals_topk,
+    )
+
+    feat = quality_features(_docs(spark, sf_dir), _STOP_ALL)
+    return residuals_topk(feat, fit_ols2(feat), k=20)
+
+
 def q_token_commonness(spark, sf_dir):
     """Corpus-frequency quality signal: global token counts joined
     back per doc — integer-only (sum/min of global counts, hapax
@@ -1807,7 +1839,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity-run locally).
 _R05_WINDOW = [
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
-    "lm_surprisal", "lsh_near_dups_q8",
+    "lm_surprisal", "fit_linear_quality", "residual_outliers",
+    "lsh_near_dups_q8",
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
@@ -1820,8 +1853,10 @@ _R05_WINDOW = [
     "model_score", "extract_synth_spans", "caption_align",
     "asof_click_error", "interval_error_view", "lang_intersect",
     "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
-    "length_quantiles", "pivot_source_lang", "curate",
-    "winnow_fingerprints",
+    "length_quantiles", "pivot_source_lang",
+    # curate + winnow_fingerprints rotated back out (both hold prior
+    # driver-green attestations) to make room for the two r05 OLS
+    # queries — first-attestation priority, as every round.
 ]
 
 
@@ -1842,6 +1877,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges": q_bpe_merges,
         "bpe_subword_counts": q_bpe_subword_counts,
         "lm_surprisal": q_lm_surprisal,
+        "fit_linear_quality": q_fit_linear_quality,
+        "residual_outliers": q_residual_outliers,
         "bm25_topk": q_bm25_topk,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_chunks": q_cdc_dup_chunks,
@@ -1967,6 +2004,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
+def _ols_sql(stop_list: str) -> dict[str, str]:
+    """DuckDB oracles for the OLS fit + residual top-k. The Cramer
+    determinant and residual formula strings are imported from
+    regress.py VERBATIM — the same expression text Spark parses — so
+    both engines perform the identical IEEE double operation sequence
+    on the identical exact DECIMAL moment sums (bit-equal outputs)."""
+    from two_tier_document_parser_spark.regress import (
+        DET_A,
+        DET_A0,
+        DET_A1,
+        DET_A2,
+        RESIDUAL_EXPR,
+    )
+
+    d18 = "CAST({} AS DECIMAL(18,0))"
+    prods = {
+        "s1": d18.format("x1"),
+        "s2": d18.format("x2"),
+        "s11": f"{d18.format('x1')} * {d18.format('x1')}",
+        "s12": f"{d18.format('x1')} * {d18.format('x2')}",
+        "s22": f"{d18.format('x2')} * {d18.format('x2')}",
+        "sy": d18.format("y"),
+        "s1y": f"{d18.format('x1')} * {d18.format('y')}",
+        "s2y": f"{d18.format('x2')} * {d18.format('y')}",
+    }
+    moments = ", ".join(
+        f"CAST(sum({p}) AS DOUBLE) AS {c}" for c, p in prods.items()
+    )
+    cte = (
+        "WITH feat AS (SELECT doc_id,"
+        " CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+        f" t -> t <> '' AND lower(t) IN ({stop_list}))) AS BIGINT) AS y,"
+        " CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),"
+        " t -> t <> '')) AS BIGINT) AS x1,"
+        " CAST(n_chars AS BIGINT) AS x2 FROM documents),"
+        " mom AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
+        f" {moments} FROM feat),"
+        f" w AS (SELECT {DET_A0} / {DET_A} AS w0,"
+        f" {DET_A1} / {DET_A} AS w1, {DET_A2} / {DET_A} AS w2 FROM mom)"
+    )
+    return {
+        "fit_linear_quality": (
+            f"{cte} SELECT * FROM ("
+            " SELECT 'intercept' AS feature, w0 AS weight FROM w"
+            " UNION ALL SELECT 'n_chars', w2 FROM w"
+            " UNION ALL SELECT 'n_tokens', w1 FROM w) ORDER BY feature"
+        ),
+        "residual_outliers": (
+            f"{cte}, jr AS (SELECT doc_id, y, x1, x2,"
+            f" {RESIDUAL_EXPR} AS residual FROM feat CROSS JOIN w)"
+            " SELECT doc_id, y AS n_stop, x1 AS n_tokens,"
+            " x2 AS n_chars, residual FROM jr"
+            " ORDER BY abs(residual) DESC, doc_id LIMIT 20"
+        ),
+    }
+
+
 def oracle_sql() -> dict[str, str]:
     stop_list = _sql_list(_STOP_ALL)
     norm = (
@@ -1990,6 +2084,7 @@ def oracle_sql() -> dict[str, str]:
     ) + f" ELSE '{order[-1]}' END"
 
     return {
+        **_ols_sql(stop_list),
         "scan_project": "SELECT doc_id, lang, source, n_chars FROM documents",
         "filter_valid": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE text IS NOT NULL"

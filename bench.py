@@ -291,6 +291,8 @@ def main() -> int:
         "bpe_merges",
         "bpe_subword_counts",
         "lm_surprisal",
+        "fit_linear_quality",
+        "residual_outliers",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 
