@@ -405,6 +405,30 @@ def q_residual_outliers(spark, sf_dir):
     return residuals_topk(feat, fit_ols2(feat), k=20)
 
 
+def q_kmeans_q8(spark, sf_dir):
+    """Fixed-iteration integer Lloyd's over shifted-q8 embeddings
+    (SemDeDup §3's clustering stage, made oracle-exact): map-only
+    assignment (centroid literals folded into the expression tree —
+    zero joins/shuffles per assign pass), k·dim-keyed integer update
+    sums with bounded driver state. clustering.py docstring has the
+    full scale + exactness contract."""
+    from two_tier_document_parser_spark.clustering import kmeans_q8
+
+    return kmeans_q8(_emb(spark, sf_dir), k=8, iters=3)
+
+
+def q_kmeans_profile(spark, sf_dir):
+    """Cluster balance/compactness audit over the kmeans_q8
+    assignment — the table a cluster-capped sampler or per-cluster
+    dedup pass reads (sizes + exact int64 distance moments)."""
+    from two_tier_document_parser_spark.clustering import (
+        cluster_profile,
+        kmeans_q8,
+    )
+
+    return cluster_profile(kmeans_q8(_emb(spark, sf_dir), k=8, iters=3))
+
+
 def q_token_commonness(spark, sf_dir):
     """Corpus-frequency quality signal: global token counts joined
     back per doc — integer-only (sum/min of global counts, hapax
@@ -1840,7 +1864,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R05_WINDOW = [
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
     "lm_surprisal", "fit_linear_quality", "residual_outliers",
-    "lsh_near_dups_q8",
+    "kmeans_q8", "kmeans_profile", "lsh_near_dups_q8",
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
@@ -1853,10 +1877,11 @@ _R05_WINDOW = [
     "model_score", "extract_synth_spans", "caption_align",
     "asof_click_error", "interval_error_view", "lang_intersect",
     "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
-    "length_quantiles", "pivot_source_lang",
-    # curate + winnow_fingerprints rotated back out (both hold prior
-    # driver-green attestations) to make room for the two r05 OLS
-    # queries — first-attestation priority, as every round.
+    # curate, winnow_fingerprints, length_quantiles and
+    # pivot_source_lang rotated back out (all hold prior driver-green
+    # attestations) to make room for the four late-r05 additions (OLS
+    # fit/residuals, k-means assign/profile) — first-attestation
+    # priority, as every round.
 ]
 
 
@@ -1879,6 +1904,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_surprisal": q_lm_surprisal,
         "fit_linear_quality": q_fit_linear_quality,
         "residual_outliers": q_residual_outliers,
+        "kmeans_q8": q_kmeans_q8,
+        "kmeans_profile": q_kmeans_profile,
         "bm25_topk": q_bm25_topk,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_chunks": q_cdc_dup_chunks,
@@ -2004,6 +2031,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return ordered
 
 
+def _kmeans_sql(k: int = 8, iters: int = 3) -> dict[str, str]:
+    """Unrolled Lloyd's-iteration oracle (the bpe_train/pagerank
+    pattern: the driver's DuckDB check replays the WHOLE fixed-
+    iteration training loop as chained CTEs). Shifted-q8 space keeps
+    every sum/distance/floor-mean in non-negative integer arithmetic
+    — order-independent, so merge order can't perturb a single bit;
+    COALESCE in the centroid-update LEFT JOIN mirrors the module's
+    empty-cluster-keeps-previous-centroid rule."""
+    parts = [
+        (
+            "WITH s AS (SELECT vec_id, list_max(list_transform(embedding,"
+            " x -> abs(CAST(x AS DOUBLE)))) AS scale FROM embeddings),"
+            " q AS (SELECT e.vec_id, CASE WHEN s.scale = 0"
+            " THEN list_transform(e.embedding, x -> CAST(127 AS BIGINT))"
+            " ELSE list_transform(e.embedding,"
+            " x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s.scale)"
+            " AS BIGINT) + 127) END AS p"
+            " FROM embeddings e JOIN s USING (vec_id)),"
+            " dims AS (SELECT vec_id, generate_subscripts(p, 1) - 1 AS d,"
+            " unnest(p) AS v FROM q),"
+            " init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id)"
+            " - 1 AS INT) AS cluster FROM"
+            f" (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k}) t),"
+            " cent0 AS (SELECT i.cluster, d.d, d.v FROM init i"
+            " JOIN dims d USING (vec_id))"
+        )
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"dist{t} AS (SELECT p.vec_id, c.cluster,"
+            " sum((p.v - c.v) * (p.v - c.v)) AS dist"
+            f" FROM dims p JOIN cent{t} c ON p.d = c.d"
+            " GROUP BY p.vec_id, c.cluster)"
+        )
+        parts.append(
+            f"asg{t} AS (SELECT vec_id, cluster, dist, row_number() OVER"
+            " (PARTITION BY vec_id ORDER BY dist, cluster) AS rn"
+            f" FROM dist{t})"
+        )
+        if t == iters:
+            break
+        parts.append(
+            f"sums{t} AS (SELECT a.cluster, p.d, sum(p.v) AS sv,"
+            " count(*) AS n FROM (SELECT vec_id, cluster FROM"
+            f" asg{t} WHERE rn = 1) a JOIN dims p USING (vec_id)"
+            " GROUP BY a.cluster, p.d)"
+        )
+        parts.append(
+            f"cent{t + 1} AS (SELECT c.cluster, c.d,"
+            " CAST(COALESCE(s.sv // s.n, c.v) AS BIGINT) AS v"
+            f" FROM cent{t} c LEFT JOIN sums{t} s"
+            " ON c.cluster = s.cluster AND c.d = s.d)"
+        )
+    cte = parts[0] + ", " + ", ".join(parts[1:])
+    fin = iters
+    return {
+        "kmeans_q8": (
+            f"{cte} SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_q"
+            f" FROM asg{fin} WHERE rn = 1"
+        ),
+        "kmeans_profile": (
+            f"{cte} SELECT cluster, count(*) AS n,"
+            " CAST(sum(dist) AS BIGINT) AS sum_dist_q,"
+            " CAST(max(dist) AS BIGINT) AS max_dist_q"
+            f" FROM asg{fin} WHERE rn = 1 GROUP BY cluster"
+        ),
+    }
+
+
 def _ols_sql(stop_list: str) -> dict[str, str]:
     """DuckDB oracles for the OLS fit + residual top-k. The Cramer
     determinant and residual formula strings are imported from
@@ -2085,6 +2181,7 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         **_ols_sql(stop_list),
+        **_kmeans_sql(k=8, iters=3),
         "scan_project": "SELECT doc_id, lang, source, n_chars FROM documents",
         "filter_valid": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE text IS NOT NULL"

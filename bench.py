@@ -293,6 +293,7 @@ def main() -> int:
         "lm_surprisal",
         "fit_linear_quality",
         "residual_outliers",
+        "kmeans_q8",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 
