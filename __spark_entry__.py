@@ -429,6 +429,17 @@ def q_kmeans_profile(spark, sf_dir):
     return cluster_profile(kmeans_q8(_emb(spark, sf_dir), k=8, iters=3))
 
 
+def q_emb_moments(spark, sf_dir):
+    """PCA/whitening sufficient statistics of the q8 embedding space:
+    exact int64 Gram + first moments, per-batch numpy P^T P partials,
+    one (d1,d2)-keyed aggregate — dim*(dim+1)/2 rows out regardless
+    of corpus size (clustering.emb_moments docstring has the
+    magnitude budget)."""
+    from two_tier_document_parser_spark.clustering import emb_moments
+
+    return emb_moments(_emb(spark, sf_dir))
+
+
 def q_token_commonness(spark, sf_dir):
     """Corpus-frequency quality signal: global token counts joined
     back per doc — integer-only (sum/min of global counts, hapax
@@ -1864,7 +1875,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R05_WINDOW = [
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
     "lm_surprisal", "fit_linear_quality", "residual_outliers",
-    "kmeans_q8", "kmeans_profile", "lsh_near_dups_q8",
+    "kmeans_q8", "kmeans_profile", "emb_moments", "lsh_near_dups_q8",
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
@@ -1876,12 +1887,12 @@ _R05_WINDOW = [
     "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
     "model_score", "extract_synth_spans", "caption_align",
     "asof_click_error", "interval_error_view", "lang_intersect",
-    "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
-    # curate, winnow_fingerprints, length_quantiles and
-    # pivot_source_lang rotated back out (all hold prior driver-green
-    # attestations) to make room for the four late-r05 additions (OLS
-    # fit/residuals, k-means assign/profile) — first-attestation
-    # priority, as every round.
+    "lang_except", "cube_lang_source", "grouping_sets",
+    # curate, winnow_fingerprints, length_quantiles,
+    # pivot_source_lang and sample_docs rotated back out (all hold
+    # prior driver-green attestations) to make room for the five
+    # late-r05 additions (OLS fit/residuals, k-means assign/profile,
+    # embedding moments) — first-attestation priority, as every round.
 ]
 
 
@@ -1906,6 +1917,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "residual_outliers": q_residual_outliers,
         "kmeans_q8": q_kmeans_q8,
         "kmeans_profile": q_kmeans_profile,
+        "emb_moments": q_emb_moments,
         "bm25_topk": q_bm25_topk,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_chunks": q_cdc_dup_chunks,
@@ -2086,7 +2098,26 @@ def _kmeans_sql(k: int = 8, iters: int = 3) -> dict[str, str]:
         )
     cte = parts[0] + ", " + ", ".join(parts[1:])
     fin = iters
+    moments = (
+        "WITH s AS (SELECT vec_id, list_max(list_transform(embedding,"
+        " x -> abs(CAST(x AS DOUBLE)))) AS scale FROM embeddings),"
+        " q AS (SELECT e.vec_id, CASE WHEN s.scale = 0"
+        " THEN list_transform(e.embedding, x -> CAST(0 AS BIGINT))"
+        " ELSE list_transform(e.embedding,"
+        " x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s.scale)"
+        " AS BIGINT)) END AS q8"
+        " FROM embeddings e JOIN s USING (vec_id)),"
+        " dims AS (SELECT vec_id, generate_subscripts(q8, 1) - 1 AS d,"
+        " unnest(q8) AS v FROM q)"
+        " SELECT CAST(a.d AS INT) AS d1, CAST(b.d AS INT) AS d2,"
+        " CAST(sum(a.v * b.v) AS BIGINT) AS s_prod,"
+        " CAST(sum(a.v) AS BIGINT) AS s_d1,"
+        " CAST(sum(b.v) AS BIGINT) AS s_d2, count(*) AS n"
+        " FROM dims a JOIN dims b ON a.vec_id = b.vec_id AND a.d <= b.d"
+        " GROUP BY a.d, b.d"
+    )
     return {
+        "emb_moments": moments,
         "kmeans_q8": (
             f"{cte} SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist_q"
             f" FROM asg{fin} WHERE rn = 1"

@@ -294,6 +294,7 @@ def main() -> int:
         "fit_linear_quality",
         "residual_outliers",
         "kmeans_q8",
+        "emb_moments",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

@@ -94,6 +94,35 @@ def test_matches_reference_implementation(spark, emb):
     assert got[1][0] != got[4][0] != got[7][0]
 
 
+def test_arrow_and_expr_kernels_bit_identical(spark, emb):
+    a = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in kmeans_q8(emb, k=3, iters=3, kernel="arrow").collect()
+    }
+    e = {
+        r["vec_id"]: (r["cluster"], r["dist_q"])
+        for r in kmeans_q8(emb, k=3, iters=3, kernel="expr").collect()
+    }
+    assert a == e
+
+
+def test_kernels_identical_on_real_table(spark):
+    import os
+
+    sf = os.environ.get("SPARK_GRAFT_SF_TEST", "/root/testdata/sf0.001")
+    p = f"{sf}/embeddings.parquet"
+    if not os.path.exists(p):
+        pytest.skip("no testdata")
+    emb = spark.read.parquet(p)
+    a = sorted(
+        map(tuple, kmeans_q8(emb, k=8, iters=2, kernel="arrow").collect())
+    )
+    e = sorted(
+        map(tuple, kmeans_q8(emb, k=8, iters=2, kernel="expr").collect())
+    )
+    assert a == e
+
+
 def test_assignment_is_map_only(spark, emb):
     plan = (
         kmeans_q8(emb, k=3, iters=2)
@@ -124,6 +153,39 @@ def test_empty_cluster_keeps_previous_centroid(spark):
     rows = kmeans_q8(emb, k=3, iters=2).collect()
     assert {r["cluster"] for r in rows} == {0}
     assert all(r["dist_q"] == 0 for r in rows)
+
+
+def test_emb_moments_match_numpy(spark, emb):
+    import numpy as np
+
+    from two_tier_document_parser_spark.clustering import emb_moments
+
+    rows = emb_moments(emb).collect()
+    # independent reference: quantize in numpy, full Gram
+    def q8(v):
+        import math
+
+        scale = max(abs(float(x)) for x in v)
+        if scale == 0:
+            return [0] * len(v)
+        out = []
+        for x in v:
+            r = 127.0 * float(x) / scale
+            out.append(int(math.floor(r + 0.5) if r >= 0 else math.ceil(r - 0.5)))
+        return out
+
+    Q = np.array([q8(VECS[i]) for i in sorted(VECS)], dtype=np.int64)
+    gram = Q.T @ Q
+    s1 = Q.sum(axis=0)
+    n = len(Q)
+    dim = Q.shape[1]
+    assert len(rows) == dim * (dim + 1) // 2
+    for r in rows:
+        assert r["d1"] <= r["d2"]
+        assert r["s_prod"] == gram[r["d1"], r["d2"]]
+        assert r["s_d1"] == s1[r["d1"]]
+        assert r["s_d2"] == s1[r["d2"]]
+        assert r["n"] == n
 
 
 def test_profile_sums(spark, emb):

