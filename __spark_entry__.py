@@ -440,6 +440,44 @@ def q_emb_moments(spark, sf_dir):
     return emb_moments(_emb(spark, sf_dir))
 
 
+def q_pq_codes(spark, sf_dir):
+    """Product-quantization encode (Jegou et al. 2011): each q8
+    embedding replaced by a packed 4-code word over 16-centroid
+    sub-codebooks — the 64x-compressed layout a 10^12-vector ANN
+    index stores. Training is the clustering.py integer-Lloyd's
+    recipe run for ALL subspaces in one corpus pass per iteration;
+    encode is map-only (pq.py docstring has the full scale +
+    exactness contract; the oracle unrolls the whole training
+    loop)."""
+    from two_tier_document_parser_spark.pq import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir), m=4, k=16, iters=2)
+
+
+def q_pq_topk(spark, sf_dir):
+    """ADC top-k over the PQ codes (paper §III.B): per-query lookup
+    tables ride into ONE map-only kernel that encodes, gathers and
+    keeps a per-partition top-k — at most n_queries*topk rows emitted
+    per partition, so the only shuffle ranks a bounded union."""
+    from two_tier_document_parser_spark.pq import pq_topk
+
+    return pq_topk(
+        _emb(spark, sf_dir), m=4, k=16, iters=2, n_queries=4, topk=10
+    )
+
+
+def q_pq_recall(spark, sf_dir):
+    """Recall@10 audit of the ADC top-k vs the EXACT shifted-q8
+    top-k per query — the metric (paper §V) that tells an operator
+    whether m/k are sized right before committing a full-corpus
+    index. Both sides are fused map-only partial-top-k kernels."""
+    from two_tier_document_parser_spark.pq import pq_recall
+
+    return pq_recall(
+        _emb(spark, sf_dir), m=4, k=16, iters=2, n_queries=4, topk=10
+    )
+
+
 def q_token_commonness(spark, sf_dir):
     """Corpus-frequency quality signal: global token counts joined
     back per doc — integer-only (sum/min of global counts, hapax
@@ -1873,6 +1911,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # path, IS in the window; both stay pytest-policy-pinned and
 # parity-run locally).
 _R05_WINDOW = [
+    "pq_codes", "pq_topk", "pq_recall",
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
     "lm_surprisal", "fit_linear_quality", "residual_outliers",
     "kmeans_q8", "kmeans_profile", "emb_moments", "lsh_near_dups_q8",
@@ -1887,12 +1926,13 @@ _R05_WINDOW = [
     "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
     "model_score", "extract_synth_spans", "caption_align",
     "asof_click_error", "interval_error_view", "lang_intersect",
-    "lang_except", "cube_lang_source", "grouping_sets",
     # curate, winnow_fingerprints, length_quantiles,
-    # pivot_source_lang and sample_docs rotated back out (all hold
-    # prior driver-green attestations) to make room for the five
-    # late-r05 additions (OLS fit/residuals, k-means assign/profile,
-    # embedding moments) — first-attestation priority, as every round.
+    # pivot_source_lang, sample_docs, lang_except, cube_lang_source
+    # and grouping_sets rotated back out (all hold prior driver-green
+    # attestations) to make room for the eight late-r05 additions
+    # (OLS fit/residuals, k-means assign/profile, embedding moments,
+    # PQ codes/ADC-topk/recall) — first-attestation priority, as
+    # every round.
 ]
 
 
@@ -1918,6 +1958,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_q8": q_kmeans_q8,
         "kmeans_profile": q_kmeans_profile,
         "emb_moments": q_emb_moments,
+        "pq_codes": q_pq_codes,
+        "pq_topk": q_pq_topk,
+        "pq_recall": q_pq_recall,
         "bm25_topk": q_bm25_topk,
         "cdc_chunks": q_cdc_chunks,
         "cdc_dup_chunks": q_cdc_dup_chunks,
@@ -2131,6 +2174,128 @@ def _kmeans_sql(k: int = 8, iters: int = 3) -> dict[str, str]:
     }
 
 
+def _pq_sql(
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    n_queries: int = 4,
+    topk: int = 10,
+    dim: int = 64,
+) -> dict[str, str]:
+    """Unrolled product-quantization oracle: the kmeans_q8 CTE chain
+    with a subspace column threaded through every stage (one chain
+    trains ALL m sub-codebooks, mirroring pq.py's one-pass-per-
+    iteration design), then packed codes, per-query ADC lookup
+    tables, the ranked top-k, and the exact-vs-ADC recall join. Same
+    shifted-q8 integer space as the kmeans oracle — order-
+    independent sums, floor-division means, first-min tie-breaks —
+    so every value hashes exact."""
+    sub = dim // m
+    parts = [
+        (
+            "WITH s AS (SELECT vec_id, list_max(list_transform(embedding,"
+            " x -> abs(CAST(x AS DOUBLE)))) AS scale FROM embeddings),"
+            " q AS (SELECT e.vec_id, CASE WHEN s.scale = 0"
+            " THEN list_transform(e.embedding, x -> CAST(127 AS BIGINT))"
+            " ELSE list_transform(e.embedding,"
+            " x -> CAST(round(127.0 * CAST(x AS DOUBLE) / s.scale)"
+            " AS BIGINT) + 127) END AS p"
+            " FROM embeddings e JOIN s USING (vec_id)),"
+            " dims AS (SELECT vec_id,"
+            f" CAST((generate_subscripts(p, 1) - 1) // {sub} AS INT) AS m,"
+            f" CAST((generate_subscripts(p, 1) - 1) % {sub} AS INT) AS dl,"
+            " unnest(p) AS v FROM q),"
+            " init AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id)"
+            " - 1 AS INT) AS cluster FROM"
+            f" (SELECT vec_id FROM q ORDER BY vec_id LIMIT {k}) t),"
+            " cent0 AS (SELECT d.m, i.cluster, d.dl, d.v FROM init i"
+            " JOIN dims d USING (vec_id))"
+        )
+    ]
+    for t in range(iters + 1):
+        parts.append(
+            f"dist{t} AS (SELECT p.vec_id, p.m, c.cluster,"
+            " sum((p.v - c.v) * (p.v - c.v)) AS dist"
+            f" FROM dims p JOIN cent{t} c ON p.m = c.m AND p.dl = c.dl"
+            " GROUP BY p.vec_id, p.m, c.cluster)"
+        )
+        parts.append(
+            f"asg{t} AS (SELECT vec_id, m, cluster, dist, row_number() OVER"
+            " (PARTITION BY vec_id, m ORDER BY dist, cluster) AS rn"
+            f" FROM dist{t})"
+        )
+        if t == iters:
+            break
+        parts.append(
+            f"sums{t} AS (SELECT a.m, a.cluster, p.dl, sum(p.v) AS sv,"
+            " count(*) AS n FROM (SELECT vec_id, m, cluster FROM"
+            f" asg{t} WHERE rn = 1) a JOIN dims p"
+            " ON a.vec_id = p.vec_id AND a.m = p.m"
+            " GROUP BY a.m, a.cluster, p.dl)"
+        )
+        parts.append(
+            f"cent{t + 1} AS (SELECT c.m, c.cluster, c.dl,"
+            " CAST(COALESCE(s.sv // s.n, c.v) AS BIGINT) AS v"
+            f" FROM cent{t} c LEFT JOIN sums{t} s"
+            " ON c.m = s.m AND c.cluster = s.cluster AND c.dl = s.dl)"
+        )
+    pw = ", ".join(f"({j}, {k ** j})" for j in range(m))
+    parts.append(
+        f"codes AS (SELECT vec_id, m, cluster AS code FROM asg{iters}"
+        " WHERE rn = 1)"
+    )
+    parts.append(f"pw(m, w) AS (VALUES {pw})")
+    parts.append(
+        "packed AS (SELECT c.vec_id, CAST(sum(c.code * pw.w) AS BIGINT)"
+        " AS pq_code FROM codes c JOIN pw ON c.m = pw.m GROUP BY c.vec_id)"
+    )
+    parts.append(
+        f"qs AS (SELECT vec_id FROM q ORDER BY vec_id LIMIT {n_queries})"
+    )
+    parts.append(
+        "lut AS (SELECT d.vec_id AS query_id, c.m, c.cluster,"
+        " sum((d.v - c.v) * (d.v - c.v)) AS ld"
+        f" FROM dims d JOIN cent{iters} c ON d.m = c.m AND d.dl = c.dl"
+        " WHERE d.vec_id IN (SELECT vec_id FROM qs)"
+        " GROUP BY d.vec_id, c.m, c.cluster)"
+    )
+    parts.append(
+        "ad AS (SELECT l.query_id, cd.vec_id,"
+        " CAST(sum(l.ld) AS BIGINT) AS adist"
+        " FROM codes cd JOIN lut l ON l.m = cd.m AND l.cluster = cd.code"
+        " GROUP BY l.query_id, cd.vec_id)"
+    )
+    parts.append(
+        "rk AS (SELECT query_id, vec_id, adist, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY adist, vec_id) AS rn FROM ad)"
+    )
+    cte = parts[0] + ", " + ", ".join(parts[1:])
+    recall = (
+        cte
+        + ", ex AS (SELECT a.vec_id AS query_id, b.vec_id,"
+        " sum((a.v - b.v) * (a.v - b.v)) AS dist FROM dims a JOIN dims b"
+        " ON a.m = b.m AND a.dl = b.dl"
+        " WHERE a.vec_id IN (SELECT vec_id FROM qs)"
+        " GROUP BY a.vec_id, b.vec_id),"
+        " exr AS (SELECT query_id, vec_id, row_number() OVER"
+        " (PARTITION BY query_id ORDER BY dist, vec_id) AS rn FROM ex)"
+        " SELECT e.query_id, CAST(count(r.vec_id) AS BIGINT) AS hits,"
+        f" CAST({topk} AS INT) AS topk"
+        f" FROM (SELECT query_id, vec_id FROM exr WHERE rn <= {topk}) e"
+        f" LEFT JOIN (SELECT query_id, vec_id FROM rk WHERE rn <= {topk}) r"
+        " ON e.query_id = r.query_id AND e.vec_id = r.vec_id"
+        " GROUP BY e.query_id"
+    )
+    return {
+        "pq_codes": f"{cte} SELECT vec_id, pq_code FROM packed",
+        "pq_topk": (
+            f"{cte} SELECT query_id, CAST(rn AS INT) AS rank, vec_id,"
+            f" adist FROM rk WHERE rn <= {topk}"
+        ),
+        "pq_recall": recall,
+    }
+
+
 def _ols_sql(stop_list: str) -> dict[str, str]:
     """DuckDB oracles for the OLS fit + residual top-k. The Cramer
     determinant and residual formula strings are imported from
@@ -2213,6 +2378,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         **_ols_sql(stop_list),
         **_kmeans_sql(k=8, iters=3),
+        **_pq_sql(m=4, k=16, iters=2, n_queries=4, topk=10),
         "scan_project": "SELECT doc_id, lang, source, n_chars FROM documents",
         "filter_valid": (
             "SELECT doc_id, lang, n_chars FROM documents WHERE text IS NOT NULL"

@@ -59,9 +59,11 @@ ROWS_ONLY = {
 # chunk_documents (r01/r03-attested) yield the last slots;
 # everything attested in r04 moves to the tail, still parity-run
 # locally, as do curate, winnow_fingerprints, length_quantiles,
-# pivot_source_lang and sample_docs (r01-r03-attested), rotated
-# back out for the five late additions.
+# pivot_source_lang, sample_docs, lang_except, cube_lang_source and
+# grouping_sets (r01-r03-attested), rotated back out for the eight
+# late additions.
 EXPECTED_WINDOW_50 = [
+    "pq_codes", "pq_topk", "pq_recall",
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
     "lm_surprisal", "fit_linear_quality", "residual_outliers",
     "kmeans_q8", "kmeans_profile", "emb_moments", "lsh_near_dups_q8",
@@ -76,7 +78,6 @@ EXPECTED_WINDOW_50 = [
     "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
     "model_score", "extract_synth_spans", "caption_align",
     "asof_click_error", "interval_error_view", "lang_intersect",
-    "lang_except", "cube_lang_source", "grouping_sets",
 ]
 
 
