@@ -295,6 +295,8 @@ def main() -> int:
         "residual_outliers",
         "kmeans_q8",
         "emb_moments",
+        "pq_topk",
+        "pq_recall",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

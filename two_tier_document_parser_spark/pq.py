@@ -230,30 +230,10 @@ def _query_luts(pts: DataFrame, CB, n_queries: int, id_col: str):
     return qids, Q, lut
 
 
-def pq_topk(
-    emb: DataFrame,
-    m: int = 4,
-    k: int = 16,
-    iters: int = 2,
-    n_queries: int = 4,
-    topk: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """ADC top-k (paper §III.B): (query_id, rank, vec_id, adist) —
-    for each of the n_queries smallest-id vectors, the topk database
-    vectors by asymmetric PQ distance, tie-broken (adist, vec_id).
-
-    Encode, LUT-gather and per-partition partial top-k fuse into ONE
-    map-only kernel (at most n_queries*topk rows emitted per
-    partition); the final rank runs over that bounded union. The
-    database side is the full table — a query's own row participates
-    like any other (its ADC distance is its quantization residual,
-    not an artificial 0, which is exactly the signal pq_recall
-    audits).
-    """
-    CB, pts = train_pq(emb, m, k, iters, id_col, vec_col)
-    qids, _, lut = _query_luts(pts, CB, n_queries, id_col)
+def _adc_topk(pts: DataFrame, CB, qids, lut, topk: int, id_col: str) -> DataFrame:
+    """The fused encode + LUT-gather + partial-top-k scoring pass
+    over an already-trained codebook (shared by pq_topk/pq_recall so
+    the audit trains once)."""
 
     def score(batches):
         import numpy as np
@@ -317,6 +297,33 @@ def pq_topk(
     )
 
 
+def pq_topk(
+    emb: DataFrame,
+    m: int = 4,
+    k: int = 16,
+    iters: int = 2,
+    n_queries: int = 4,
+    topk: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k (paper §III.B): (query_id, rank, vec_id, adist) —
+    for each of the n_queries smallest-id vectors, the topk database
+    vectors by asymmetric PQ distance, tie-broken (adist, vec_id).
+
+    Encode, LUT-gather and per-partition partial top-k fuse into ONE
+    map-only kernel (at most n_queries*topk rows emitted per
+    partition); the final rank runs over that bounded union. The
+    database side is the full table — a query's own row participates
+    like any other (its ADC distance is its quantization residual,
+    not an artificial 0, which is exactly the signal pq_recall
+    audits).
+    """
+    CB, pts = train_pq(emb, m, k, iters, id_col, vec_col)
+    qids, _, lut = _query_luts(pts, CB, n_queries, id_col)
+    return _adc_topk(pts, CB, qids, lut, topk, id_col)
+
+
 def pq_recall(
     emb: DataFrame,
     m: int = 4,
@@ -340,7 +347,7 @@ def pq_recall(
     import numpy as np
 
     CB, pts = train_pq(emb, m, k, iters, id_col, vec_col)
-    qids, Q, _ = _query_luts(pts, CB, n_queries, id_col)
+    qids, Q, lut = _query_luts(pts, CB, n_queries, id_col)
 
     def exact(batches):
         import numpy as np  # noqa: F811
@@ -390,9 +397,9 @@ def pq_recall(
         .filter(F.col("rn") <= topk)
         .select("query_id", id_col)
     )
-    adc_top = pq_topk(
-        emb, m, k, iters, n_queries, topk, id_col, vec_col
-    ).select("query_id", id_col)
+    adc_top = _adc_topk(pts, CB, qids, lut, topk, id_col).select(
+        "query_id", id_col
+    )
     hits = exact_top.join(adc_top, ["query_id", id_col]).groupBy(
         "query_id"
     ).agg(F.count(F.lit(1)).alias("hits"))
