@@ -1169,6 +1169,44 @@ def q_label_propagation(spark, sf_dir):
     return label_propagation(_near_dup_edges(spark, sf_dir), iters=3)
 
 
+def q_kcore(spark, sf_dir):
+    """Fixed-iteration (k=2, 4 rounds) k-core peel over the near-dup
+    graph (graph.kcore): the "clustered duplicates" set — vertices
+    held by >= 2 surviving neighbors — the degeneracy signal a
+    keep-policy and a spam detector both want. Monotone removal, so
+    fixed rounds are a sound over-approximation of the fixpoint; per
+    round one degree aggregate + two semi joins on a shrinking edge
+    list."""
+    from two_tier_document_parser_spark.graph import kcore
+
+    return kcore(_near_dup_edges(spark, sf_dir), k=2, iters=4)
+
+
+def q_url_canonical(spark, sf_dir):
+    """Per-row URL canonicalization (urlnorm.canonicalize) over the
+    deterministic synthetic crawl URLs (urlnorm.synth_urls — scheme
+    case, WWW, default ports, tracking params, param order, trailing
+    slash, fragments all vary; the canonical form folds them).
+    Scan-shaped: one whole-stage-codegen projection, zero
+    exchanges."""
+    from two_tier_document_parser_spark.urlnorm import (
+        canonicalize,
+        synth_urls,
+    )
+
+    return canonicalize(synth_urls(_docs(spark, sf_dir)))
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL-level dedup (urlnorm.url_dedup): one group per canonical
+    URL with crawl multiplicity + kept (min) doc_id — the frontier
+    dedup RefinedWeb/CCNet run before any content dedup. ONE
+    map-side-combinable aggregate on the canonical string."""
+    from two_tier_document_parser_spark.urlnorm import synth_urls, url_dedup
+
+    return url_dedup(synth_urls(_docs(spark, sf_dir)))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance scores (Xie et al. 2023): how
     much more likely each doc's hashed unigram+bigram bag is under
@@ -1911,6 +1949,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # path, IS in the window; both stay pytest-policy-pinned and
 # parity-run locally).
 _R05_WINDOW = [
+    "url_canonical", "url_dedup", "kcore",
     "pq_codes", "pq_topk", "pq_recall",
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
     "lm_surprisal", "fit_linear_quality", "residual_outliers",
@@ -1925,14 +1964,14 @@ _R05_WINDOW = [
     "gopher_quality", "dataset_split", "ngram_boilerplate",
     "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
     "model_score", "extract_synth_spans", "caption_align",
-    "asof_click_error", "interval_error_view", "lang_intersect",
     # curate, winnow_fingerprints, length_quantiles,
-    # pivot_source_lang, sample_docs, lang_except, cube_lang_source
-    # and grouping_sets rotated back out (all hold prior driver-green
-    # attestations) to make room for the eight late-r05 additions
-    # (OLS fit/residuals, k-means assign/profile, embedding moments,
-    # PQ codes/ADC-topk/recall) — first-attestation priority, as
-    # every round.
+    # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
+    # grouping_sets, asof_click_error, interval_error_view and
+    # lang_intersect rotated back out (all hold prior driver-green
+    # attestations) to make room for the late-r05 additions (OLS
+    # fit/residuals, k-means assign/profile, embedding moments, PQ
+    # codes/ADC-topk/recall, URL canonicalize/dedup, k-core) —
+    # first-attestation priority, as every round.
 ]
 
 
@@ -1949,6 +1988,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # un-check anything (round-3 advice).
     base = {
         # -- group 1: new this round, never attested --
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
+        "kcore": q_kcore,
         "pdf_media_extract": q_pdf_media_extract,
         "bpe_merges": q_bpe_merges,
         "bpe_subword_counts": q_bpe_subword_counts,
@@ -2475,6 +2517,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank": _pagerank_sql(3),
         "triangle_count": _triangles_sql(),
         "label_propagation": _label_prop_sql(3),
+        "kcore": _kcore_sql(2, 4),
+        "url_canonical": _url_canonical_sql(),
+        "url_dedup": _url_dedup_sql(),
         "psi_drift": _psi_sql("src0", 50),
         "span_dedup": _span_dedup_sql(),
         "dsir_weights": _dsir_weights_sql(),
@@ -3825,6 +3870,95 @@ SELECT len_bucket, n_ref, n_other, p_ppm, q_ppm,
           THEN length(bin(a // b_)) - 1
           ELSE -(length(bin((b_ + a - 1) // a - 1))) END) AS psi_term
 FROM x
+"""
+
+
+def _kcore_sql(k: int, iters: int) -> str:
+    """Oracle for graph.kcore: the identical monotone peel —
+    degree >= k survivor filter + edge restriction — unrolled
+    `iters` times over the near-dup edge CTE."""
+    sql = f"WITH {_PR_EDGES_SQL.format(jac=_jaccard_sql())},\n"
+    sql += "e0 AS (SELECT src, dst FROM e)"
+    for i in range(iters):
+        sql += f""",
+v{i} AS (
+  SELECT src FROM (SELECT src, count(*) AS deg FROM e{i} GROUP BY src)
+  WHERE deg >= {k}
+),
+e{i + 1} AS (
+  SELECT t.src, t.dst FROM e{i} t
+  JOIN v{i} a ON a.src = t.src JOIN v{i} b ON b.src = t.dst
+)"""
+    sql += (
+        f"\nSELECT src AS doc_id, CAST(count(*) AS BIGINT) AS deg"
+        f" FROM e{iters} GROUP BY src"
+    )
+    return sql
+
+
+# urlnorm.synth_urls verbatim: the deterministic synthetic crawl URL
+# per document (raw form varies scheme case / WWW / default port /
+# tracking params / param order / trailing slash / fragment)
+_URL_SYNTH_SQL = """
+SELECT doc_id,
+  (CASE WHEN doc_id % 2 = 0 THEN 'http' ELSE 'HTTPS' END)
+  || '://'
+  || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)
+  || source || '.Example.COM'
+  || (CASE WHEN doc_id % 5 = 0 THEN
+        (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+      ELSE '' END)
+  || '/item/' || CAST(doc_id % 10 AS VARCHAR)
+  || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+  || '?'
+  || (CASE WHEN doc_id % 3 = 0 THEN
+        'id=' || CAST(doc_id % 5 AS VARCHAR) || '&utm_source=' || source
+      ELSE
+        'utm_source=' || source || '&ref=home&id='
+        || CAST(doc_id % 5 AS VARCHAR)
+      END)
+  || (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+FROM documents
+"""
+
+# urlnorm._canon_col verbatim in DuckDB: lowercase scheme/host, strip
+# one leading www. and an explicit default port, drop the fragment,
+# drop empty + tracking params, sort the survivors, strip a non-root
+# trailing slash
+_URL_CANON_SQL = """
+SELECT doc_id, url,
+  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+  || '://'
+  || regexp_replace(regexp_replace(
+       lower(regexp_extract(url,
+         '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+       '^www\\.', ''), ':(80|443)$', '')
+  || (CASE WHEN p = '' THEN '/' WHEN p = '/' THEN '/'
+      ELSE regexp_replace(p, '/$', '') END)
+  || (CASE WHEN q = '' THEN '' ELSE '?' || q END) AS canon_url
+FROM (
+  SELECT doc_id, url,
+    regexp_extract(url,
+      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS p,
+    array_to_string(list_sort(list_filter(
+      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+      x -> x <> '' AND NOT starts_with(x, 'utm_')
+        AND NOT starts_with(x, 'ref=') AND NOT starts_with(x, 'fbclid=')
+        AND NOT starts_with(x, 'gclid='))), '&') AS q
+  FROM ({synth}) u
+)
+""".format(synth=_URL_SYNTH_SQL)
+
+
+def _url_canonical_sql() -> str:
+    return _URL_CANON_SQL
+
+
+def _url_dedup_sql() -> str:
+    return f"""
+SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+FROM ({_URL_CANON_SQL}) c GROUP BY canon_url
 """
 
 

@@ -63,6 +63,7 @@ ROWS_ONLY = {
 # grouping_sets (r01-r03-attested), rotated back out for the eight
 # late additions.
 EXPECTED_WINDOW_50 = [
+    "url_canonical", "url_dedup", "kcore",
     "pq_codes", "pq_topk", "pq_recall",
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
     "lm_surprisal", "fit_linear_quality", "residual_outliers",
@@ -77,7 +78,6 @@ EXPECTED_WINDOW_50 = [
     "gopher_quality", "dataset_split", "ngram_boilerplate",
     "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
     "model_score", "extract_synth_spans", "caption_align",
-    "asof_click_error", "interval_error_view", "lang_intersect",
 ]
 
 

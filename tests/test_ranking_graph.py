@@ -385,3 +385,53 @@ def test_psi_drift_matches_reference(spark):
     # bucket 0 is balanced (1 vs 1) -> near-zero term; bucket 4 is
     # other-only -> negative share diff with negative log -> positive
     assert got[4][4] > 0
+
+
+# ---------------------------------------------------------------- kcore
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "a long, b long")
+
+
+def test_kcore_triangle_with_pendant(spark):
+    """Triangle {1,2,3} plus pendant edge 3-4: the 2-core is the
+    triangle (every corner keeps degree 2); vertex 4 (deg 1) is
+    peeled in round 1, and 3's degree drops from 3 to 2 — still in."""
+    from two_tier_document_parser_spark.graph import kcore
+
+    e = _edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = {r.doc_id: r.deg for r in kcore(e, k=2, iters=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_chain_peels_to_empty(spark):
+    """A path 1-2-3-4-5 has no 2-core: endpoints peel, exposing new
+    endpoints each round — gone after 2 rounds (needs the ITERATION,
+    not just one degree filter)."""
+    from two_tier_document_parser_spark.graph import kcore
+
+    e = _edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert kcore(e, k=2, iters=4).count() == 0
+    # one round is NOT enough: 2,3,4 all still have deg>=2 then
+    assert kcore(e, k=2, iters=1).count() == 3
+
+
+def test_kcore_k3_inside_k2(spark):
+    """K4 {1..4} plus a triangle {4,5,6} sharing vertex 4: at k=3 the
+    triangle peels (its corners have deg 2 once 4's K4 edges don't
+    help 5,6) and only the K4 survives with deg 3 each."""
+    from two_tier_document_parser_spark.graph import kcore
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = _edges(spark, k4 + [(4, 5), (5, 6), (4, 6)])
+    got = {r.doc_id: r.deg for r in kcore(e, k=3, iters=4).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_ignores_self_loops_and_dup_edges(spark):
+    from two_tier_document_parser_spark.graph import kcore
+
+    e = _edges(spark, [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3)])
+    got = {r.doc_id: r.deg for r in kcore(e, k=2, iters=3).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}

@@ -28,7 +28,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count", "label_propagation", "RANK_SCALE"]
+__all__ = [
+    "pagerank",
+    "triangle_count",
+    "label_propagation",
+    "kcore",
+    "RANK_SCALE",
+]
 
 RANK_SCALE = 10**12  # per-vertex initial integer mass
 
@@ -169,4 +175,47 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
         )
     return labels.select(
         F.col("src").alias("doc_id"), F.col("label").cast("long").alias("community")
+    )
+
+
+def kcore(edges: DataFrame, k: int = 2, iters: int = 4) -> DataFrame:
+    """Fixed-iteration k-core peeling on the undirected (a, b) graph:
+    each round drops every vertex whose CURRENT degree is below k and
+    every edge touching one, the distributed form of the classic
+    degeneracy peel (Seidman 1983; Batagelj-Zaversnik). On the
+    near-dup graph the 2-core is the "clustered duplicates" set —
+    vertices held by at least two surviving neighbors — a much
+    stronger dup signal than lone LSH edges, and the standard spam /
+    link-farm detector on web graphs.
+
+    `iters` bounds the rounds for oracle parity (the DuckDB check
+    unrolls the identical peel, bpe_train/pagerank style); peeling
+    only ever REMOVES, so the fixed-round result is a superset of
+    the true k-core that a fixpoint caller reaches by iterating a
+    checkpointed loop until the survivor count stabilizes (each
+    round is monotone, so no oscillation exists to guard against).
+
+    Scale shape (10^12 edges): per round ONE degree aggregate with
+    map-side partials plus two shuffle-hash LEFT SEMI joins of the
+    shrinking edge list against the vertex-sized survivor set —
+    never a product; the symmetric edge list is localCheckpoint'd
+    once so the upstream LSH derivation never re-runs per round.
+    Columns: doc_id, deg (the vertex's degree inside the surviving
+    subgraph after `iters` rounds).
+    """
+    e = _symmetric(edges).localCheckpoint(eager=True)
+    for _ in range(iters):
+        keep = (
+            e.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        e = e.join(keep, "src", "left_semi").join(
+            keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .select(F.col("src").alias("doc_id"), "deg")
     )
