@@ -297,6 +297,8 @@ def main() -> int:
         "emb_moments",
         "pq_topk",
         "pq_recall",
+        "url_dedup",
+        "kcore",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 
