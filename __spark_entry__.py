@@ -1207,6 +1207,30 @@ def q_url_dedup(spark, sf_dir):
     return url_dedup(synth_urls(_docs(spark, sf_dir)))
 
 
+def q_host_dup_stats(spark, sf_dir):
+    """Per-host crawl duplication share (urlnorm.host_dup_stats):
+    n_urls / distinct canonical URLs / dup permille per host — the
+    crawl-ops recrawl-budget view. ONE exact count-distinct aggregate
+    keyed by host (partial-distinct expand, pair-sized exchange)."""
+    from two_tier_document_parser_spark.urlnorm import (
+        host_dup_stats,
+        synth_urls,
+    )
+
+    return host_dup_stats(synth_urls(_docs(spark, sf_dir)))
+
+
+def q_token_entropy(spark, sf_dir):
+    """Per-document unigram entropy + type/token ratio
+    (textstats.token_entropy): integer whole-bit Shannon lexical
+    diversity — the low-entropy boilerplate/keyword-stuffing filter
+    beside repetition_stats. MAP-ONLY: sorted-array run lengths via
+    higher-order expressions, zero exchanges (plan-pinned)."""
+    from two_tier_document_parser_spark.textstats import token_entropy
+
+    return token_entropy(_docs(spark, sf_dir))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance scores (Xie et al. 2023): how
     much more likely each doc's hashed unigram+bigram bag is under
@@ -1963,7 +1987,7 @@ _R05_WINDOW = [
     "sketch_distinct_hll", "sketch_heavy_hitters", "redact_pii",
     "gopher_quality", "dataset_split", "ngram_boilerplate",
     "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
-    "model_score", "extract_synth_spans", "caption_align",
+    "model_score", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
     # grouping_sets, asof_click_error, interval_error_view and
@@ -1990,6 +2014,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 1: new this round, never attested --
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
+        "host_dup_stats": q_host_dup_stats,
+        "token_entropy": q_token_entropy,
         "kcore": q_kcore,
         "pdf_media_extract": q_pdf_media_extract,
         "bpe_merges": q_bpe_merges,
@@ -2520,6 +2546,8 @@ def oracle_sql() -> dict[str, str]:
         "kcore": _kcore_sql(2, 4),
         "url_canonical": _url_canonical_sql(),
         "url_dedup": _url_dedup_sql(),
+        "host_dup_stats": _host_dup_stats_sql(),
+        "token_entropy": _token_entropy_sql(),
         "psi_drift": _psi_sql("src0", 50),
         "span_dedup": _span_dedup_sql(),
         "dsir_weights": _dsir_weights_sql(),
@@ -3959,6 +3987,52 @@ def _url_dedup_sql() -> str:
 SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS keep_doc_id
 FROM ({_URL_CANON_SQL}) c GROUP BY canon_url
+"""
+
+
+def _host_dup_stats_sql() -> str:
+    """Oracle for urlnorm.host_dup_stats: same canonical host rules +
+    exact count-distinct per host."""
+    return f"""
+SELECT
+  regexp_replace(regexp_replace(
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+    '^www\\.', ''), ':(80|443)$', '') AS host,
+  CAST(count(*) AS BIGINT) AS n_urls,
+  CAST(count(DISTINCT canon_url) AS BIGINT) AS n_canonical,
+  CAST((count(*) - count(DISTINCT canon_url)) * 1000 // count(*) AS BIGINT)
+    AS dup_permille
+FROM ({_URL_CANON_SQL}) c GROUP BY 1
+"""
+
+
+def _token_entropy_sql() -> str:
+    """Oracle for textstats.token_entropy: the classic explode +
+    GROUP BY formulation of the same integer quantities — per-(doc,
+    token) counts, floor-log2 via length(bin(n // c)) - 1 — a
+    different plan computing the identical whole-bit entropy."""
+    return r"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(
+    regexp_split_to_array(lower(text), '\s+'), x -> x <> '')) AS t
+  FROM documents
+),
+cnt AS (SELECT doc_id, t, count(*) AS c FROM toks GROUP BY doc_id, t),
+tot AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+ent AS (
+  SELECT c.doc_id,
+         count(*) AS n_types,
+         sum(c.c * (length(bin(t.n // c.c)) - 1)) AS entropy_bits
+  FROM cnt c JOIN tot t USING (doc_id) GROUP BY c.doc_id
+)
+SELECT d.doc_id,
+  CAST(COALESCE(t.n, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(e.n_types, 0) AS BIGINT) AS n_types,
+  CAST(CASE WHEN COALESCE(t.n, 0) = 0 THEN 0
+       ELSE e.n_types * 1000 // t.n END AS BIGINT) AS ttr_permille,
+  CAST(COALESCE(e.entropy_bits, 0) AS BIGINT) AS entropy_bits
+FROM documents d
+LEFT JOIN tot t USING (doc_id) LEFT JOIN ent e USING (doc_id)
 """
 
 

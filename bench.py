@@ -299,6 +299,8 @@ def main() -> int:
         "pq_recall",
         "url_dedup",
         "kcore",
+        "token_entropy",
+        "host_dup_stats",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

@@ -822,3 +822,94 @@ def psi_drift(
     return out.select(
         "len_bucket", "n_ref", "n_other", "p_ppm", "q_ppm", "psi_term"
     )
+
+
+def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document token-distribution entropy + type/token ratio —
+    the lexical-diversity quality signal (Shannon 1948 applied to the
+    unigram bag; low entropy = boilerplate/keyword-stuffing, the
+    complement of repetition_stats' n-gram rules).
+
+    entropy_bits = sum_i c_i * floor(log2(n / c_i)) over the doc's
+    token runs (c_i = count of distinct token i, n = total tokens) —
+    the repo's integer floor-log2 (bitlen(n DIV c) - 1, exact for
+    n >= c >= 1), so the score is whole-bit granular and bit-identical
+    cross-engine; it is the exact integer lower envelope of n*H.
+    ttr_permille = n_types * 1000 DIV n.
+
+    Scale shape: MAP-ONLY — the token array is sorted per row
+    (array_sort) and run lengths come from pure higher-order
+    expressions (run-start positions + zip_with diff), so unlike the
+    classic explode + (doc, token) groupBy formulation there is ZERO
+    exchange and nothing leaves the row: one projection over 10^12
+    docs, plan-pinned in tests/test_token_entropy.py. Equal tokens are
+    adjacent under ANY total order, so engine sort-order differences
+    cannot change the counts.
+
+    Columns: doc_id, n_tokens, n_types, ttr_permille, entropy_bits.
+    """
+    ts = F.array_sort(
+        F.filter(
+            F.split(F.lower(F.col(text_col)), r"\s+"),
+            lambda x: x != F.lit(""),
+        )
+    )
+    base = (
+        df.select("doc_id", ts.alias("ts"))
+        .withColumn("n", F.size("ts"))
+        .withColumn(
+            "starts",
+            F.when(
+                F.col("n") == 0, F.expr("CAST(array() AS array<int>)")
+            ).otherwise(
+                F.filter(
+                    F.sequence(F.lit(1), F.col("n")),
+                    lambda i: F.when(i == F.lit(1), F.lit(True)).otherwise(
+                        F.element_at(F.col("ts"), i)
+                        != F.element_at(F.col("ts"), i - 1)
+                    ),
+                )
+            ),
+        )
+        .withColumn(
+            "runs",
+            F.when(
+                F.col("n") == 0, F.expr("CAST(array() AS array<int>)")
+            ).otherwise(
+                F.zip_with(
+                    F.col("starts"),
+                    F.concat(
+                        F.slice(
+                            F.col("starts"),
+                            2,
+                            F.greatest(
+                                F.size("starts") - 1, F.lit(0)
+                            ),
+                        ),
+                        F.array(F.col("n") + 1),
+                    ),
+                    lambda a, b: b - a,
+                )
+            ),
+        )
+    )
+    ent = F.aggregate(
+        F.col("runs"),
+        F.lit(0).cast("long"),
+        lambda acc, c: acc
+        + c.cast("long")
+        * (
+            F.length(F.bin(F.floor(F.col("n") / c).cast("long")))
+            - F.lit(1)
+        ).cast("long"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        F.size("starts").cast("long").alias("n_types"),
+        F.when(F.col("n") == 0, F.lit(0))
+        .otherwise(F.floor(F.size("starts") * 1000 / F.col("n")))
+        .cast("long")
+        .alias("ttr_permille"),
+        ent.alias("entropy_bits"),
+    )

@@ -40,7 +40,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["synth_urls", "canonicalize", "url_dedup", "TRACKING_PREFIXES"]
+__all__ = [
+    "synth_urls",
+    "canonicalize",
+    "url_dedup",
+    "host_dup_stats",
+    "TRACKING_PREFIXES",
+]
 
 # dropped wholesale: analytics/campaign params that never change the
 # resource (Google Analytics utm_*; bare referrer tags; the Facebook
@@ -147,4 +153,43 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     return canonicalize(df, url_col).groupBy("canon_url").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.min("doc_id").cast("long").alias("keep_doc_id"),
+    )
+
+
+def host_dup_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host crawl duplication share — the crawl-ops view ("which
+    hosts serve the same page under many URLs") that prioritizes
+    canonical-URL handling and recrawl budgets. host = the canonical
+    hostport (lowercased, www/default-port stripped, same rules as
+    canonicalize step 2).
+
+    Columns: host, n_urls (crawled rows), n_canonical (distinct
+    canonical URLs), dup_permille = (n_urls - n_canonical) * 1000
+    DIV n_urls.
+
+    Scale shape: ONE exact count-distinct aggregate keyed by host —
+    Spark plans it as the standard two-level partial-distinct expand
+    (map-side (host, canon_url) dedup first), so the exchange carries
+    distinct pairs, not rows; output is host-cardinality-sized."""
+    host = F.regexp_replace(
+        F.regexp_replace(
+            F.lower(F.regexp_extract(F.col(url_col), _HOSTPORT_RE, 1)),
+            r"^www\.",
+            "",
+        ),
+        r":(80|443)$",
+        "",
+    )
+    return (
+        canonicalize(df, url_col)
+        .select(host.alias("host"), "canon_url")
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("canon_url").cast("long").alias("n_canonical"),
+        )
+        .withColumn(
+            "dup_permille",
+            F.expr("(n_urls - n_canonical) * 1000 DIV n_urls"),
+        )
     )
