@@ -1231,6 +1231,18 @@ def q_token_entropy(spark, sf_dir):
     return token_entropy(_docs(spark, sf_dir))
 
 
+def q_zipf_fit(spark, sf_dir):
+    """Corpus Zipf rank-frequency slope (regress.zipf_fit): OLS of
+    floor-log2(freq) on floor-log2(rank) over the vocabulary — the
+    corpus-health diagnostic. Vocab aggregate -> TWO-PHASE exact
+    global rank (shuffle_rank pattern, no single-partition window) ->
+    one DECIMAL-exact 1-row regression; slope/intercept from formula
+    strings shared verbatim with the oracle (bit-equal doubles)."""
+    from two_tier_document_parser_spark.regress import zipf_fit
+
+    return zipf_fit(_docs(spark, sf_dir))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance scores (Xie et al. 2023): how
     much more likely each doc's hashed unigram+bigram bag is under
@@ -1987,7 +1999,7 @@ _R05_WINDOW = [
     "sketch_distinct_hll", "sketch_heavy_hitters", "redact_pii",
     "gopher_quality", "dataset_split", "ngram_boilerplate",
     "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
-    "model_score", "token_entropy", "host_dup_stats",
+    "zipf_fit", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
     # grouping_sets, asof_click_error, interval_error_view and
@@ -2016,6 +2028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "host_dup_stats": q_host_dup_stats,
         "token_entropy": q_token_entropy,
+        "zipf_fit": q_zipf_fit,
         "kcore": q_kcore,
         "pdf_media_extract": q_pdf_media_extract,
         "bpe_merges": q_bpe_merges,
@@ -2548,6 +2561,7 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_sql(),
         "host_dup_stats": _host_dup_stats_sql(),
         "token_entropy": _token_entropy_sql(),
+        "zipf_fit": _zipf_fit_sql(),
         "psi_drift": _psi_sql("src0", 50),
         "span_dedup": _span_dedup_sql(),
         "dsir_weights": _dsir_weights_sql(),
@@ -3987,6 +4001,49 @@ def _url_dedup_sql() -> str:
 SELECT canon_url, CAST(count(*) AS BIGINT) AS n_docs,
        CAST(min(doc_id) AS BIGINT) AS keep_doc_id
 FROM ({_URL_CANON_SQL}) c GROUP BY canon_url
+"""
+
+
+def _zipf_fit_sql() -> str:
+    """Oracle for regress.zipf_fit: row_number rank over the same
+    vocabulary, identical flog2 coordinates, DECIMAL-exact sums, and
+    the ZIPF_* Cramer strings imported VERBATIM from regress.py (the
+    fit_ols2 bit-equality contract)."""
+    from two_tier_document_parser_spark.regress import (
+        ZIPF_DEN,
+        ZIPF_ICEPT_NUM,
+        ZIPF_SLOPE_NUM,
+    )
+
+    return rf"""
+WITH vocab AS (
+  SELECT unnest(list_filter(
+    regexp_split_to_array(lower(text), '\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+cnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM vocab GROUP BY tok),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r FROM cnt
+),
+coords AS (
+  SELECT CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+         CAST(length(bin(c)) - 1 AS BIGINT) AS y
+  FROM ranked
+),
+mom AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(x AS DECIMAL(18,0))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(x AS DECIMAL(18,0)))
+              AS DOUBLE) AS sxx,
+         CAST(sum(CAST(y AS DECIMAL(18,0))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0)))
+              AS DOUBLE) AS sxy
+  FROM coords
+)
+SELECT CAST(n AS BIGINT) AS n_types,
+       {ZIPF_SLOPE_NUM} / {ZIPF_DEN} AS slope,
+       {ZIPF_ICEPT_NUM} / {ZIPF_DEN} AS intercept
+FROM mom
 """
 
 

@@ -301,6 +301,7 @@ def main() -> int:
         "kcore",
         "token_entropy",
         "host_dup_stats",
+        "zipf_fit",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

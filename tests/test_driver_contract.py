@@ -77,7 +77,7 @@ EXPECTED_WINDOW_50 = [
     "sketch_distinct_hll", "sketch_heavy_hitters", "redact_pii",
     "gopher_quality", "dataset_split", "ngram_boilerplate",
     "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
-    "model_score", "token_entropy", "host_dup_stats",
+    "zipf_fit", "token_entropy", "host_dup_stats",
 ]
 
 

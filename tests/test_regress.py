@@ -115,3 +115,92 @@ def test_perfect_fit_zero_residuals(spark):
     assert w["w0"] == pytest.approx(3.0, abs=1e-8)
     assert w["w1"] == pytest.approx(2.0, abs=1e-8)
     assert w["w2"] == pytest.approx(-1.0, abs=1e-8)
+
+
+# ------------------------------------------------------------- zipf
+
+
+def _zipf_ref(texts):
+    """Independent reference: vocab counts -> (c desc, tok) rank ->
+    whole-bit log coords -> numpy lstsq."""
+    counts = {}
+    for t in texts:
+        for w in t.lower().split():
+            if w:
+                counts[w] = counts.get(w, 0) + 1
+    ordered = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    x = np.array([(r + 1).bit_length() - 1 for r in range(len(ordered))],
+                 dtype=float)
+    y = np.array([c.bit_length() - 1 for _, c in ordered], dtype=float)
+    A = np.stack([np.ones_like(x), x], axis=1)
+    icept, slope = np.linalg.lstsq(A, y, rcond=None)[0]
+    return len(ordered), slope, icept
+
+
+def test_zipf_fit_matches_numpy_reference(spark):
+    from two_tier_document_parser_spark.regress import zipf_fit
+
+    # a genuinely Zipf-ish bag: token k appears ~N/k times
+    texts = []
+    for k in range(1, 40):
+        texts.append(" ".join([f"w{k:02d}"] * (400 // k)))
+    d = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = zipf_fit(d, partitions=8).collect()[0]
+    n, slope, icept = _zipf_ref(texts)
+    assert got.n_types == n
+    assert got.slope == pytest.approx(slope, abs=1e-9)
+    assert got.intercept == pytest.approx(icept, abs=1e-9)
+    # the planted law is f ~ 400/r: slope near -1 in log-log
+    assert -1.3 < got.slope < -0.7
+
+
+def test_zipf_fit_deterministic_across_partitionings(spark):
+    from two_tier_document_parser_spark.regress import zipf_fit
+
+    d = spark.createDataFrame(
+        [(i, f"a b c{i % 7} d{i % 3} a") for i in range(200)],
+        "doc_id long, text string",
+    )
+    r1 = zipf_fit(d.repartition(1), partitions=2).collect()[0]
+    r2 = zipf_fit(d.repartition(13), partitions=9).collect()[0]
+    assert (r1.n_types, r1.slope, r1.intercept) == (
+        r2.n_types,
+        r2.slope,
+        r2.intercept,
+    )
+
+
+def test_zipf_fit_rank_phase_has_no_window(spark):
+    """The rank phase must be the two-phase range rank: NO Window
+    operator anywhere (a naive row_number() would plan Window over
+    Exchange SinglePartition carrying the whole vocabulary). The one
+    SinglePartition exchange that remains is the 1-row moments fold,
+    which carries only per-partition partial sums — the same shape
+    ols_moments pins in test_fit_is_one_exchange."""
+    from two_tier_document_parser_spark.regress import zipf_fit
+
+    d = spark.createDataFrame(
+        [(i, "x y z") for i in range(50)], "doc_id long, text string"
+    )
+    plan = (
+        zipf_fit(d, partitions=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the localCheckpoint pins the ranked partitions, so the visible
+    # executed plan starts at the checkpointed scan — the key pin is
+    # that NO Window operator exists anywhere downstream (and none
+    # upstream either: the pre-checkpoint phase is repartitionByRange
+    # + sortWithinPartitions by construction, asserted on the
+    # analyzed plan below)
+    assert "Window" not in plan
+    analyzed = (
+        zipf_fit(d, partitions=4)
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert "window" not in analyzed.lower()

@@ -180,3 +180,113 @@ def residuals_topk(feat: DataFrame, weights: DataFrame, k: int = 20) -> DataFram
         .orderBy(F.abs(F.col("residual")).desc(), "doc_id")
         .limit(k)
     )
+
+
+# Cramer's rule for the 1-feature fit y ~ b0 + b1*x (the Zipf log-log
+# regression). ONE formula string per quantity, shared verbatim with
+# the DuckDB oracle (same contract as DET_A*).
+ZIPF_DEN = "(n * sxx - sx * sx)"
+ZIPF_SLOPE_NUM = "(n * sxy - sx * sy)"
+ZIPF_ICEPT_NUM = "(sy * sxx - sx * sxy)"
+
+
+def zipf_fit(
+    docs: DataFrame, text_col: str = "text", partitions: int = 32
+) -> DataFrame:
+    """Zipf rank-frequency slope of the corpus vocabulary — the
+    corpus-health diagnostic (Zipf 1949; a natural-language corpus
+    fits log f ~ intercept - alpha*log r with alpha ~ 1; boilerplate
+    floods or synthetic junk bend the curve). Fits ordinary least
+    squares of y = floor(log2(freq)) on x = floor(log2(rank)) over
+    all vocabulary types.
+
+    Exactness: coordinates are the repo's integer whole-bit floor-log2
+    (length(bin(v)) - 1, exact for v >= 1); the five regression sums
+    accumulate in DECIMAL and cast to double ONCE; slope/intercept are
+    evaluated from the shared ZIPF_* formula strings, so both engines
+    run the identical IEEE sequence (bit-equal, the fit_ols2
+    contract).
+
+    Scale shape (10^8-type vocabularies): the corpus-sized token
+    stream collapses to vocab size in ONE map-side-partial aggregate;
+    the exact global rank by (freq DESC, token ASC) is the proven
+    TWO-PHASE range rank (shuffle_rank pattern — sampling range
+    exchange + P-row offset collect + narrow Arrow pass), never a
+    single-partition row_number window; the regression is then one
+    1-row DECIMAL aggregate. No data-sized driver state anywhere.
+
+    Returns ONE row: (n_types, slope, intercept). slope ~ -alpha.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.col(text_col)), r"\s+"),
+        lambda t: t != F.lit(""),
+    )
+    vocab = (
+        docs.select(F.explode(toks).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    part = (
+        vocab.repartitionByRange(
+            partitions, F.col("c").desc(), F.col("tok")
+        )
+        .sortWithinPartitions(F.col("c").desc(), "tok")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["pid"]: r["cnt"]
+        for r in part.groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pos = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if pos is None:
+                pos = offsets.get(b.column("pid")[0].as_py(), 0)
+            rank = pa.array(
+                np.arange(pos + 1, pos + 1 + b.num_rows, dtype=np.int64)
+            )
+            pos += b.num_rows
+            yield pa.record_batch(
+                [b.column("tok"), b.column("c"), rank],
+                names=["tok", "c", "rank"],
+            )
+
+    ranked = part.mapInArrow(assign, "tok string, c long, rank long")
+    coords = ranked.select(
+        (F.length(F.bin("rank")) - F.lit(1)).cast("long").alias("x"),
+        (F.length(F.bin("c")) - F.lit(1)).cast("long").alias("y"),
+    )
+
+    def d(c: str):
+        return F.col(c).cast("decimal(18,0)")
+
+    m = coords.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+    ).select(
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("n", "sx", "sxx", "sy", "sxy")
+        ]
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_types"),
+        F.expr(f"{ZIPF_SLOPE_NUM} / {ZIPF_DEN}").alias("slope"),
+        F.expr(f"{ZIPF_ICEPT_NUM} / {ZIPF_DEN}").alias("intercept"),
+    )
