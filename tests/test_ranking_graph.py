@@ -435,3 +435,46 @@ def test_kcore_ignores_self_loops_and_dup_edges(spark):
     e = _edges(spark, [(1, 2), (2, 1), (1, 1), (2, 3), (1, 3)])
     got = {r.doc_id: r.deg for r in kcore(e, k=2, iters=3).collect()}
     assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_fixpoint_beats_fixed_rounds_on_long_chain(spark):
+    """A 12-vertex path needs 6 peel rounds to empty at k=2 — the
+    fixed-round query (iters=4) is a strict over-approximation there,
+    the fixpoint caller reaches the true (empty) core."""
+    from two_tier_document_parser_spark.graph import kcore, kcore_fixpoint
+
+    e = _edges(spark, [(i, i + 1) for i in range(12)])
+    assert kcore(e, k=2, iters=4).count() > 0
+    assert kcore_fixpoint(e, k=2).count() == 0
+
+
+def test_kcore_fixpoint_equals_converged_fixed_rounds(spark):
+    """On graphs where fixed rounds already converge, both callers
+    return identical (doc_id, deg) sets."""
+    from two_tier_document_parser_spark.graph import kcore, kcore_fixpoint
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    e = _edges(spark, k4 + [(4, 5), (5, 6), (4, 6), (6, 7)])
+    fixed = {(r.doc_id, r.deg) for r in kcore(e, k=2, iters=8).collect()}
+    fp = {(r.doc_id, r.deg) for r in kcore_fixpoint(e, k=2).collect()}
+    assert fp == fixed and fp
+
+
+def test_kcore_fixpoint_frees_superseded_checkpoints(spark):
+    """The fixpoint loop checkpoints per round; superseded rounds'
+    blocks must be freed (components discipline) — a 60-round peel
+    may leave only the final frame behind."""
+    from two_tier_document_parser_spark.graph import kcore_fixpoint
+
+    sc = spark.sparkContext
+
+    def stored() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = stored()
+    # a 60-vertex path peels one layer per round from each end:
+    # ~30 rounds of checkpoints
+    e = _edges(spark, [(i, i + 1) for i in range(60)])
+    assert kcore_fixpoint(e, k=2).count() == 0
+    grew = stored() - base
+    assert grew <= 2, f"kcore_fixpoint leaked {grew} checkpoints"

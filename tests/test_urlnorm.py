@@ -5,6 +5,8 @@ zero exchanges."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 
 def _urls(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, url string")
@@ -105,3 +107,75 @@ def test_canonicalize_plan_has_no_exchange(spark):
     )
     assert "Exchange" not in plan
     assert "ReadSchema: struct<doc_id:bigint,source:string>" in plan
+
+
+def test_canonicalize_is_idempotent_on_corpus(spark):
+    """canon(canon(url)) == canon(url) over the whole synthetic
+    corpus — the canonical form is a fixed point (a frontier that
+    re-enqueues canonical URLs must not re-normalize them away)."""
+    import os
+
+    from two_tier_document_parser_spark.urlnorm import (
+        canonicalize,
+        synth_urls,
+    )
+
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    once = canonicalize(synth_urls(docs)).select(
+        "doc_id", F.col("canon_url").alias("url")
+    )
+    twice = canonicalize(once)
+    n_fixed = twice.filter(F.col("canon_url") == F.col("url")).count()
+    assert n_fixed == twice.count()
+
+
+def test_stream_url_frontier_dedup_across_restarts(spark, tmp_path):
+    """Streaming crawl-frontier dedup: keeper per canonical URL is
+    emitted once; a dup URL arriving in a LATER run (same checkpoint)
+    stays suppressed; keep SET matches batch url_dedup."""
+    from two_tier_document_parser_spark.streaming import (
+        run_stream_url_frontier,
+    )
+    from two_tier_document_parser_spark.urlnorm import url_dedup
+
+    in_dir = tmp_path / "fetches"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ck")
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, ["doc_id", "url"]).coalesce(
+            1
+        ).write.parquet(str(in_dir / name))
+
+    b1 = [
+        ("d1", "http://h.net/p?id=1"),
+        ("d2", "HTTP://WWW.h.net:80/p/?id=1&utm_s=x"),  # dup of d1
+        ("d3", "http://h.net/p?id=2"),
+    ]
+    write_batch("b1", b1)
+    got1 = run_stream_url_frontier(
+        spark, str(in_dir) + "/*", str(tmp_path / "out1"), ckpt
+    ).collect()
+    assert {r["doc_id"] for r in got1} == {"d1", "d3"}
+    # keep SET of canonical URLs matches the batch operator
+    batch = url_dedup(
+        spark.createDataFrame(
+            [(int(d[1:]), u) for d, u in b1], "doc_id long, url string"
+        )
+    )
+    assert {r["fp"] for r in got1} == {
+        r["canon_url"] for r in batch.collect()
+    }
+
+    # restart with the same checkpoint: d4 re-fetches d1's canonical
+    # URL -> suppressed; d5 is a new resource -> kept
+    write_batch(
+        "b2",
+        [("d4", "https://h.net/p?id=1"),  # https != http: NEW resource
+         ("d5", "http://h.net/p?id=1&ref=x")],  # dup of d1
+    )
+    got2 = run_stream_url_frontier(
+        spark, str(in_dir) + "/*", str(tmp_path / "out2"), ckpt
+    ).collect()
+    assert {r["doc_id"] for r in got2} == {"d4"}

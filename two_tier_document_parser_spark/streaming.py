@@ -391,3 +391,51 @@ def read_maintained_agg(spark: SparkSession, agg_dir: str) -> DataFrame:
         if c not in ("n_docs", "n_vals", "sum0")
     ][0]
     return finalize_group_stats(stored, group_col)
+
+
+def run_stream_url_frontier(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Streaming crawl-frontier dedup: the streaming form of
+    urlnorm.url_dedup. Fetched (doc_id, url) rows land continuously;
+    each URL canonicalizes map-side (urlnorm rules, pure JVM
+    expressions) and the canonical form keys the SAME
+    stream_first_seen stateful operator content dedup uses — the
+    first fetch of a canonical URL is the keeper, every later fetch
+    (same run, later micro-batch, or after a checkpoint restart) is
+    suppressed. State is one boolean per canonical URL in the state
+    store: partitioned by key hash, restart-durable, never through
+    the driver.
+
+    Emits (fp = canon_url, doc_id) keeper rows appended to
+    `output_dir`; AvailableNow trigger (drain everything present,
+    then stop)."""
+    from .urlnorm import _canon_col
+
+    stream = (
+        spark.readStream.schema("doc_id string, url string")
+        .parquet(input_dir)
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            _canon_col(F.col("url")).alias("fp"),
+        )
+    )
+
+    def sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.filter(F.col("fp").isNotNull()).write.mode("append").parquet(
+            output_dir
+        )
+
+    q = (
+        stream_first_seen(stream)
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(output_dir)
