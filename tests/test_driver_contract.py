@@ -1,7 +1,8 @@
 """Driver-contract smoke + DuckDB parity on a representative subset
 (the driver runs its 50-entry window; tests/parity_harness.py runs
-the FULL queries() set locally — 112/112 OK at sf0.01, last full run
-round 5 after registering pdf_media_extract)."""
+the FULL queries() set locally — 129/129 OK at sf0.01, last full run
+round-5 close after the final registrations: 125 value-exact vs
+their DuckDB oracles + 4 rows-only by documented design)."""
 
 from __future__ import annotations
 
