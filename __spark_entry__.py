@@ -1243,6 +1243,98 @@ def q_zipf_fit(spark, sf_dir):
     return zipf_fit(_docs(spark, sf_dir))
 
 
+def q_model_auc(spark, sf_dir):
+    """Tie-aware ROC-AUC (Mann-Whitney U over average ranks) of the
+    hashed linear scorer against the lang=='en' label, in exact
+    parts-per-million (evalmetrics.model_auc): the trust-gate a
+    corpus-wide quality filter must pass before it gates documents.
+    Integer milli-logits, distinct-score rank table, the proven
+    TWO-PHASE exclusive prefix sum (zipf_fit pattern — never a
+    single-partition window), DECIMAL-exact term sums, one bounded
+    DIV onto ppm."""
+    from two_tier_document_parser_spark.evalmetrics import model_auc
+    from two_tier_document_parser_spark.textstats import demo_weights
+
+    return model_auc(_docs(spark, sf_dir), demo_weights(spark))
+
+
+def q_score_calibration(spark, sf_dir):
+    """Reliability table of the hashed linear scorer
+    (evalmetrics.score_calibration): fixed-width milli-logit buckets
+    -> observed positive rate (ppm) + exact mean logit — the
+    calibration-diagram companion to model_auc (rank quality vs
+    magnitude quality). ONE map-side-combinable aggregate onto
+    O(#buckets) rows; all integer."""
+    from two_tier_document_parser_spark.evalmetrics import (
+        score_calibration,
+    )
+    from two_tier_document_parser_spark.textstats import demo_weights
+
+    return score_calibration(_docs(spark, sf_dir), demo_weights(spark))
+
+
+def q_source_vocab_jaccard(spark, sf_dir):
+    """Pairwise source-vocabulary Jaccard
+    (textstats.source_vocab_jaccard): the corpus-composition overlap
+    matrix a mixture designer reads beside source_mixture_weights —
+    near-1000 pairs are redundant slices, near-0 pairs complementary
+    domains. Corpus stream collapses FIRST to distinct
+    (source, token); the pair expansion is bounded by #sources^2 per
+    token; sizes join back broadcast."""
+    from two_tier_document_parser_spark.textstats import (
+        source_vocab_jaccard,
+    )
+
+    return source_vocab_jaccard(_docs(spark, sf_dir))
+
+
+def q_containment_pairs(spark, sf_dir):
+    """Directional token-set containment over the LSH candidate pairs
+    (dedup.containment_pairs): Broder's asymmetric companion to
+    Jaccard — catches SUB-document duplication (a page quoting a
+    whole smaller page) that resemblance scores near zero. Shared
+    distinct-token rows, two key-hashed joins, one pair-keyed
+    aggregate; integer x1000 both directions."""
+    from two_tier_document_parser_spark.dedup import (
+        containment_pairs,
+        lsh_candidate_pairs,
+        minhash_bands,
+    )
+
+    d = _docs(spark, sf_dir)
+    return containment_pairs(d, lsh_candidate_pairs(minhash_bands(d)))
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document shingle novelty (dedup.ngram_novelty): the share
+    of each doc's distinct 3-token shingles whose first corpus
+    occurrence (min doc_id) is this doc — the document-level
+    incremental-value signal of a crawl-ordered corpus (template
+    floods and mirrors score near 0). One shingle-keyed min
+    aggregate + one join back + one doc-keyed aggregate; no windows,
+    no driver state."""
+    from two_tier_document_parser_spark.dedup import ngram_novelty
+
+    return ngram_novelty(_docs(spark, sf_dir))
+
+
+def q_hits(spark, sf_dir):
+    """Fixed-iteration HITS hub/authority scores (graph.hits,
+    Kleinberg 1999) on the DIRECTED near-dup graph (a -> b, a < b —
+    crawl order): authorities are later documents many earlier ones
+    duplicate into, hubs are early documents whose text re-appears
+    across later pages — keep-policy signals PageRank's undirected
+    centrality blurs. Unnormalized integer power iteration (exact:
+    ranking is scale-invariant), DECIMAL(38,0) sums, 2 shuffles per
+    iteration, edges localCheckpoint'd once."""
+    from two_tier_document_parser_spark.graph import hits
+
+    return hits(
+        _near_dup_edges(spark, sf_dir).filter(F.col("a") < F.col("b")),
+        iters=2,
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance scores (Xie et al. 2023): how
     much more likely each doc's hashed unigram+bigram bag is under
@@ -1985,6 +2077,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # path, IS in the window; both stay pytest-policy-pinned and
 # parity-run locally).
 _R05_WINDOW = [
+    "model_auc", "score_calibration", "source_vocab_jaccard",
+    "containment_pairs", "ngram_novelty", "hits",
     "url_canonical", "url_dedup", "kcore",
     "pq_codes", "pq_topk", "pq_recall",
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
@@ -1997,8 +2091,7 @@ _R05_WINDOW = [
     "snapshot_diff", "props_rollup", "min_cost_supplier",
     "incremental_agg", "funnel_counts", "sketch_quantiles",
     "sketch_distinct_hll", "sketch_heavy_hitters", "redact_pii",
-    "gopher_quality", "dataset_split", "ngram_boilerplate",
-    "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
+    "gopher_quality",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
@@ -2007,7 +2100,12 @@ _R05_WINDOW = [
     # attestations) to make room for the late-r05 additions (OLS
     # fit/residuals, k-means assign/profile, embedding moments, PQ
     # codes/ADC-topk/recall, URL canonicalize/dedup, k-core) —
-    # first-attestation priority, as every round.
+    # first-attestation priority, as every round. The six newest
+    # entries (model AUC/calibration, source-vocab Jaccard,
+    # containment pairs, n-gram novelty, HITS) then displaced
+    # ngram_boilerplate, vocab_top_ids, decontaminate, domain_cap,
+    # weighted_sample and dataset_split (all r03 driver-green, still
+    # parity-run locally) for the same reason.
 ]
 
 
@@ -2024,6 +2122,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # un-check anything (round-3 advice).
     base = {
         # -- group 1: new this round, never attested --
+        "model_auc": q_model_auc,
+        "score_calibration": q_score_calibration,
+        "source_vocab_jaccard": q_source_vocab_jaccard,
+        "containment_pairs": q_containment_pairs,
+        "ngram_novelty": q_ngram_novelty,
+        "hits": q_hits,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
         "host_dup_stats": q_host_dup_stats,
@@ -2560,6 +2664,12 @@ def oracle_sql() -> dict[str, str]:
         "url_canonical": _url_canonical_sql(),
         "url_dedup": _url_dedup_sql(),
         "host_dup_stats": _host_dup_stats_sql(),
+        "model_auc": _model_auc_sql(),
+        "score_calibration": _score_calibration_sql(),
+        "source_vocab_jaccard": _source_vocab_jaccard_sql(),
+        "containment_pairs": _containment_sql(),
+        "ngram_novelty": _ngram_novelty_sql(),
+        "hits": _hits_sql(iters=2),
         "token_entropy": _token_entropy_sql(),
         "zipf_fit": _zipf_fit_sql(),
         "psi_drift": _psi_sql("src0", 50),
@@ -4136,6 +4246,186 @@ JOIN sizes sa ON sa.doc_id = p.a
 JOIN sizes sb ON sb.doc_id = p.b
 LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
 """
+
+
+def _containment_sql() -> str:
+    """Oracle for dedup.containment_pairs: identical distinct token
+    sets, intersection counts and x1000 integer divisions, both
+    directions (// == DIV on the nonnegative operands here)."""
+    return f"""
+WITH pairs AS ({_lsh_pairs_sql()}),
+tok AS (SELECT * FROM ({_TOKENS_SQL}) u WHERE token <> ''),
+ts AS (SELECT DISTINCT doc_id, lower(token) AS t FROM tok),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM ts GROUP BY doc_id),
+inter AS (
+  SELECT p.a, p.b, count(*) AS i
+  FROM pairs p JOIN ts ta ON ta.doc_id = p.a JOIN ts tb
+    ON tb.doc_id = p.b AND tb.t = ta.t
+  GROUP BY p.a, p.b
+)
+SELECT p.a, p.b,
+       CAST(COALESCE(i.i, 0) AS BIGINT) AS inter_n,
+       sa.n AS na, sb.n AS nb,
+       CAST(COALESCE(i.i, 0) * 1000 // sa.n AS BIGINT) AS cont_ab_x1000,
+       CAST(COALESCE(i.i, 0) * 1000 // sb.n AS BIGINT) AS cont_ba_x1000
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.a
+JOIN sizes sb ON sb.doc_id = p.b
+LEFT JOIN inter i ON i.a = p.a AND i.b = p.b
+"""
+
+
+def _ngram_novelty_sql(k: int = 3) -> str:
+    """Oracle for dedup.ngram_novelty: identical distinct k-token
+    shingles, min-doc_id first occurrence, ppm integer division."""
+    leads = ", ".join(
+        f"lead(tok, {j}) OVER (PARTITION BY key ORDER BY pos) AS l{j}"
+        for j in range(1, k)
+    )
+    gram = " || ' ' || ".join(["tok"] + [f"l{j}" for j in range(1, k)])
+    return f"""
+WITH t AS (
+  SELECT doc_id AS key,
+         generate_subscripts(regexp_split_to_array(lower(text), '\\s+'), 1) - 1
+           AS pos,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+tk AS (SELECT * FROM t WHERE tok <> ''),
+ld AS (SELECT key, pos, tok, {leads} FROM tk),
+sh AS (SELECT DISTINCT key, {gram} AS sh FROM ld WHERE l{k - 1} IS NOT NULL),
+f AS (SELECT sh, min(key) AS first_key FROM sh GROUP BY sh)
+SELECT s.key AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shingles,
+       CAST(sum(CASE WHEN s.key = f.first_key THEN 1 ELSE 0 END) AS BIGINT)
+         AS novel_n,
+       CAST(sum(CASE WHEN s.key = f.first_key THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novel_ppm
+FROM sh s JOIN f USING (sh) GROUP BY s.key
+"""
+
+
+# Shared milli-logit CTE for the evalmetrics oracles: the identical
+# md5-bucket hashed linear model as model_score's oracle, kept as the
+# integer lm plus the lang=='en' label.
+_LOGIT_LABEL_CTE = (
+    f"{_TOK_CTE}, b AS (SELECT doc_id,"
+    " (('0x' || substring(md5(lower(token)), 1, 8))::UBIGINT)"
+    " % 1024 AS bucket FROM tok),"
+    " w AS (SELECT i AS bucket,"
+    " CAST(((i * 2654435761) % 2001) - 1000 AS BIGINT)"
+    " AS w_milli FROM (SELECT unnest(range(1024)) AS i)),"
+    " s AS (SELECT b.doc_id,"
+    " CAST(sum(COALESCE(w.w_milli, 0)) AS BIGINT) AS lm FROM b"
+    " LEFT JOIN w USING (bucket) GROUP BY b.doc_id),"
+    " lab AS (SELECT s.doc_id, s.lm,"
+    " CAST(d.lang = 'en' AS BIGINT) AS y"
+    " FROM s JOIN documents d USING (doc_id))"
+)
+
+
+def _model_auc_sql() -> str:
+    """Oracle for evalmetrics.model_auc: the identical tie-aware
+    Mann-Whitney identity over distinct milli-logits — the window
+    cumsum here is the oracle-side stand-in for the engine's
+    two-phase prefix sum; HUGEINT carries what Spark carries in
+    DECIMAL(38,0)."""
+    return f"""
+{_LOGIT_LABEL_CTE},
+g AS (SELECT lm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS p FROM lab GROUP BY lm),
+c AS (SELECT lm, n, p,
+             CAST(COALESCE(sum(n - p) OVER (ORDER BY lm
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS cumneg
+      FROM g),
+t AS (SELECT CAST(sum(p) AS BIGINT) AS pos_n,
+             CAST(sum(n - p) AS BIGINT) AS neg_n,
+             sum(CAST(p AS HUGEINT)
+                 * (2 * CAST(cumneg AS HUGEINT) + n - p)) AS num2
+      FROM c)
+SELECT pos_n, neg_n,
+       CAST(CASE WHEN pos_n = 0 OR neg_n = 0 THEN NULL
+            ELSE (num2 * 1000000)
+                 // (2 * CAST(pos_n AS HUGEINT) * CAST(neg_n AS HUGEINT))
+            END AS BIGINT) AS auc_ppm
+FROM t
+"""
+
+
+def _score_calibration_sql(w: int = 500) -> str:
+    """Oracle for evalmetrics.score_calibration: identical CASE
+    floor-bucket and trunc-toward-zero mean (both branches keep
+    operands nonnegative, where DuckDB // == Spark DIV)."""
+    return f"""
+{_LOGIT_LABEL_CTE},
+bk AS (SELECT CAST(CASE WHEN lm >= 0 THEN lm // {w}
+                   ELSE -((-lm + {w} - 1) // {w}) END AS BIGINT) AS bucket,
+              lm, y
+       FROM lab)
+SELECT bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(y) AS BIGINT) AS pos_n,
+       CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS pos_ppm,
+       CAST(CASE WHEN sum(lm) >= 0 THEN sum(lm) // count(*)
+            ELSE -((-sum(lm)) // count(*)) END AS BIGINT) AS mean_lm_milli
+FROM bk GROUP BY bucket
+"""
+
+
+def _source_vocab_jaccard_sql() -> str:
+    """Oracle for textstats.source_vocab_jaccard: identical distinct
+    (source, token) collapse, a < b pair expansion, x1000 integer
+    division."""
+    return """
+WITH t AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(text), '\\s+')) AS tok
+  FROM documents
+),
+st AS (SELECT DISTINCT source, tok AS tk FROM t WHERE tok <> ''),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+          FROM st GROUP BY source),
+inter AS (
+  SELECT x.source AS source_a, y.source AS source_b,
+         CAST(count(*) AS BIGINT) AS inter_n
+  FROM st x JOIN st y ON x.tk = y.tk AND x.source < y.source
+  GROUP BY 1, 2
+)
+SELECT i.source_a, i.source_b, i.inter_n,
+       CAST(sa.n + sb.n - i.inter_n AS BIGINT) AS union_n,
+       CAST(i.inter_n * 1000 // (sa.n + sb.n - i.inter_n) AS BIGINT)
+         AS jaccard_x1000
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+def _hits_sql(iters: int = 2) -> str:
+    """Oracle for graph.hits: the identical unnormalized integer
+    half-step recurrence on the DIRECTED (a < b) near-dup edges,
+    unrolled; HUGEINT sums mirror the engine's DECIMAL(38,0)."""
+    sql = f"""
+WITH jac AS (SELECT * FROM ({_jaccard_sql()}) j),
+e AS (SELECT DISTINCT a AS src, b AS dst FROM jac
+      WHERE jaccard_x1000 >= 500 AND a <> b),
+v AS (SELECT src AS v FROM e UNION SELECT dst FROM e),
+h0 AS (SELECT v, CAST(1 AS HUGEINT) AS s FROM v)"""
+    for i in range(iters):
+        sql += f""",
+a{i + 1} AS (SELECT e.dst AS v, sum(h{i}.s) AS s
+      FROM e JOIN h{i} ON h{i}.v = e.src GROUP BY e.dst),
+h{i + 1} AS (SELECT e.src AS v, sum(a{i + 1}.s) AS s
+      FROM e JOIN a{i + 1} ON a{i + 1}.v = e.dst GROUP BY e.src)"""
+    sql += f"""
+SELECT v.v AS doc_id,
+       CAST(COALESCE(h{iters}.s, 0) AS BIGINT) AS hub,
+       CAST(COALESCE(a{iters}.s, 0) AS BIGINT) AS auth
+FROM v LEFT JOIN h{iters} ON h{iters}.v = v.v
+LEFT JOIN a{iters} ON a{iters}.v = v.v
+"""
+    return sql
 
 
 def _repetition_sql() -> str:

@@ -64,6 +64,8 @@ ROWS_ONLY = {
 # grouping_sets (r01-r03-attested), rotated back out for the eight
 # late additions.
 EXPECTED_WINDOW_50 = [
+    "model_auc", "score_calibration", "source_vocab_jaccard",
+    "containment_pairs", "ngram_novelty", "hits",
     "url_canonical", "url_dedup", "kcore",
     "pq_codes", "pq_topk", "pq_recall",
     "pdf_media_extract", "bpe_merges", "bpe_subword_counts",
@@ -76,9 +78,14 @@ EXPECTED_WINDOW_50 = [
     "snapshot_diff", "props_rollup", "min_cost_supplier",
     "incremental_agg", "funnel_counts", "sketch_quantiles",
     "sketch_distinct_hll", "sketch_heavy_hitters", "redact_pii",
-    "gopher_quality", "dataset_split", "ngram_boilerplate",
-    "vocab_top_ids", "decontaminate", "domain_cap", "weighted_sample",
+    "gopher_quality",
     "zipf_fit", "token_entropy", "host_dup_stats",
+    # The six late-r05 evaluation/overlap additions (model
+    # AUC/calibration, source-vocab Jaccard, containment pairs,
+    # n-gram novelty, HITS) displaced ngram_boilerplate,
+    # vocab_top_ids, decontaminate, domain_cap, weighted_sample and
+    # dataset_split (all r03 driver-green, still parity-run locally)
+    # — first-attestation priority, as every round.
 ]
 
 

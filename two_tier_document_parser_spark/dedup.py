@@ -912,3 +912,105 @@ def cdc_dup_chunks(docs: DataFrame, w: int = 8, mask_mod: int = 64) -> DataFrame
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Directional token-set containment for candidate pairs:
+    cont(a->b) = |A∩B| * 1000 div |A| (and the mirror) — the
+    asymmetric companion to `jaccard_pairs`. Jaccard misses
+    SUB-document duplication by construction: a paragraph quoted
+    inside a 100x larger page scores near-zero Jaccard but 1000-level
+    containment from the small side (Broder 1997's "containment" of
+    the resemblance/containment pair), which is exactly the
+    quote/boilerplate/wrapper-page signal a curation keep-policy
+    needs.
+
+    Same scale shape as `jaccard_pairs` (shared distinct token rows,
+    two key-hashed joins, one pair-keyed aggregate) — candidate pairs
+    come from the LSH bucketing, never all-pairs. Integer x1000
+    scores, hash-exact vs the oracle.
+
+    Columns: a, b, inter_n, na, nb, cont_ab_x1000, cont_ba_x1000.
+    """
+    ts = (
+        df.select(
+            F.col(key_col).alias("key"),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+        )
+        .distinct()
+    )
+    sizes = ts.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        pairs.alias("p")
+        .join(ts.alias("ta"), F.col("p.a") == F.col("ta.key"))
+        .join(
+            ts.alias("tb"),
+            (F.col("p.b") == F.col("tb.key")) & (F.col("ta.t") == F.col("tb.t")),
+        )
+        .groupBy("p.a", "p.b")
+        .agg(F.count(F.lit(1)).alias("i"))
+        .select(F.col("a"), F.col("b"), F.col("i"))
+    )
+    return (
+        pairs.join(inter, ["a", "b"], "left")
+        .join(sizes.withColumnRenamed("key", "a").withColumnRenamed("n", "na"), "a")
+        .join(sizes.withColumnRenamed("key", "b").withColumnRenamed("n", "nb"), "b")
+        .select(
+            "a",
+            "b",
+            F.expr("CAST(coalesce(i, 0) AS BIGINT)").alias("inter_n"),
+            F.col("na").cast("long").alias("na"),
+            F.col("nb").cast("long").alias("nb"),
+            F.expr("coalesce(i, 0) * 1000 div na").alias("cont_ab_x1000"),
+            F.expr("coalesce(i, 0) * 1000 div nb").alias("cont_ba_x1000"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """Per-document n-gram novelty: the share of a document's DISTINCT
+    k-token shingles whose first corpus occurrence (minimum doc_id —
+    the corpus's deterministic arrival order) is this document. The
+    incremental-value signal of a crawl-ordered corpus: near-1
+    novelty marks genuinely new text, near-0 marks documents whose
+    every shingle already exists earlier (template floods, mirrors,
+    quote-stitched spam) — the document-level view of what
+    `cdc_dup_chunks`/`substring_overlap` report pairwise.
+
+    Scale shape: one shingle-keyed aggregate (min over doc_id; partial
+    map-side) joined back to the distinct (doc, shingle) rows on the
+    shingle key, then one doc-keyed aggregate. Both shuffles are
+    key-hashed with bounded per-key state; no windows, no driver
+    state. Docs with < k tokens have no shingles and drop out (the
+    oracle reproduces this).
+
+    Columns: doc_id, n_shingles, novel_n, novel_ppm.
+    """
+    sh = shingle_rows(df, text_col, key_col, k).distinct()
+    first = sh.groupBy("sh").agg(F.min("key").alias("first_key"))
+    return (
+        sh.join(first, "sh")
+        .groupBy("key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("key") == F.col("first_key")).cast("long"))
+            .cast("long")
+            .alias("novel_n"),
+        )
+        .select(
+            F.col("key").alias("doc_id"),
+            "n_shingles",
+            "novel_n",
+            F.expr("novel_n * 1000000 div n_shingles").alias("novel_ppm"),
+        )
+    )

@@ -34,6 +34,7 @@ __all__ = [
     "label_propagation",
     "kcore",
     "kcore_fixpoint",
+    "hits",
     "RANK_SCALE",
 ]
 
@@ -273,3 +274,92 @@ def kcore_fixpoint(
         .agg(F.count(F.lit(1)).cast("long").alias("deg"))
         .select(F.col("src").alias("doc_id"), "deg")
     )
+
+
+def hits(
+    edges: DataFrame, iters: int = 2, as_bigint: bool = True
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) hub/authority scores on
+    the DIRECTED graph given by (a, b) pairs (a -> b, self-loops
+    dropped, duplicate edges collapsed). Over the near-dup graph the
+    deterministic orientation is a -> b with a < b (how
+    `dedup.lsh_candidate_pairs` emits pairs): authorities are
+    later-crawled documents many earlier ones point at (re-crawls,
+    mirrors of an original), hubs are early documents whose text
+    re-appears across many later high-authority pages — both
+    keep-policy signals PageRank's undirected centrality blurs
+    together.
+
+    Integer-exact, UNNORMALIZED power iteration (SURVEY §7.7.4): all
+    hubs start at 1; auth_{t} = sum of in-neighbor hubs_{t-1},
+    hub_{t} = sum of out-neighbor auth_{t}. Per-step normalization is
+    the textbook presentation's cosmetic rescale — the RANKING is
+    scale-invariant, and skipping it keeps every value an exact
+    integer with no float summation order. Magnitudes grow like
+    degree^(2*iters), so sums accumulate in DECIMAL(38,0) (the
+    pmi_bigrams overflow lesson): max-degree 1e6 at iters=2 is 1e24,
+    far inside DECIMAL range, far outside int64. The emitted columns
+    cast back to BIGINT, exact while max_indegree^(2*iters) * n stays
+    under 2^63 — always true for the bucket-capped near-dup graph
+    this query family runs on (degree <= max_bucket = 50; 50^4 * n
+    needs n > 1.4e12 vertices IN ONE DUP CLUSTER to overflow); pass
+    as_bigint=False on unbounded-degree raw web graphs to keep the
+    raw DECIMAL(38,0) (Spark 4 ANSI aborts loudly on a narrowing
+    cast rather than corrupting).
+
+    Scale shape: exactly 2*iters shuffles — each half-step is ONE
+    key-hashed aggregate of (edge join current-score) on the opposite
+    endpoint; the edge list is localCheckpoint'd once so the upstream
+    LSH derivation never re-runs per iteration (pagerank's pattern).
+    Vertices with no in-edges (pure hubs) keep auth = 0 via the
+    left join back onto the vertex set; likewise pure authorities
+    keep hub = 0.
+
+    Columns: doc_id, hub, auth.
+    """
+    e = (
+        edges.select(
+            F.col("a").cast("long").alias("src"),
+            F.col("b").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        e.select(F.col("src").alias("v"))
+        .unionByName(e.select(F.col("dst").alias("v")))
+        .distinct()
+    )
+    hub = verts.select("v", F.lit(1).cast("decimal(38,0)").alias("s"))
+    auth = None
+    for _ in range(iters):
+        auth = (
+            e.join(hub.withColumnRenamed("v", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+            .withColumnRenamed("dst", "v")
+        )
+        hub = (
+            e.join(auth.withColumnRenamed("v", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.sum("s").cast("decimal(38,0)").alias("s"))
+            .withColumnRenamed("src", "v")
+        )
+    zero = F.lit(0).cast("decimal(38,0)")
+    out = (
+        verts.join(hub.withColumnRenamed("s", "hub"), "v", "left")
+        .join(auth.withColumnRenamed("s", "auth"), "v", "left")
+        .select(
+            F.col("v").alias("doc_id"),
+            F.coalesce(F.col("hub"), zero).alias("hub"),
+            F.coalesce(F.col("auth"), zero).alias("auth"),
+        )
+    )
+    if as_bigint:
+        out = out.select(
+            "doc_id",
+            F.col("hub").cast("long").alias("hub"),
+            F.col("auth").cast("long").alias("auth"),
+        )
+    return out

@@ -913,3 +913,78 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("ttr_permille"),
         ent.alias("entropy_bits"),
     )
+
+
+def source_vocab_jaccard(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources: for every source
+    pair (a < b), |vocab_a ∩ vocab_b| * 1000 div |vocab_a ∪ vocab_b|
+    over distinct lowercased tokens. The corpus-composition overlap
+    matrix a mixture designer reads next to `source_mixture_weights`:
+    two sources with near-1000 vocabulary Jaccard are redundant
+    slices of the same distribution (down-weight one), near-0 pairs
+    are genuinely complementary domains.
+
+    Scale shape: the corpus-sized token stream collapses FIRST to
+    distinct (source, token) — one map-side-partial distinct, output
+    bounded by #sources x vocab. The pair expansion self-joins that
+    slice on the token key; per-token fan-out is at most
+    #sources^2 pairs (sources are a catalog-sized dimension — tens,
+    not millions), so the join output is bounded by
+    #sources^2 x vocab, never corpus-sized. Sizes join back via a
+    broadcast of the #sources-row count table. All integer,
+    hash-exact vs the oracle.
+
+    Columns: source_a, source_b, inter_n, union_n, jaccard_x1000.
+    """
+    st = (
+        df.select(
+            "source",
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
+        )
+        .distinct()
+    )
+    sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        st.alias("x")
+        .join(
+            st.alias("y"),
+            (F.col("x.t") == F.col("y.t"))
+            & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"),
+            F.col("y.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("inter_n"))
+    )
+    return (
+        inter.join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_a"),
+                    F.col("n").alias("na"),
+                )
+            ),
+            "source_a",
+        )
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("source").alias("source_b"),
+                    F.col("n").alias("nb"),
+                )
+            ),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "inter_n",
+            F.expr("na + nb - inter_n").cast("long").alias("union_n"),
+            F.expr(
+                "inter_n * 1000 div (na + nb - inter_n)"
+            ).alias("jaccard_x1000"),
+        )
+    )
