@@ -1335,6 +1335,48 @@ def q_hits(spark, sf_dir):
     )
 
 
+def q_scorer_length_corr(spark, sf_dir):
+    """Pearson length-bias diagnostic of the hashed linear scorer
+    (evalmetrics.scorer_length_corr): corr(milli-logit, token count)
+    — |r| near 1 means the "quality" filter just rediscovered
+    document length. Both signals from ONE exploded pass,
+    DECIMAL-exact moments, one 1-row exchange, shared PEARSON_R
+    formula string -> bit-equal doubles vs the oracle."""
+    from two_tier_document_parser_spark.evalmetrics import (
+        scorer_length_corr,
+    )
+    from two_tier_document_parser_spark.textstats import demo_weights
+
+    return scorer_length_corr(_docs(spark, sf_dir), demo_weights(spark))
+
+
+def q_minhash_estimate(spark, sf_dir):
+    """MinHash estimator-calibration audit
+    (dedup.minhash_estimate_pairs): per LSH candidate pair, the
+    banded-MinHash Jaccard estimate beside the exact token-set
+    Jaccard and the signed error — the pq_recall analogue for the
+    text-dedup stack. Map-only signatures, capped LSH candidates,
+    one pair-keyed aggregate; integer x1000."""
+    from two_tier_document_parser_spark.dedup import (
+        minhash_estimate_pairs,
+    )
+
+    return minhash_estimate_pairs(_docs(spark, sf_dir))
+
+
+def q_cross_source_dups(spark, sf_dir):
+    """Near-dup contamination matrix by source pair
+    (dedup.cross_source_dups): the leakage view read before declaring
+    a train/eval source split clean. Two pair-table-sized joins +
+    one aggregate onto O(#sources^2) rows; pair keys sorted so each
+    unordered source pair is one row."""
+    from two_tier_document_parser_spark.dedup import cross_source_dups
+
+    return cross_source_dups(
+        _docs(spark, sf_dir), _near_dup_edges(spark, sf_dir)
+    )
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance scores (Xie et al. 2023): how
     much more likely each doc's hashed unigram+bigram bag is under
@@ -2077,6 +2119,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # path, IS in the window; both stay pytest-policy-pinned and
 # parity-run locally).
 _R05_WINDOW = [
+    "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
     "url_canonical", "url_dedup", "kcore",
@@ -2090,8 +2133,7 @@ _R05_WINDOW = [
     "encode_tokens", "bucketed_join", "token_commonness",
     "snapshot_diff", "props_rollup", "min_cost_supplier",
     "incremental_agg", "funnel_counts", "sketch_quantiles",
-    "sketch_distinct_hll", "sketch_heavy_hitters", "redact_pii",
-    "gopher_quality",
+    "sketch_distinct_hll",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
@@ -2105,7 +2147,10 @@ _R05_WINDOW = [
     # containment pairs, n-gram novelty, HITS) then displaced
     # ngram_boilerplate, vocab_top_ids, decontaminate, domain_cap,
     # weighted_sample and dataset_split (all r03 driver-green, still
-    # parity-run locally) for the same reason.
+    # parity-run locally) for the same reason; the last three
+    # (scorer length-bias corr, MinHash estimator audit, cross-source
+    # contamination matrix) displaced sketch_heavy_hitters,
+    # redact_pii and gopher_quality (r03 driver-green) likewise.
 ]
 
 
@@ -2122,6 +2167,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # un-check anything (round-3 advice).
     base = {
         # -- group 1: new this round, never attested --
+        "scorer_length_corr": q_scorer_length_corr,
+        "minhash_estimate": q_minhash_estimate,
+        "cross_source_dups": q_cross_source_dups,
         "model_auc": q_model_auc,
         "score_calibration": q_score_calibration,
         "source_vocab_jaccard": q_source_vocab_jaccard,
@@ -2665,6 +2713,9 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_sql(),
         "host_dup_stats": _host_dup_stats_sql(),
         "model_auc": _model_auc_sql(),
+        "scorer_length_corr": _scorer_length_corr_sql(),
+        "minhash_estimate": _minhash_estimate_sql(),
+        "cross_source_dups": _cross_source_dups_sql(),
         "score_calibration": _score_calibration_sql(),
         "source_vocab_jaccard": _source_vocab_jaccard_sql(),
         "containment_pairs": _containment_sql(),
@@ -4350,6 +4401,76 @@ SELECT pos_n, neg_n,
                  // (2 * CAST(pos_n AS HUGEINT) * CAST(neg_n AS HUGEINT))
             END AS BIGINT) AS auc_ppm
 FROM t
+"""
+
+
+def _scorer_length_corr_sql() -> str:
+    """Oracle for evalmetrics.scorer_length_corr: identical one-pass
+    (lm, token count) per doc, HUGEINT-exact moments cast to double
+    once, and the SAME PEARSON_R formula string — bit-equal r."""
+    from two_tier_document_parser_spark.evalmetrics import PEARSON_R
+
+    return f"""
+{_TOK_CTE},
+b AS (SELECT doc_id,
+       (('0x' || substring(md5(lower(token)), 1, 8))::UBIGINT) % 1024
+         AS bucket FROM tok),
+w AS (SELECT i AS bucket,
+       CAST(((i * 2654435761) % 2001) - 1000 AS BIGINT) AS w_milli
+      FROM (SELECT unnest(range(1024)) AS i)),
+pd AS (SELECT b.doc_id,
+        CAST(sum(COALESCE(w.w_milli, 0)) AS BIGINT) AS x,
+        CAST(count(*) AS BIGINT) AS y
+       FROM b LEFT JOIN w USING (bucket) GROUP BY b.doc_id),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        CAST(sum(CAST(x AS HUGEINT)) AS DOUBLE) AS sx,
+        CAST(sum(CAST(y AS HUGEINT)) AS DOUBLE) AS sy,
+        CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+        CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS syy
+      FROM pd)
+SELECT CAST(n AS BIGINT) AS n_docs, {PEARSON_R} AS r FROM m
+"""
+
+
+def _minhash_estimate_sql(n_bands: int = 4) -> str:
+    """Oracle for dedup.minhash_estimate_pairs: identical band-match
+    count per candidate pair, x1000 integer divisions, signed error."""
+    return f"""
+WITH sig AS ({_minhash_sql()}),
+pairs AS ({_lsh_pairs_sql()}),
+est AS (
+  SELECT p.a, p.b,
+         CAST(sum(CASE WHEN sa.min_hash = sb.min_hash
+                  THEN 1 ELSE 0 END) AS BIGINT) AS bands_equal
+  FROM pairs p
+  JOIN sig sa ON sa.key = p.a
+  JOIN sig sb ON sb.key = p.b AND sb.band = sa.band
+  GROUP BY p.a, p.b
+),
+jac AS (SELECT * FROM ({_jaccard_sql()}) j)
+SELECT e.a, e.b, e.bands_equal,
+       CAST(e.bands_equal * 1000 // {n_bands} AS BIGINT) AS est_x1000,
+       CAST(j.jaccard_x1000 AS BIGINT) AS jaccard_x1000,
+       CAST(e.bands_equal * 1000 // {n_bands} - j.jaccard_x1000
+            AS BIGINT) AS err_x1000
+FROM est e JOIN jac j ON j.a = e.a AND j.b = e.b
+"""
+
+
+def _cross_source_dups_sql() -> str:
+    """Oracle for dedup.cross_source_dups: identical jaccard >= 0.5
+    edge set, lexicographically sorted source pair keys."""
+    return f"""
+WITH jac AS (SELECT * FROM ({_jaccard_sql()}) j),
+e AS (SELECT a, b FROM jac WHERE jaccard_x1000 >= 500)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM e
+JOIN documents sa ON sa.doc_id = e.a
+JOIN documents sb ON sb.doc_id = e.b
+GROUP BY 1, 2
 """
 
 

@@ -302,6 +302,16 @@ def main() -> int:
         "token_entropy",
         "host_dup_stats",
         "zipf_fit",
+        # round-5 late additions: scorer evaluation + overlap family
+        "model_auc",
+        "score_calibration",
+        "source_vocab_jaccard",
+        "containment_pairs",
+        "ngram_novelty",
+        "hits",
+        "scorer_length_corr",
+        "minhash_estimate",
+        "cross_source_dups",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

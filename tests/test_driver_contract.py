@@ -64,6 +64,7 @@ ROWS_ONLY = {
 # grouping_sets (r01-r03-attested), rotated back out for the eight
 # late additions.
 EXPECTED_WINDOW_50 = [
+    "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
     "url_canonical", "url_dedup", "kcore",
@@ -77,15 +78,17 @@ EXPECTED_WINDOW_50 = [
     "encode_tokens", "bucketed_join", "token_commonness",
     "snapshot_diff", "props_rollup", "min_cost_supplier",
     "incremental_agg", "funnel_counts", "sketch_quantiles",
-    "sketch_distinct_hll", "sketch_heavy_hitters", "redact_pii",
-    "gopher_quality",
+    "sketch_distinct_hll",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # The six late-r05 evaluation/overlap additions (model
     # AUC/calibration, source-vocab Jaccard, containment pairs,
     # n-gram novelty, HITS) displaced ngram_boilerplate,
     # vocab_top_ids, decontaminate, domain_cap, weighted_sample and
     # dataset_split (all r03 driver-green, still parity-run locally)
-    # — first-attestation priority, as every round.
+    # — first-attestation priority, as every round; the final three
+    # (scorer length-bias corr, MinHash estimator audit, cross-source
+    # contamination matrix) then displaced sketch_heavy_hitters,
+    # redact_pii and gopher_quality (r03 driver-green) likewise.
 ]
 
 

@@ -257,3 +257,129 @@ def test_hits_two_iterations_and_dup_edges(spark):
     # e = {1->2, 2->3}; a1(2)=1, a1(3)=1; h1(1)=1, h1(2)=1
     # a2(2)=h1(1)=1, a2(3)=h1(2)=1; h2(1)=a2(2)=1, h2(2)=a2(3)=1
     assert got == {1: (1, 0), 2: (1, 1), 3: (0, 1)}
+
+
+# ------------------------------------------------- length-bias corr
+
+
+def test_scorer_length_corr_matches_numpy(spark):
+    from two_tier_document_parser_spark.evalmetrics import (
+        logit_milli,
+        scorer_length_corr,
+    )
+    from two_tier_document_parser_spark.textstats import demo_weights
+
+    rows = [
+        (1, "alpha beta gamma", "en", "s0"),
+        (2, "delta", "en", "s0"),
+        (3, "epsilon zeta eta theta", "de", "s0"),
+        (4, "iota kappa", "fr", "s0"),
+        (5, "lambda mu nu xi omicron pi", "en", "s0"),
+    ]
+    d = _docs(spark, rows)
+    w = demo_weights(spark)
+    got = scorer_length_corr(d, w).collect()[0]
+
+    import numpy as np
+
+    lm = {r["doc_id"]: r["lm"] for r in logit_milli(d, w).collect()}
+    n_tok = {i: len(t.split()) for i, t, _, _ in rows}
+    x = np.array([lm[i] for i in sorted(lm)], dtype=np.float64)
+    y = np.array([n_tok[i] for i in sorted(lm)], dtype=np.float64)
+    expect = np.corrcoef(x, y)[0, 1]
+    assert got["n_docs"] == 5
+    assert abs(got["r"] - expect) < 1e-12
+
+
+def test_scorer_length_corr_constant_side_is_nan(spark):
+    from two_tier_document_parser_spark.evalmetrics import (
+        scorer_length_corr,
+    )
+    from two_tier_document_parser_spark.textstats import demo_weights
+
+    # identical docs -> zero variance on both marginals -> NULL (the
+    # documented "undefined" reading; the CASE guard keeps Spark's
+    # ANSI mode from aborting on the 0/0), never an error
+    d = _docs(
+        spark,
+        [(1, "alpha beta", "en", "s0"), (2, "alpha beta", "en", "s0")],
+    )
+    r = scorer_length_corr(d, demo_weights(spark)).collect()[0]["r"]
+    assert r is None
+
+
+# --------------------------------------------- minhash estimate audit
+
+
+def test_minhash_estimate_identical_docs_score_1000(spark):
+    from two_tier_document_parser_spark.dedup import (
+        minhash_estimate_pairs,
+    )
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f", "en", "s0"),
+            (2, "a b c d e f", "en", "s0"),
+        ],
+    )
+    r = minhash_estimate_pairs(d).collect()[0]
+    # identical shingle sets -> every band min matches and J = 1
+    assert (r["a"], r["b"]) == (1, 2)
+    assert r["bands_equal"] == 4 and r["est_x1000"] == 1000
+    assert r["jaccard_x1000"] == 1000 and r["err_x1000"] == 0
+
+
+def test_minhash_estimate_vs_recomputed_signature(spark):
+    from two_tier_document_parser_spark.dedup import (
+        minhash_bands,
+        minhash_estimate_pairs,
+    )
+
+    d = _docs(
+        spark,
+        [
+            (1, "a b c d e f g h", "en", "s0"),
+            (2, "a b c d e f x y", "en", "s0"),
+            (3, "p q r s t u", "en", "s0"),
+        ],
+    )
+    got = {(r["a"], r["b"]): r for r in minhash_estimate_pairs(d).collect()}
+    sig = {}
+    for r in minhash_bands(d).collect():
+        sig.setdefault(r["key"], {})[r["band"]] = r["min_hash"]
+    for (a, b), row in got.items():
+        eq = sum(1 for band in sig[a] if sig[a][band] == sig[b].get(band))
+        assert row["bands_equal"] == eq
+        assert row["est_x1000"] == eq * 1000 // 4
+        assert row["err_x1000"] == row["est_x1000"] - row["jaccard_x1000"]
+
+
+# ------------------------------------------------- cross-source dups
+
+
+def test_cross_source_dups_sorted_pair_keys(spark):
+    from two_tier_document_parser_spark.dedup import cross_source_dups
+
+    d = _docs(
+        spark,
+        [
+            (1, "x", "en", "wiki"),
+            (2, "x", "en", "crawl"),
+            (3, "x", "en", "crawl"),
+            (4, "x", "en", "books"),
+        ],
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 4), (2, 1)], "a long, b long"
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["n_pairs"]
+        for r in cross_source_dups(d, pairs).collect()
+    }
+    # (1,2) and (2,1) both land on the sorted (crawl, wiki) key
+    assert got == {
+        ("crawl", "wiki"): 2,
+        ("crawl", "crawl"): 1,
+        ("books", "wiki"): 1,
+    }

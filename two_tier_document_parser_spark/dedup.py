@@ -1014,3 +1014,117 @@ def ngram_novelty(
             F.expr("novel_n * 1000000 div n_shingles").alias("novel_ppm"),
         )
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n_bands: int = N_BANDS,
+) -> DataFrame:
+    """Estimator-calibration audit for the MinHash signature: for
+    every LSH candidate pair, the MinHash-ESTIMATED Jaccard (share of
+    bands whose min-hash matches — each band is one independent
+    min-wise hash, so P(match) = J exactly; Broder 1997 Thm. 1)
+    beside the EXACT token-set Jaccard, plus the signed error. The
+    pq_recall analogue for the text-dedup stack: before trusting
+    banded MinHash at a new shingle size or band count, a pipeline
+    owner reads this table's error distribution instead of assuming
+    the textbook variance J(1-J)/b holds on their corpus.
+
+    Scale shape: signatures from the map-only Arrow kernel
+    (`minhash_bands` — zero exchanges), candidates from the capped
+    LSH self-join, the estimate from ONE pair-keyed aggregate of the
+    (pair x band) join — at most n_bands rows per candidate pair —
+    and the exact score from `jaccard_pairs`' proven shape. Never
+    all-pairs. All integer x1000; err can be negative (plain int64
+    subtraction, engine-exact).
+
+    Columns: a, b, bands_equal, est_x1000, jaccard_x1000, err_x1000.
+    """
+    sig = minhash_bands(df, text_col, key_col, n_bands)
+    pairs = lsh_candidate_pairs(sig)
+    est = (
+        pairs.join(
+            sig.select(
+                F.col("key").alias("a"),
+                "band",
+                F.col("min_hash").alias("ha"),
+            ),
+            "a",
+        )
+        .join(
+            sig.select(
+                F.col("key").alias("b"),
+                "band",
+                F.col("min_hash").alias("hb"),
+            ),
+            ["b", "band"],
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.sum((F.col("ha") == F.col("hb")).cast("long"))
+            .cast("long")
+            .alias("bands_equal")
+        )
+    )
+    exact = jaccard_pairs(df, pairs, text_col, key_col)
+    return (
+        est.join(exact, ["a", "b"])
+        .select(
+            "a",
+            "b",
+            "bands_equal",
+            F.expr(f"bands_equal * 1000 div {n_bands}").alias(
+                "est_x1000"
+            ),
+            "jaccard_x1000",
+            (
+                F.expr(f"bands_equal * 1000 div {n_bands}")
+                - F.col("jaccard_x1000")
+            ).cast("long").alias("err_x1000"),
+        )
+    )
+
+
+def cross_source_dups(
+    docs: DataFrame,
+    near_dup_pairs: DataFrame,
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Contamination matrix: near-duplicate pair counts by
+    (source, source). The decontamination / leakage view a dataset
+    owner reads before splitting sources into train vs eval — a
+    benchmark source sharing near-dup mass with a crawl source means
+    the split leaks (the reason decontaminate() exists); diagonal
+    entries are ordinary within-source duplication. Pair keys are
+    sorted lexicographically so (crawl, wiki) and (wiki, crawl)
+    accumulate one row.
+
+    Scale shape: two key-hashed joins of the (a, b) pair table
+    against the (doc_id, source) projection — pair-table-sized, never
+    corpus-sized — then ONE map-side-combinable aggregate onto
+    O(#sources^2) rows.
+
+    Columns: source_a, source_b, n_pairs.
+    """
+    src = docs.select(F.col(key_col), F.col("source"))
+    return (
+        near_dup_pairs.join(
+            src.select(
+                F.col(key_col).alias("a"), F.col("source").alias("sa")
+            ),
+            "a",
+        )
+        .join(
+            src.select(
+                F.col(key_col).alias("b"), F.col("source").alias("sb")
+            ),
+            "b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

@@ -64,6 +64,22 @@ BUCKET_EXPR = (
     " ELSE -((-lm + {w} - 1) DIV {w}) END"
 )
 
+# Pearson r from the five exact moment sums, ONE formula string shared
+# verbatim by the Spark plan and the DuckDB oracle (the fit_ols2
+# contract): moments accumulate exactly in DECIMAL, cast to double
+# once, and the identical IEEE operation sequence (two correctly-
+# rounded sqrts, one division) runs in both engines — bit-equal
+# doubles. The CASE guard makes zero variance on either side NULL
+# ("undefined") in BOTH engines — without it Spark 4's ANSI mode
+# aborts on the 0/0 while DuckDB would return NaN; it also shields
+# sqrt from a (mathematically impossible, rounding-theoretic)
+# negative operand.
+PEARSON_R = (
+    "CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <= 0"
+    " THEN NULL ELSE (n * sxy - sx * sy)"
+    " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END"
+)
+
 
 def logit_milli(
     df: DataFrame,
@@ -197,6 +213,80 @@ def model_auc(
             " (2 * CAST(pos_n AS DECIMAL(38,0))"
             " * CAST(neg_n AS DECIMAL(38,0))) END AS BIGINT)"
         ).alias("auc_ppm"),
+    )
+
+
+def scorer_length_corr(
+    docs: DataFrame,
+    weights: DataFrame,
+    text_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """ONE row (n_docs, r): Pearson correlation between the hashed
+    linear scorer's milli-logit and the document token count — the
+    LENGTH-BIAS diagnostic of a quality filter. The classic failure
+    mode of learned quality scorers is rediscovering document length
+    (long pages score "good", tweets score "bad" regardless of
+    content); |r| near 1 here means the scorer adds nothing beyond a
+    length threshold, so a curation team checks this number before
+    trusting model_auc's headline.
+
+    Exactness: both per-doc signals come from ONE exploded pass (the
+    logit groupBy also counts its tokens — zero extra shuffles), the
+    five cross-moments accumulate exactly in DECIMAL(38,0) (the
+    fit_ols2 recipe: one 1-row exchange for the whole corpus), and r
+    is computed from the shared PEARSON_R formula string — bit-equal
+    doubles vs the oracle. Token-free docs have no exploded rows and
+    drop from both marginals consistently (the oracle's tok CTE
+    reproduces this).
+    """
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("t"),
+    )
+    bucketed = tok.withColumn(
+        "bucket",
+        (
+            F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10)
+            .cast("long")
+            % n_buckets
+        ),
+    )
+    per_doc = (
+        bucketed.join(F.broadcast(weights), "bucket", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.coalesce(F.col("w_milli"), F.lit(0)))
+            .cast("long")
+            .alias("x"),
+            F.count(F.lit(1)).cast("long").alias("y"),
+        )
+    )
+
+    def d(c: str):
+        return F.col(c).cast("decimal(18,0)")
+
+    m = per_doc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d("x")).alias("sx"),
+        F.sum(d("y")).alias("sy"),
+        F.sum(d("x") * d("x")).alias("sxx"),
+        F.sum(d("x") * d("y")).alias("sxy"),
+        F.sum(d("y") * d("y")).alias("syy"),
+    ).select(
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in ("n", "sx", "sy", "sxx", "sxy", "syy")
+        ]
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.expr(PEARSON_R).alias("r"),
     )
 
 

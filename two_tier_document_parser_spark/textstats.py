@@ -928,7 +928,10 @@ def source_vocab_jaccard(
 
     Scale shape: the corpus-sized token stream collapses FIRST to
     distinct (source, token) — one map-side-partial distinct, output
-    bounded by #sources x vocab. The pair expansion self-joins that
+    bounded by #sources x vocab — and that slice is localCheckpoint'd
+    ONCE so the corpus scan + distinct never re-run for the self-join
+    sides and the size table (three consumers, one pass; the edges
+    pattern of graph.py). The pair expansion self-joins the pinned
     slice on the token key; per-token fan-out is at most
     #sources^2 pairs (sources are a catalog-sized dimension — tens,
     not millions), so the join output is bounded by
@@ -944,6 +947,7 @@ def source_vocab_jaccard(
             F.explode(tokens(F.lower(F.col(text_col)))).alias("t"),
         )
         .distinct()
+        .localCheckpoint()
     )
     sizes = st.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
