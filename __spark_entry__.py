@@ -1377,6 +1377,56 @@ def q_cross_source_dups(spark, sf_dir):
     )
 
 
+def q_warc_ingest(spark, sf_dir):
+    """O1 bytes-in contract for CRAWL ARCHIVES (warc_io): documents
+    lifted to spans, rendered to HTML bytes, packed into WARC/1.0
+    files (per-record gzip members, warcinfo preamble, HTTP response
+    envelopes — the Common-Crawl layout, ISO 28500), then unpacked by
+    the from-scratch member walker and re-parsed by the existing DOM
+    lift. Value-exact vs the documents_to_raw oracle proves the whole
+    warc-bytes -> html-bytes -> documents_raw chain, including that
+    non-response records are skipped and Content-Length framing is
+    honored byte-exactly."""
+    from two_tier_document_parser_spark.adapter import documents_to_raw
+    from two_tier_document_parser_spark.html_io import (
+        parse_table,
+        render_table,
+    )
+    from two_tier_document_parser_spark.pipeline import ship_package
+    from two_tier_document_parser_spark.warc_io import (
+        pack_table,
+        unpack_table,
+    )
+
+    ship_package(spark)
+    raw = documents_to_raw(_docs(spark, sf_dir))
+    decoded = parse_table(unpack_table(pack_table(render_table(raw))))
+    s = F.explode("spans").alias("s")
+    return decoded.select("doc_id", s).select(
+        "doc_id",
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.offset").alias("offset"),
+    )
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (curation.bloom_decontaminate):
+    the fixed-size-broadcast scale path beside the exact set-join
+    `decontaminate` — eval shingles fold into one 128 KiB bitmap
+    (per-partition numpy partials, driver OR, broadcast), training
+    shingles probe it map-side in a vectorized Arrow kernel. The
+    bloom bits are deterministic md5 functions, so even the false
+    positives are oracle-exact."""
+    from two_tier_document_parser_spark.curation import (
+        bloom_decontaminate,
+    )
+    from two_tier_document_parser_spark.pipeline import ship_package
+
+    ship_package(spark)
+    return bloom_decontaminate(_docs(spark, sf_dir))
+
+
 def q_dsir_weights(spark, sf_dir):
     """DSIR hashed n-gram importance scores (Xie et al. 2023): how
     much more likely each doc's hashed unigram+bigram bag is under
@@ -2119,6 +2169,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # path, IS in the window; both stay pytest-policy-pinned and
 # parity-run locally).
 _R05_WINDOW = [
+    "warc_ingest", "bloom_decontaminate",
     "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
@@ -2132,8 +2183,7 @@ _R05_WINDOW = [
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
     "encode_tokens", "bucketed_join", "token_commonness",
     "snapshot_diff", "props_rollup", "min_cost_supplier",
-    "incremental_agg", "funnel_counts", "sketch_quantiles",
-    "sketch_distinct_hll",
+    "incremental_agg", "funnel_counts",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
@@ -2150,7 +2200,9 @@ _R05_WINDOW = [
     # parity-run locally) for the same reason; the last three
     # (scorer length-bias corr, MinHash estimator audit, cross-source
     # contamination matrix) displaced sketch_heavy_hitters,
-    # redact_pii and gopher_quality (r03 driver-green) likewise.
+    # redact_pii and gopher_quality (r03 driver-green) likewise;
+    # finally warc_ingest and bloom_decontaminate displaced
+    # sketch_quantiles and sketch_distinct_hll (r03 driver-green).
 ]
 
 
@@ -2167,6 +2219,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # un-check anything (round-3 advice).
     base = {
         # -- group 1: new this round, never attested --
+        "warc_ingest": q_warc_ingest,
+        "bloom_decontaminate": q_bloom_decontaminate,
         "scorer_length_corr": q_scorer_length_corr,
         "minhash_estimate": q_minhash_estimate,
         "cross_source_dups": q_cross_source_dups,
@@ -2713,6 +2767,8 @@ def oracle_sql() -> dict[str, str]:
         "url_dedup": _url_dedup_sql(),
         "host_dup_stats": _host_dup_stats_sql(),
         "model_auc": _model_auc_sql(),
+        "warc_ingest": _binary_ingest_sql(),
+        "bloom_decontaminate": _bloom_decontaminate_sql(),
         "scorer_length_corr": _scorer_length_corr_sql(),
         "minhash_estimate": _minhash_estimate_sql(),
         "cross_source_dups": _cross_source_dups_sql(),
@@ -4780,6 +4836,53 @@ SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
        CAST(count(e.sh) AS BIGINT) AS n_hits,
        (count(e.sh) = 0) AS clean
 FROM tr t LEFT JOIN ev e USING (sh) GROUP BY t.doc_id
+"""
+
+
+def _bloom_decontaminate_sql(
+    n: int = 5,
+    eval_hex: str = "10",
+    salt: str = ":eval:42",
+    m_bits: int = 1 << 20,
+) -> str:
+    """Mirror of curation.bloom_decontaminate: the same shingles and
+    eval split as _decontaminate_sql, two deterministic bit positions
+    per shingle from the 60-bit md5 prefix (low 20 bits; bits
+    30..49), the eval side's DISTINCT position set standing in for
+    the bitmap, a training shingle flagged iff BOTH its positions are
+    set — false positives and all."""
+    leads = " || ' ' || ".join(
+        ["token"] + [f"lead(token, {i}) OVER w" for i in range(1, n)]
+    )
+    ev_pred = (
+        f"substring(md5(CAST(doc_id AS VARCHAR) || '{salt}'), 1, 2)"
+        f" < '{eval_hex}'"
+    )
+    return f"""
+{_TOK_CTE},
+sh AS (SELECT doc_id, {leads} AS sh,
+              lead(token, {n - 1}) OVER w AS _last
+       FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+hp AS (SELECT doc_id, ({ev_pred}) AS ev,
+              ('0x' || substr(md5(sh), 1, 15))::UBIGINT AS h
+       FROM sh WHERE _last IS NOT NULL),
+pp AS (SELECT doc_id, ev,
+              CAST(h % {m_bits} AS BIGINT) AS p1,
+              CAST((h // 1073741824) % {m_bits} AS BIGINT) AS p2
+       FROM hp),
+bits AS (SELECT DISTINCT p FROM (
+           SELECT p1 AS p FROM pp WHERE ev
+           UNION ALL SELECT p2 FROM pp WHERE ev)),
+tr AS (SELECT doc_id, p1, p2 FROM pp WHERE NOT ev)
+SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       (sum(CASE WHEN b1.p IS NOT NULL AND b2.p IS NOT NULL
+            THEN 1 ELSE 0 END) = 0) AS clean
+FROM tr t
+LEFT JOIN bits b1 ON b1.p = t.p1
+LEFT JOIN bits b2 ON b2.p = t.p2
+GROUP BY t.doc_id
 """
 
 

@@ -312,6 +312,8 @@ def main() -> int:
         "scorer_length_corr",
         "minhash_estimate",
         "cross_source_dups",
+        "warc_ingest",
+        "bloom_decontaminate",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

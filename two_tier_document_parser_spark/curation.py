@@ -879,3 +879,113 @@ def span_dedup(docs: DataFrame, block_size: int = 8) -> DataFrame:
             ),
         ).alias("text_deduped"),
     )
+
+
+def bloom_decontaminate(
+    docs: DataFrame,
+    n: int = 5,
+    eval_hex: str = "10",
+    salt: str = ":eval:42",
+    m_bits: int = 1 << 20,
+) -> DataFrame:
+    """Bloom-filter decontamination — the SCALE path beside
+    `decontaminate`. The exact variant broadcasts the eval shingle
+    SET, which is fine for benchmark suites but caps out when the
+    held-out side is itself corpus-sized (e.g. "drop anything
+    overlapping last month's crawl"): the broadcast grows with the
+    eval corpus. Here the eval shingles collapse into a FIXED
+    `m_bits`-bit Bloom bitmap (128 KiB at the default) that
+    broadcasts at the same cost no matter how large the eval set —
+    the standard production trade (GPT-3 appendix C describes the
+    same bloom-based overlap machinery). False positives are
+    one-sided: a flagged shingle may be clean, a clean shingle is
+    never flagged, so `clean=true` here is trustworthy and the
+    flagged remainder is what the exact pass re-checks.
+
+    DETERMINISTIC, hence oracle-exact: two bit positions per shingle
+    from the same 60-bit md5 prefix the dedup stack uses (low 20 bits
+    and bits 30..49), so the Spark plan and the DuckDB oracle compute
+    the identical bitmap and the identical per-document flag counts —
+    the false positives themselves are reproducible.
+
+    Scale shape: ONE lead() shingle pass (doc_id shuffle) shared by
+    both sides of the eval split; eval positions fold into
+    PER-PARTITION numpy bitmaps inside mapInArrow (map-only), OR-ed
+    on the driver (bounded collect: #tasks x m_bits/8 bytes) and
+    rebroadcast as one 128 KiB array; the training stream probes the
+    bitmap map-side in a vectorized Arrow kernel — no join at all on
+    the data-sized side. Output matches `decontaminate`'s columns
+    (doc_id, n_grams, n_hits, clean) so callers can swap paths.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    is_eval = (
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(salt))), 1, 2
+        )
+        < eval_hex
+    )
+    h = F.conv(F.substring(F.md5("sh"), 1, 15), 16, 10).cast("long")
+    sh = (
+        _token_shingles(docs, n)
+        .withColumn("_is_eval", is_eval)
+        .withColumn("p1", h % F.lit(m_bits))
+        .withColumn("p2", F.shiftright(h, 30) % F.lit(m_bits))
+    )
+
+    n_bytes = m_bits // 8
+
+    def build_bitmaps(batches):
+        # bool-array + fancy-index set (idempotent, vectorized), packed
+        # LSB-first once at the end — not ufunc.at, which is unbuffered
+        bits = np.zeros(m_bits, dtype=bool)
+        seen = False
+        for batch in batches:
+            for col in ("p1", "p2"):
+                pos = batch.column(col).to_numpy(zero_copy_only=False)
+                bits[pos] = True
+            seen = seen or batch.num_rows > 0
+        if seen:
+            bm = np.packbits(bits, bitorder="little")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([bm.tobytes()], type=pa.binary())], names=["bm"]
+            )
+
+    parts = (
+        sh.filter(F.col("_is_eval"))
+        .select("p1", "p2")
+        .mapInArrow(build_bitmaps, "bm binary")
+        .collect()
+    )
+    bitmap = np.zeros(n_bytes, dtype=np.uint8)
+    for row in parts:
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
+    bc = docs.sparkSession.sparkContext.broadcast(bitmap.tobytes())
+
+    def probe(batches):
+        # unpack the 128 KiB bitmap to a 1 MiB bool table once per
+        # task; per batch the membership test is two gathers + one AND
+        bits = np.unpackbits(
+            np.frombuffer(bc.value, dtype=np.uint8), bitorder="little"
+        )
+        for batch in batches:
+            p1 = batch.column("p1").to_numpy(zero_copy_only=False)
+            p2 = batch.column("p2").to_numpy(zero_copy_only=False)
+            hit = (bits[p1] & bits[p2]).astype(np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [batch.column("doc_id"), pa.array(hit, type=pa.int64())],
+                names=["doc_id", "hit"],
+            )
+
+    return (
+        sh.filter(~F.col("_is_eval"))
+        .select("doc_id", "p1", "p2")
+        .mapInArrow(probe, "doc_id bigint, hit bigint")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum("hit").cast("long").alias("n_hits"),
+        )
+        .withColumn("clean", F.col("n_hits") == 0)
+    )
