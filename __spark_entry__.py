@@ -1410,6 +1410,57 @@ def q_warc_ingest(spark, sf_dir):
     )
 
 
+_ICEBERG_LITE_TABLES: dict = {}
+
+
+def _iceberg_lite_table(spark, sf_dir):
+    """Build (once per process+sf) an iceberg-lite documents table:
+    two snapshot appends split by doc_id parity, identity-partitioned
+    on source — so the round-trip and pruned-read queries exercise
+    multi-snapshot manifest-list resolution, not a single commit."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from two_tier_document_parser_spark.iceberg_lite import (
+        IcebergLiteIO,
+    )
+
+    key = sf_dir.rstrip("/")
+    if key in _ICEBERG_LITE_TABLES:
+        return _ICEBERG_LITE_TABLES[key]
+    path = f"/tmp/ttdp_iceberg_lite/{key.replace('/', '_')}"
+    shutil.rmtree(path, ignore_errors=True)
+    t = IcebergLiteIO(spark, path, partition_by="source")
+    docs = _docs(spark, sf_dir)
+    t.append(docs.filter(SF.col("doc_id") % 2 == 0), run_id="even")
+    t.append(docs.filter(SF.col("doc_id") % 2 == 1), run_id="odd")
+    _ICEBERG_LITE_TABLES[key] = t
+    return t
+
+
+def q_iceberg_lite_roundtrip(spark, sf_dir):
+    """From-scratch Iceberg v2 layout round-trip (iceberg_lite): the
+    documents table committed as TWO snapshots (fast-append manifest
+    lists, from-scratch Avro manifests with spec field-ids, atomic
+    version-hint commit), read back by resolving the current
+    snapshot's manifest tree. Value-exact vs SELECT * proves the
+    whole metadata chain — Avro codec, manifest entries, partition
+    re-attachment — not just the parquet payload."""
+    return _iceberg_lite_table(spark, sf_dir).read()
+
+
+def q_iceberg_lite_prune(spark, sf_dir):
+    """Manifest-level partition pruning on the iceberg-lite table:
+    an identity-partition equality filter drops FILES while walking
+    the manifests — before Spark ever plans the scan (the spec's
+    metadata-side pruning; tests pin that the planned file set
+    actually shrinks). Value-exact vs the WHERE-filtered oracle."""
+    return _iceberg_lite_table(spark, sf_dir).read(
+        partition_filter={"source": "src7"}
+    )
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination (curation.bloom_decontaminate):
     the fixed-size-broadcast scale path beside the exact set-join
@@ -2170,6 +2221,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # parity-run locally).
 _R05_WINDOW = [
     "warc_ingest", "bloom_decontaminate",
+    "iceberg_lite_roundtrip", "iceberg_lite_prune",
     "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
@@ -2183,7 +2235,6 @@ _R05_WINDOW = [
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
     "encode_tokens", "bucketed_join", "token_commonness",
     "snapshot_diff", "props_rollup", "min_cost_supplier",
-    "incremental_agg", "funnel_counts",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
@@ -2201,8 +2252,10 @@ _R05_WINDOW = [
     # (scorer length-bias corr, MinHash estimator audit, cross-source
     # contamination matrix) displaced sketch_heavy_hitters,
     # redact_pii and gopher_quality (r03 driver-green) likewise;
-    # finally warc_ingest and bloom_decontaminate displaced
-    # sketch_quantiles and sketch_distinct_hll (r03 driver-green).
+    # finally warc_ingest, bloom_decontaminate and the two
+    # iceberg-lite entries displaced sketch_quantiles,
+    # sketch_distinct_hll, incremental_agg and funnel_counts (all
+    # r03 driver-green).
 ]
 
 
@@ -2221,6 +2274,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- group 1: new this round, never attested --
         "warc_ingest": q_warc_ingest,
         "bloom_decontaminate": q_bloom_decontaminate,
+        "iceberg_lite_roundtrip": q_iceberg_lite_roundtrip,
+        "iceberg_lite_prune": q_iceberg_lite_prune,
         "scorer_length_corr": q_scorer_length_corr,
         "minhash_estimate": q_minhash_estimate,
         "cross_source_dups": q_cross_source_dups,
@@ -2769,6 +2824,13 @@ def oracle_sql() -> dict[str, str]:
         "model_auc": _model_auc_sql(),
         "warc_ingest": _binary_ingest_sql(),
         "bloom_decontaminate": _bloom_decontaminate_sql(),
+        "iceberg_lite_roundtrip": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "iceberg_lite_prune": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE source = 'src7'"
+        ),
         "scorer_length_corr": _scorer_length_corr_sql(),
         "minhash_estimate": _minhash_estimate_sql(),
         "cross_source_dups": _cross_source_dups_sql(),

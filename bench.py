@@ -314,6 +314,7 @@ def main() -> int:
         "cross_source_dups",
         "warc_ingest",
         "bloom_decontaminate",
+        "iceberg_lite_roundtrip",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

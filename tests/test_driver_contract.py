@@ -65,6 +65,7 @@ ROWS_ONLY = {
 # late additions.
 EXPECTED_WINDOW_50 = [
     "warc_ingest", "bloom_decontaminate",
+    "iceberg_lite_roundtrip", "iceberg_lite_prune",
     "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
@@ -78,7 +79,6 @@ EXPECTED_WINDOW_50 = [
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
     "encode_tokens", "bucketed_join", "token_commonness",
     "snapshot_diff", "props_rollup", "min_cost_supplier",
-    "incremental_agg", "funnel_counts",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # The six late-r05 evaluation/overlap additions (model
     # AUC/calibration, source-vocab Jaccard, containment pairs,
@@ -89,8 +89,10 @@ EXPECTED_WINDOW_50 = [
     # (scorer length-bias corr, MinHash estimator audit, cross-source
     # contamination matrix) then displaced sketch_heavy_hitters,
     # redact_pii and gopher_quality (r03 driver-green) likewise;
-    # finally warc_ingest and bloom_decontaminate displaced
-    # sketch_quantiles and sketch_distinct_hll (r03 driver-green).
+    # finally warc_ingest, bloom_decontaminate and the two
+    # iceberg-lite entries displaced sketch_quantiles,
+    # sketch_distinct_hll, incremental_agg and funnel_counts (all
+    # r03 driver-green).
 ]
 
 

@@ -1,0 +1,269 @@
+"""avro_lite + iceberg_lite: spec byte fixtures, codec round-trips,
+snapshot semantics (atomic hint commit, time travel, replay), and
+manifest-level pruning."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import shutil
+
+import pytest
+
+from two_tier_document_parser_spark.avro_lite import (
+    MAGIC,
+    read_container,
+    read_long,
+    write_container,
+    write_long,
+)
+
+
+# ------------------------------------------------- avro byte fixtures
+
+
+def _enc_long(n: int) -> bytes:
+    b = io.BytesIO()
+    write_long(b, n)
+    return b.getvalue()
+
+
+def test_zigzag_varint_spec_fixtures():
+    # the Avro spec's own table: 0->00, -1->01, 1->02, -2->03, 2->04,
+    # -64->7f, 64->80 01
+    assert _enc_long(0) == b"\x00"
+    assert _enc_long(-1) == b"\x01"
+    assert _enc_long(1) == b"\x02"
+    assert _enc_long(-2) == b"\x03"
+    assert _enc_long(2) == b"\x04"
+    assert _enc_long(-64) == b"\x7f"
+    assert _enc_long(64) == b"\x80\x01"
+    for n in (0, 1, -1, 63, -64, 64, 2**62, -(2**62), 2**63 - 1, -(2**63)):
+        assert read_long(io.BytesIO(_enc_long(n))) == n
+
+
+def test_container_header_is_spec_magic():
+    blob = write_container(
+        {"type": "record", "name": "r", "fields": [{"name": "x", "type": "long"}]},
+        [{"x": 7}],
+    )
+    assert blob[:4] == MAGIC == b"Obj\x01"
+
+
+def test_container_roundtrip_all_types_both_codecs():
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [
+            {"name": "a", "type": "long", "field-id": 1},
+            {"name": "s", "type": "string", "field-id": 2},
+            {"name": "o", "type": ["null", "long"], "default": None},
+            {"name": "b", "type": "boolean"},
+            {"name": "d", "type": "double"},
+            {"name": "by", "type": "bytes"},
+            {
+                "name": "nested",
+                "type": {
+                    "type": "record",
+                    "name": "n",
+                    "fields": [
+                        {"name": "x", "type": "int"},
+                        {"name": "m", "type": {"type": "map", "values": "string"}},
+                    ],
+                },
+            },
+            {"name": "arr", "type": {"type": "array", "items": "long"}},
+        ],
+    }
+    recs = [
+        {
+            "a": -(2**62),
+            "s": "héllo wörld",
+            "o": None,
+            "b": True,
+            "d": -2.5,
+            "by": b"\x00\xff",
+            "nested": {"x": -7, "m": {"k1": "v1", "k2": ""}},
+            "arr": [1, -2, 3],
+        },
+        {
+            "a": 0,
+            "s": "",
+            "o": 42,
+            "b": False,
+            "d": 0.0,
+            "by": b"",
+            "nested": {"x": 0, "m": {}},
+            "arr": [],
+        },
+    ]
+    for codec in ("deflate", "null"):
+        blob = write_container(schema, recs, codec=codec)
+        s2, got, meta = read_container(blob)
+        assert got == recs
+        assert s2 == schema
+        assert meta["avro.codec"] == codec.encode()
+        # byte-identical re-serialization (replay rule)
+        assert write_container(schema, recs, codec=codec) == blob
+    assert read_container(write_container(schema, []))[1] == []
+
+
+def test_container_field_ids_survive():
+    schema = {
+        "type": "record",
+        "name": "manifest_file",
+        "fields": [{"name": "p", "type": "string", "field-id": 500}],
+    }
+    s2, _, _ = read_container(write_container(schema, [{"p": "x"}]))
+    assert s2["fields"][0]["field-id"] == 500
+
+
+# --------------------------------------------------- iceberg_lite IO
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (i, f"text {i}", "en" if i % 2 else "de", f"s{i % 3}", 10 + i)
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+
+    return IcebergLiteIO(
+        spark, str(tmp_path / "t"), partition_by="source"
+    )
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_append_read_two_snapshots(table, docs):
+    from pyspark.sql import functions as F
+
+    s1 = table.append(docs.filter(F.col("doc_id") < 10), run_id="r1")
+    s2 = table.append(docs.filter(F.col("doc_id") >= 10), run_id="r2")
+    assert (s1, s2) == (1, 2)
+    assert table.committed_runs() == ["r1", "r2"]
+    assert _rows(table.read()) == _rows(docs)
+    # time travel: snapshot 1 sees only the first append
+    assert _rows(table.read(snapshot_id=s1)) == _rows(
+        docs.filter(F.col("doc_id") < 10)
+    )
+    assert [h["snapshot-id"] for h in table.history()] == [1, 2]
+
+
+def test_partition_pruning_drops_files(table, docs):
+    table.append(docs, run_id="r1")
+    all_files = table._data_files()
+    pruned = table._data_files(partition_filter={"source": "s1"})
+    assert 0 < len(pruned) < len(all_files)
+    from pyspark.sql import functions as F
+
+    assert _rows(table.read(partition_filter={"source": "s1"})) == _rows(
+        docs.filter(F.col("source") == "s1")
+    )
+
+
+def test_version_hint_is_the_commit_point(table, docs):
+    from pyspark.sql import functions as F
+
+    table.append(docs.filter(F.col("doc_id") < 10), run_id="r1")
+    table.append(docs.filter(F.col("doc_id") >= 10), run_id="r2")
+    # simulate a crash BEFORE the hint swap of commit 2: every other
+    # artifact of v2 exists on disk, but the hint still names v1 —
+    # readers must see only snapshot 1
+    with open(table._hint, "w") as f:
+        f.write("1")
+    assert table.committed_runs() == ["r1"]
+    assert _rows(table.read()) == _rows(docs.filter(F.col("doc_id") < 10))
+
+
+def test_replay_overwrites_crashed_staging(table, docs):
+    # a crashed earlier attempt left junk in staging and data dirs
+    os.makedirs(os.path.join(table.path, "_staging_r1"), exist_ok=True)
+    with open(
+        os.path.join(table.path, "_staging_r1", "junk"), "w"
+    ) as f:
+        f.write("crash leftovers")
+    os.makedirs(os.path.join(table.data_dir, "r1"), exist_ok=True)
+    table.append(docs, run_id="r1")
+    assert _rows(table.read()) == _rows(docs)
+    assert not os.path.exists(os.path.join(table.path, "_staging_r1"))
+
+
+def test_metadata_is_v2_spec_shaped(table, docs):
+    table.append(docs, run_id="r1")
+    md = json.load(
+        open(os.path.join(table.meta_dir, "v1.metadata.json"))
+    )
+    assert md["format-version"] == 2
+    assert md["current-snapshot-id"] == 1
+    spec = md["partition-specs"][0]["fields"][0]
+    assert spec["transform"] == "identity"
+    assert spec["field-id"] == 1000
+    snap = md["snapshots"][0]
+    assert snap["summary"]["operation"] == "append"
+    # the manifest list is a decodable Avro container whose entries
+    # carry the spec's manifest_file field names
+    mf = read_container(open(snap["manifest-list"], "rb").read())[1]
+    assert mf and {"manifest_path", "added_snapshot_id"} <= set(mf[0])
+    entries = read_container(
+        open(mf[0]["manifest_path"], "rb").read()
+    )[1]
+    assert entries[0]["status"] == 1
+    assert entries[0]["data_file"]["file_format"] == "PARQUET"
+    assert entries[0]["data_file"]["record_count"] > 0
+
+
+def test_fast_append_adds_one_manifest_per_commit(table, docs):
+    from pyspark.sql import functions as F
+
+    table.append(docs.filter(F.col("doc_id") < 10), run_id="r1")
+    table.append(docs.filter(F.col("doc_id") >= 10), run_id="r2")
+    md = table._metadata()
+    snap2 = next(s for s in md["snapshots"] if s["snapshot-id"] == 2)
+    mf = read_container(open(snap2["manifest-list"], "rb").read())[1]
+    # snapshot 2's list = snapshot 1's manifest by reference + one new
+    assert len(mf) == 2
+    assert {m["added_snapshot_id"] for m in mf} == {1, 2}
+
+
+def test_unpartitioned_table(spark, tmp_path, docs):
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+
+    t = IcebergLiteIO(spark, str(tmp_path / "u"))
+    t.append(docs, run_id="r1")
+    assert _rows(t.read()) == _rows(docs)
+
+
+def test_open_table_dispatches_iceberg_lite(spark, tmp_path):
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+    from two_tier_document_parser_spark.table_io import open_table
+
+    t = open_table(
+        spark, f"iceberg-lite:{tmp_path}/x?partition=source"
+    )
+    assert isinstance(t, IcebergLiteIO)
+    assert t.partition_by == "source"
+    u = open_table(spark, f"iceberg-lite:{tmp_path}/y")
+    assert isinstance(u, IcebergLiteIO) and u.partition_by is None
+
+
+def test_unsupported_column_type_fails_loudly(spark, tmp_path):
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+
+    df = spark.createDataFrame(
+        [(1, [1, 2])], "a long, xs array<long>"
+    )
+    t = IcebergLiteIO(spark, str(tmp_path / "z"))
+    with pytest.raises(TypeError):
+        t.append(df, run_id="r1")

@@ -1,0 +1,496 @@
+"""From-scratch Iceberg v2 table layout (public Apache Iceberg table
+spec), closing the sandbox's no-runtime-jar gap with a spec-shaped
+metadata tree rather than a private manifest format:
+
+    <table>/metadata/v<N>.metadata.json   table metadata (v2 JSON)
+    <table>/metadata/version-hint.text    HadoopCatalog commit point
+    <table>/metadata/snap-<id>.avro       manifest LIST (Avro)
+    <table>/metadata/manifest-<id>.avro   manifest file (Avro)
+    <table>/data/<partition>/...parquet   data files (Spark parquet)
+
+The reference pipeline reads "an Iceberg table of interleaved
+text+media documents" (north rule); `table_io.IcebergIO` drives the
+real runtime when a jar + catalog exist, and this module is the
+same contract implemented directly off the spec so the engine's
+snapshot semantics are exercised — not stubbed — offline:
+
+- **Atomic commits**: new snapshot = write data files + manifest +
+  manifest list + v<N+1>.metadata.json, then one `os.replace` of
+  version-hint.text (the HadoopCatalog protocol — readers resolve
+  the hint, so a crash anywhere before the hint swap leaves the
+  table at the previous snapshot; replayed staging is overwritten).
+- **Snapshot isolation + time travel**: `read(snapshot_id=...)`
+  resolves any retained snapshot's manifest list; `history()` is the
+  snapshot log.
+- **Manifest-level partition pruning**: identity-partition values are
+  recorded per data file in the manifest (spec field id 102); reads
+  with an equality filter prune FILES before Spark ever plans the
+  scan — the metadata-side pruning that makes a 10^12-doc table
+  readable without listing it.
+- **Fast appends**: each commit adds ONE manifest; the manifest list
+  carries prior manifests forward by reference (the spec's
+  fast-append mode), so commit cost is O(files added), not O(table).
+
+Scale: all metadata work is driver-side and bounded by file COUNTS
+(the same contract the real Iceberg library has); row data only ever
+moves through Spark's parquet reader/writer. Avro framing comes from
+`avro_lite` with Iceberg's field-id annotations intact, so the
+emitted tree follows the published layout, byte-decodable by any
+conforming Avro reader.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from typing import Any
+
+from .avro_lite import read_container, write_container
+
+# Iceberg spec field ids (table spec, "Manifests" / "Manifest Lists")
+_SPARK_TO_ICEBERG = {
+    "LongType()": "long",
+    "IntegerType()": "int",
+    "StringType()": "string",
+    "DoubleType()": "double",
+    "FloatType()": "float",
+    "BooleanType()": "boolean",
+    "BinaryType()": "binary",
+    "DateType()": "date",
+    "TimestampType()": "timestamptz",
+}
+
+
+def _iceberg_type(dt) -> str:
+    name = repr(dt)
+    if name in _SPARK_TO_ICEBERG:
+        return _SPARK_TO_ICEBERG[name]
+    raise TypeError(f"unsupported column type for iceberg_lite: {name}")
+
+
+def _partition_schema(fields: list[tuple[str, str]]) -> dict:
+    # r102: the data_file.partition struct — identity transforms only
+    avro_t = {"string": "string", "long": "long", "int": "int"}
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": n,
+                "type": ["null", avro_t[t]],
+                "default": None,
+                "field-id": 1000 + i,
+            }
+            for i, (n, t) in enumerate(fields)
+        ],
+    }
+
+
+def _manifest_entry_schema(part_schema: dict) -> dict:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": part_schema, "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {
+                "name": "file_size_in_bytes",
+                "type": "long",
+                "field-id": 104,
+            },
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {
+                "name": "snapshot_id",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 1,
+            },
+            {
+                "name": "sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 3,
+            },
+            {
+                "name": "file_sequence_number",
+                "type": ["null", "long"],
+                "default": None,
+                "field-id": 4,
+            },
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+    ],
+}
+
+
+class IcebergLiteIO:
+    """Iceberg-v2-shaped table with snapshot commits, time travel and
+    manifest-level identity-partition pruning. Same duck-typed
+    contract as ParquetManifestIO/IcebergIO (append / read /
+    committed_runs)."""
+
+    def __init__(
+        self,
+        spark,
+        table_path: str,
+        partition_by: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.path = table_path
+        self.partition_by = partition_by
+        self.meta_dir = os.path.join(table_path, "metadata")
+        self.data_dir = os.path.join(table_path, "data")
+        os.makedirs(self.meta_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ------------------------------------------------------ metadata
+
+    @property
+    def _hint(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def _current_version(self) -> int:
+        if not os.path.exists(self._hint):
+            return 0
+        return int(open(self._hint).read().strip())
+
+    def _metadata(self) -> dict | None:
+        v = self._current_version()
+        if v == 0:
+            return None
+        return json.load(
+            open(os.path.join(self.meta_dir, f"v{v}.metadata.json"))
+        )
+
+    def history(self) -> list[dict]:
+        md = self._metadata()
+        return list(md["snapshot-log"]) if md else []
+
+    def committed_runs(self) -> list[str]:
+        md = self._metadata()
+        if not md:
+            return []
+        return [
+            s["summary"]["run-id"]
+            for s in md["snapshots"]
+            if "run-id" in s.get("summary", {})
+        ]
+
+    # -------------------------------------------------------- append
+
+    def _schema_fields(self, df) -> list[dict]:
+        return [
+            {
+                "id": i + 1,
+                "name": f.name,
+                "required": False,
+                "type": _iceberg_type(f.dataType),
+            }
+            for i, f in enumerate(df.schema.fields)
+        ]
+
+    def append(self, df, run_id: str | None = None) -> int:
+        """Commit one snapshot adding `df`'s rows; returns the
+        snapshot id. Deterministic given (table state, run_id)."""
+        run_id = run_id or uuid.uuid4().hex[:12]
+        md = self._metadata()
+        seq = (md["last-sequence-number"] + 1) if md else 1
+        snap_id = seq  # deterministic, strictly increasing
+
+        # 1. data files (parquet via Spark; staging + atomic rename)
+        staging = os.path.join(self.path, f"_staging_{run_id}")
+        final = os.path.join(self.data_dir, run_id)
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(self.partition_by)
+        writer.parquet(staging)
+        if os.path.exists(final):  # replay of a crashed commit
+            import shutil
+
+            shutil.rmtree(final)
+        os.replace(staging, final)
+
+        # 2. manifest: one entry per parquet file, with identity
+        #    partition values recovered from the directory layout
+        import pyarrow.parquet as pq
+
+        entries = []
+        n_rows = 0
+        for root, _dirs, files in sorted(os.walk(final)):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(root, fn)
+                part_val = None
+                if self.partition_by:
+                    rel = os.path.relpath(root, final)
+                    for seg in rel.split(os.sep):
+                        k, _, v = seg.partition("=")
+                        if k == self.partition_by:
+                            part_val = v
+                nr = pq.ParquetFile(fp).metadata.num_rows
+                n_rows += nr
+                entries.append(
+                    {
+                        "status": 1,  # ADDED
+                        "snapshot_id": snap_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": 0,  # DATA
+                            "file_path": fp,
+                            "file_format": "PARQUET",
+                            "partition": (
+                                {self.partition_by: part_val}
+                                if self.partition_by
+                                else {}
+                            ),
+                            "record_count": nr,
+                            "file_size_in_bytes": os.path.getsize(fp),
+                        },
+                    }
+                )
+        part_fields = (
+            [(self.partition_by, "string")] if self.partition_by else []
+        )
+        entry_schema = _manifest_entry_schema(
+            _partition_schema(part_fields)
+        )
+        manifest_path = os.path.join(
+            self.meta_dir, f"manifest-{snap_id}-{run_id}.avro"
+        )
+        manifest_bytes = write_container(
+            entry_schema,
+            entries,
+            extra_meta={
+                "schema": json.dumps(
+                    {
+                        "type": "struct",
+                        "schema-id": 0,
+                        "fields": self._schema_fields(df),
+                    }
+                ).encode(),
+                "partition-spec-id": b"0",
+                "content": b"data",
+                "format-version": b"2",
+            },
+        )
+        with open(manifest_path, "wb") as f:
+            f.write(manifest_bytes)
+
+        # 3. manifest LIST: prior manifests carried by reference
+        #    (fast-append), plus this snapshot's one new manifest
+        prior: list[dict] = []
+        if md and md.get("current-snapshot-id"):
+            cur = next(
+                s
+                for s in md["snapshots"]
+                if s["snapshot-id"] == md["current-snapshot-id"]
+            )
+            prior = read_container(
+                open(cur["manifest-list"], "rb").read()
+            )[1]
+        new_entry = {
+            "manifest_path": manifest_path,
+            "manifest_length": len(manifest_bytes),
+            "partition_spec_id": 0,
+            "content": 0,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": len(entries),
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        list_path = os.path.join(
+            self.meta_dir, f"snap-{snap_id}-{run_id}.avro"
+        )
+        with open(list_path, "wb") as f:
+            f.write(
+                write_container(
+                    _MANIFEST_FILE_SCHEMA, prior + [new_entry]
+                )
+            )
+
+        # 4. new table metadata + atomic version-hint swap
+        snapshot = {
+            "snapshot-id": snap_id,
+            "sequence-number": seq,
+            "timestamp-ms": seq,  # logical clock: determinism first
+            "manifest-list": list_path,
+            "summary": {
+                "operation": "append",
+                "run-id": run_id,
+                "added-data-files": str(len(entries)),
+                "added-records": str(n_rows),
+            },
+        }
+        new_md = {
+            "format-version": 2,
+            "table-uuid": (md or {}).get(
+                "table-uuid", str(uuid.uuid4())
+            ),
+            "location": self.path,
+            "last-sequence-number": seq,
+            "last-updated-ms": seq,
+            "last-column-id": len(df.schema.fields),
+            "schemas": [
+                {
+                    "type": "struct",
+                    "schema-id": 0,
+                    "fields": self._schema_fields(df),
+                }
+            ],
+            "current-schema-id": 0,
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": (
+                        [
+                            {
+                                "name": self.partition_by,
+                                "transform": "identity",
+                                "source-id": next(
+                                    f["id"]
+                                    for f in self._schema_fields(df)
+                                    if f["name"] == self.partition_by
+                                ),
+                                "field-id": 1000,
+                            }
+                        ]
+                        if self.partition_by
+                        else []
+                    ),
+                }
+            ],
+            "default-spec-id": 0,
+            "last-partition-id": 1000 if self.partition_by else 999,
+            "properties": {},
+            "current-snapshot-id": snap_id,
+            "snapshots": ((md or {}).get("snapshots", []) + [snapshot]),
+            "snapshot-log": (
+                (md or {}).get("snapshot-log", [])
+                + [{"timestamp-ms": seq, "snapshot-id": snap_id}]
+            ),
+            "metadata-log": [],
+        }
+        v = self._current_version() + 1
+        md_path = os.path.join(self.meta_dir, f"v{v}.metadata.json")
+        with open(md_path, "w") as f:
+            json.dump(new_md, f, indent=1)
+        tmp = self._hint + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._hint)  # THE commit point
+        return snap_id
+
+    # ---------------------------------------------------------- read
+
+    def _data_files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+    ) -> list[dict]:
+        md = self._metadata()
+        if not md or not md.get("current-snapshot-id"):
+            return []
+        sid = (
+            md["current-snapshot-id"]
+            if snapshot_id is None
+            else snapshot_id
+        )
+        snap = next(
+            (s for s in md["snapshots"] if s["snapshot-id"] == sid), None
+        )
+        if snap is None:
+            raise ValueError(f"unknown snapshot {snapshot_id}")
+        files: list[dict] = []
+        for mf in read_container(open(snap["manifest-list"], "rb").read())[1]:
+            for entry in read_container(
+                open(mf["manifest_path"], "rb").read()
+            )[1]:
+                if entry["status"] == 2:  # DELETED
+                    continue
+                d = entry["data_file"]
+                if partition_filter:
+                    part = d["partition"] or {}
+                    if any(
+                        part.get(k) != v
+                        for k, v in partition_filter.items()
+                    ):
+                        continue  # manifest-level prune: file skipped
+                files.append(d)
+        return files
+
+    def read(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+    ):
+        """DataFrame over the snapshot's (possibly pruned) files.
+
+        Identity-partition columns are dropped from the parquet data
+        (the Iceberg/Hive layout); they are re-attached here as one
+        LITERAL per partition-value group — the manifest, not
+        directory discovery, is the source of truth (exactly how the
+        real runtime plans a scan). Group count is bounded by the
+        partition cardinality (a catalog-sized dimension), so the
+        union is metadata-sized, and the per-group literal folds into
+        each file-scan's plan with zero runtime cost."""
+        from pyspark.sql import functions as F
+
+        files = self._data_files(snapshot_id, partition_filter)
+        if not files:
+            raise ValueError("empty table or fully pruned read")
+        md = self._metadata()
+        col_order = [f["name"] for f in md["schemas"][0]["fields"]]
+        if not self.partition_by:
+            return self.spark.read.parquet(
+                *[d["file_path"] for d in files]
+            ).select(*col_order)
+        groups: dict[str | None, list[str]] = {}
+        for d in files:
+            v = (d["partition"] or {}).get(self.partition_by)
+            groups.setdefault(v, []).append(d["file_path"])
+        out = None
+        for v, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            part = (
+                self.spark.read.parquet(*paths)
+                .withColumn(self.partition_by, F.lit(v))
+                .select(*col_order)
+            )
+            out = part if out is None else out.unionByName(part)
+        return out

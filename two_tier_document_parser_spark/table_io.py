@@ -138,12 +138,25 @@ class ParquetManifestIO:
 
 def open_table(spark: SparkSession, target: str):
     """`iceberg:<catalog.table>` -> IcebergIO (if runtime present),
-    anything else -> ParquetManifestIO on that path."""
+    `iceberg-lite:<path>[?partition=<col>]` -> the from-scratch
+    spec-shaped v2 layout (iceberg_lite.IcebergLiteIO — no jar
+    needed), anything else -> ParquetManifestIO on that path."""
+    if target.startswith("iceberg-lite:"):
+        from .iceberg_lite import IcebergLiteIO
+
+        rest = target[len("iceberg-lite:"):]
+        path, _, query = rest.partition("?")
+        part = None
+        if query.startswith("partition="):
+            part = query[len("partition="):]
+        return IcebergLiteIO(spark, path, partition_by=part)
     if target.startswith("iceberg:"):
         if not iceberg_available(spark):
             raise RuntimeError(
-                "iceberg-spark-runtime not on the classpath; use a path "
-                "target for the parquet+manifest fallback"
+                "iceberg-spark-runtime not on the classpath; use an "
+                "iceberg-lite:<path> target for the from-scratch v2 "
+                "layout, or a bare path for the parquet+manifest "
+                "fallback"
             )
         return IcebergIO(spark, target[len("iceberg:"):])
     return ParquetManifestIO(spark, target)
