@@ -71,7 +71,9 @@ def main() -> int:
         "--checkpoint",
         action="store_true",
         help="resumable run: atomic manifest commits + per-partition "
-        "lineage to <output>_lineage; re-running skips committed docs",
+        "lineage to <output>_lineage; re-running skips committed docs. "
+        "--output may be a bare path (parquet+manifest snapshots) or "
+        "iceberg-lite:<path> (from-scratch Iceberg v2 snapshot layout)",
     )
     args = ap.parse_args()
 
@@ -117,7 +119,7 @@ def main() -> int:
         lineage = ck.metrics()
         # throughput is for THIS run only (a resumed run must not claim
         # docs committed by earlier runs); table-total reported separately
-        run_docs = spark.read.parquet(f"{args.output}/runs/{run_id}").count()
+        run_docs = ck.data.read_run(run_id).count()
         extra = {
             "run_id": run_id,
             "run_docs": run_docs,

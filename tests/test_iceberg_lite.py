@@ -258,12 +258,103 @@ def test_open_table_dispatches_iceberg_lite(spark, tmp_path):
     assert isinstance(u, IcebergLiteIO) and u.partition_by is None
 
 
-def test_unsupported_column_type_fails_loudly(spark, tmp_path):
+def test_nested_schema_gets_spec_ids(spark, tmp_path):
+    """The north-rule table shape — spans: array<struct<...>> — maps
+    to the spec's list/struct JSON with unique field ids."""
     from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
 
     df = spark.createDataFrame(
-        [(1, [1, 2])], "a long, xs array<long>"
+        [("d1", [("text", "hello", None, 0)])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    t = IcebergLiteIO(spark, str(tmp_path / "n"))
+    t.append(df, run_id="r1")
+    md = t._metadata()
+    fields = md["schemas"][0]["fields"]
+    spans = next(f for f in fields if f["name"] == "spans")
+    assert spans["type"]["type"] == "list"
+    inner = spans["type"]["element"]
+    assert [f["name"] for f in inner["fields"]] == [
+        "kind",
+        "text",
+        "media_ref",
+        "offset",
+    ]
+
+    def all_ids(t, acc):
+        if isinstance(t, dict):
+            for k, v in t.items():
+                if k in ("id", "element-id", "key-id", "value-id"):
+                    acc.append(v)
+                else:
+                    all_ids(v, acc)
+        elif isinstance(t, list):
+            for x in t:
+                all_ids(x, acc)
+        return acc
+
+    ids = all_ids(fields, [])
+    assert len(ids) == len(set(ids))  # unique table-wide
+    assert md["last-column-id"] == max(ids)
+    got = t.read().collect()
+    assert got[0]["spans"][0]["text"] == "hello"
+
+
+def test_unsupported_column_type_fails_loudly(spark, tmp_path):
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+
+    df = spark.createDataFrame([(1,)], "a long").selectExpr(
+        "CAST(a AS DECIMAL(10,2)) AS a"
     )
     t = IcebergLiteIO(spark, str(tmp_path / "z"))
     with pytest.raises(TypeError):
         t.append(df, run_id="r1")
+
+
+def test_non_string_partition_column_rejected(spark, tmp_path):
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+
+    df = spark.createDataFrame([(1, "x")], "k long, v string")
+    t = IcebergLiteIO(spark, str(tmp_path / "p"), partition_by="k")
+    with pytest.raises(TypeError):
+        t.append(df, run_id="r1")
+
+
+def test_checkpointed_extract_resumes_from_iceberg_snapshot(
+    spark, tmp_path
+):
+    """The north rule's resume clause on the REAL layout: a crashed
+    half-run commits one Iceberg snapshot; the resumed full run
+    processes only the remainder into a second snapshot; a third run
+    is a no-op; lineage covers both productive runs."""
+    from two_tier_document_parser_spark.checkpoint import (
+        CheckpointedExtract,
+    )
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+    from two_tier_document_parser_spark.synth import synth_spark
+
+    target = f"iceberg-lite:{tmp_path}/out"
+    ck = CheckpointedExtract(spark, target)
+    assert isinstance(ck.data, IcebergLiteIO)
+
+    half = synth_spark(spark, 60, 42, partitions=4)
+    run1 = ck.run(half, mode="fused")
+    assert ck.result().count() == 60
+    assert ck.data.read_run(run1).count() == 60
+
+    full = synth_spark(spark, 120, 42, partitions=4)
+    run2 = ck.run(full, mode="fused")
+    res = ck.result()
+    assert res.count() == 120
+    assert res.select("doc_id").distinct().count() == 120
+    assert ck.data.read_run(run2).count() == 60  # only the remainder
+
+    run3 = ck.run(full, mode="fused")
+    assert ck.result().count() == 120
+    assert ck.data.read_run(run3).count() == 0
+
+    lin = ck.metrics().collect()
+    assert sum(r.n_docs for r in lin if r.run_id in (run1, run2)) == 120
+    # and the sink really is the v2 layout: snapshots accumulated
+    assert ck.data.committed_runs() == [run1, run2, run3]

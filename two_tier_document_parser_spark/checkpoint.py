@@ -100,9 +100,25 @@ def lineage_rows(out: DataFrame, run_id: str, wall_ms: int) -> DataFrame:
 
 class CheckpointedExtract:
     def __init__(self, spark: SparkSession, out_path: str) -> None:
+        """`out_path` may be a bare path (parquet+manifest snapshots)
+        or an `iceberg-lite:<path>` target — then the data sink is
+        the from-scratch Iceberg v2 layout and "resume from the last
+        committed snapshot" means exactly that: committed_doc_ids
+        resolves the current snapshot's manifest tree. Lineage stays
+        a parquet+manifest side table either way (it is metrics, not
+        the table of record)."""
         self.spark = spark
-        self.data = ParquetManifestIO(spark, out_path)
-        self.lineage = ParquetManifestIO(spark, out_path + "_lineage")
+        if out_path.startswith("iceberg-lite:"):
+            from .table_io import open_table
+
+            self.data = open_table(spark, out_path)
+            lineage_path = out_path[len("iceberg-lite:"):].partition("?")[0]
+            self.lineage = ParquetManifestIO(
+                spark, lineage_path + "_lineage"
+            )
+        else:
+            self.data = ParquetManifestIO(spark, out_path)
+            self.lineage = ParquetManifestIO(spark, out_path + "_lineage")
 
     def committed_doc_ids(self) -> DataFrame | None:
         done = self.data.read()
@@ -168,9 +184,7 @@ class CheckpointedExtract:
         else:
             out = extract(self.spark, todo, **extract_kw)
         self.data.append(out, run_id)
-        written = self.spark.read.parquet(
-            f"{self.data.path}/runs/{run_id}"
-        )
+        written = self.data.read_run(run_id)
         wall_ms = int((time.time() - t0) * 1000)
         self.lineage.append(lineage_rows(written, run_id, wall_ms), run_id)
         return run_id

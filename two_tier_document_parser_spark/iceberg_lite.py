@@ -62,10 +62,55 @@ _SPARK_TO_ICEBERG = {
 }
 
 
-def _iceberg_type(dt) -> str:
+class _IdAlloc:
+    """Monotone field-id allocator (the spec: every field, list
+    element and map key/value gets a unique id table-wide)."""
+
+    def __init__(self) -> None:
+        self.last = 0
+
+    def next(self) -> int:
+        self.last += 1
+        return self.last
+
+
+def _iceberg_type(dt, ids: _IdAlloc):
+    """Spark DataType -> Iceberg schema-JSON type (recursive: the
+    north-rule table is spans: array<struct<...>>, so nested types
+    are first-class, not an afterthought)."""
     name = repr(dt)
     if name in _SPARK_TO_ICEBERG:
         return _SPARK_TO_ICEBERG[name]
+    cls = type(dt).__name__
+    if cls == "StructType":
+        return {
+            "type": "struct",
+            "fields": [
+                {
+                    "id": ids.next(),
+                    "name": f.name,
+                    "required": False,
+                    "type": _iceberg_type(f.dataType, ids),
+                }
+                for f in dt.fields
+            ],
+        }
+    if cls == "ArrayType":
+        return {
+            "type": "list",
+            "element-id": ids.next(),
+            "element-required": not dt.containsNull,
+            "element": _iceberg_type(dt.elementType, ids),
+        }
+    if cls == "MapType":
+        return {
+            "type": "map",
+            "key-id": ids.next(),
+            "key": _iceberg_type(dt.keyType, ids),
+            "value-id": ids.next(),
+            "value-required": not dt.valueContainsNull,
+            "value": _iceberg_type(dt.valueType, ids),
+        }
     raise TypeError(f"unsupported column type for iceberg_lite: {name}")
 
 
@@ -208,24 +253,37 @@ class IcebergLiteIO:
 
     # -------------------------------------------------------- append
 
-    def _schema_fields(self, df) -> list[dict]:
-        return [
-            {
-                "id": i + 1,
-                "name": f.name,
-                "required": False,
-                "type": _iceberg_type(f.dataType),
-            }
-            for i, f in enumerate(df.schema.fields)
+    def _schema_fields(self, df) -> tuple[list[dict], int]:
+        ids = _IdAlloc()
+        top = [
+            (ids.next(), f.name, f.dataType) for f in df.schema.fields
         ]
+        fields = [
+            {
+                "id": fid,
+                "name": name,
+                "required": False,
+                "type": _iceberg_type(dt, ids),
+            }
+            for fid, name, dt in top
+        ]
+        return fields, ids.last
 
     def append(self, df, run_id: str | None = None) -> int:
         """Commit one snapshot adding `df`'s rows; returns the
         snapshot id. Deterministic given (table state, run_id)."""
         run_id = run_id or uuid.uuid4().hex[:12]
+        if self.partition_by is not None:
+            ptype = repr(df.schema[self.partition_by].dataType)
+            if ptype != "StringType()":
+                raise TypeError(
+                    "identity partition column must be string (value "
+                    f"round-trips through the dir layout); got {ptype}"
+                )
         md = self._metadata()
         seq = (md["last-sequence-number"] + 1) if md else 1
         snap_id = seq  # deterministic, strictly increasing
+        schema_fields, last_col_id = self._schema_fields(df)
 
         # 1. data files (parquet via Spark; staging + atomic rename)
         staging = os.path.join(self.path, f"_staging_{run_id}")
@@ -297,7 +355,7 @@ class IcebergLiteIO:
                     {
                         "type": "struct",
                         "schema-id": 0,
-                        "fields": self._schema_fields(df),
+                        "fields": schema_fields,
                     }
                 ).encode(),
                 "partition-spec-id": b"0",
@@ -366,12 +424,12 @@ class IcebergLiteIO:
             "location": self.path,
             "last-sequence-number": seq,
             "last-updated-ms": seq,
-            "last-column-id": len(df.schema.fields),
+            "last-column-id": last_col_id,
             "schemas": [
                 {
                     "type": "struct",
                     "schema-id": 0,
-                    "fields": self._schema_fields(df),
+                    "fields": schema_fields,
                 }
             ],
             "current-schema-id": 0,
@@ -385,7 +443,7 @@ class IcebergLiteIO:
                                 "transform": "identity",
                                 "source-id": next(
                                     f["id"]
-                                    for f in self._schema_fields(df)
+                                    for f in schema_fields
                                     if f["name"] == self.partition_by
                                 ),
                                 "field-id": 1000,
@@ -472,10 +530,12 @@ class IcebergLiteIO:
         each file-scan's plan with zero runtime cost."""
         from pyspark.sql import functions as F
 
+        md = self._metadata()
+        if not md or not md.get("current-snapshot-id"):
+            return None  # no committed snapshot (duck contract)
         files = self._data_files(snapshot_id, partition_filter)
         if not files:
-            raise ValueError("empty table or fully pruned read")
-        md = self._metadata()
+            raise ValueError("fully pruned read (no matching files)")
         col_order = [f["name"] for f in md["schemas"][0]["fields"]]
         if not self.partition_by:
             return self.spark.read.parquet(
@@ -494,3 +554,62 @@ class IcebergLiteIO:
             )
             out = part if out is None else out.unionByName(part)
         return out
+
+    def read_run(self, run_id: str):
+        """DataFrame over ONLY the files a given run's snapshot
+        added (checkpoint lineage reads this back — file-count-sized
+        manifest walk, one manifest per fast-append commit)."""
+        md = self._metadata()
+        snap = next(
+            s
+            for s in (md or {}).get("snapshots", [])
+            if s["summary"].get("run-id") == run_id
+        )
+        sid = snap["snapshot-id"]
+        files: list[dict] = []
+        for mf in read_container(
+            open(snap["manifest-list"], "rb").read()
+        )[1]:
+            if mf["added_snapshot_id"] != sid:
+                continue  # fast-append: priors carried by reference
+            files.extend(
+                e["data_file"]
+                for e in read_container(
+                    open(mf["manifest_path"], "rb").read()
+                )[1]
+                if e["status"] == 1
+            )
+        from pyspark.sql import functions as F
+
+        col_order = [f["name"] for f in md["schemas"][0]["fields"]]
+        groups: dict[str | None, list[str]] = {}
+        for d in files:
+            v = (d["partition"] or {}).get(self.partition_by)
+            groups.setdefault(v, []).append(d["file_path"])
+        out = None
+        for v, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            part = self.spark.read.parquet(*paths)
+            if self.partition_by:
+                part = part.withColumn(self.partition_by, F.lit(v))
+            part = part.select(*col_order)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def drop_uncommitted(self) -> None:
+        """Crash cleanup (duck contract): staging dirs are always
+        dead; data/<run> dirs whose run never reached a committed
+        snapshot are orphans of a crash between the data rename and
+        the hint swap."""
+        import shutil
+
+        for name in os.listdir(self.path):
+            if name.startswith("_staging_"):
+                shutil.rmtree(
+                    os.path.join(self.path, name), ignore_errors=True
+                )
+        committed = set(self.committed_runs())
+        for name in os.listdir(self.data_dir):
+            if name not in committed:
+                shutil.rmtree(
+                    os.path.join(self.data_dir, name), ignore_errors=True
+                )

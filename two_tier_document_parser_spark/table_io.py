@@ -129,6 +129,12 @@ class ParquetManifestIO:
         paths = [os.path.join(self.path, "runs", r) for r in runs]
         return self.spark.read.parquet(*paths)
 
+    def read_run(self, run_id: str) -> DataFrame:
+        """DataFrame over one committed run's files only."""
+        return self.spark.read.parquet(
+            os.path.join(self.path, "runs", run_id)
+        )
+
     def drop_uncommitted(self) -> None:
         """Crash cleanup: staging dirs not in the manifest are dead."""
         for name in os.listdir(self.path):
