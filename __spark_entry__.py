@@ -1450,6 +1450,39 @@ def q_iceberg_lite_roundtrip(spark, sf_dir):
     return _iceberg_lite_table(spark, sf_dir).read()
 
 
+def q_iceberg_lite_compact(spark, sf_dir):
+    """Small-files maintenance on the iceberg-lite table: four tiny
+    appends, then `compact()` commits a REPLACE snapshot whose
+    manifest list holds ONLY the rewritten manifest (spec rewrite
+    semantics; prior snapshots stay time-travelable). Value-exact vs
+    SELECT * proves the rewrite loses nothing; the file-count shrink
+    and replace-list shape are pytest-pinned."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from two_tier_document_parser_spark.iceberg_lite import (
+        IcebergLiteIO,
+    )
+
+    key = sf_dir.rstrip("/") + "#compact"
+    if key not in _ICEBERG_LITE_TABLES:
+        path = (
+            "/tmp/ttdp_iceberg_lite/"
+            + key.replace("/", "_").replace("#", "_")
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        t = IcebergLiteIO(spark, path, partition_by="source")
+        docs = _docs(spark, sf_dir)
+        for i in range(4):
+            t.append(
+                docs.filter(SF.col("doc_id") % 4 == i), run_id=f"r{i}"
+            )
+        t.compact(run_id="maint")
+        _ICEBERG_LITE_TABLES[key] = t
+    return _ICEBERG_LITE_TABLES[key].read()
+
+
 def q_iceberg_lite_prune(spark, sf_dir):
     """Manifest-level partition pruning on the iceberg-lite table:
     an identity-partition equality filter drops FILES while walking
@@ -2222,6 +2255,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R05_WINDOW = [
     "warc_ingest", "bloom_decontaminate",
     "iceberg_lite_roundtrip", "iceberg_lite_prune",
+    "iceberg_lite_compact",
     "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
@@ -2234,7 +2268,7 @@ _R05_WINDOW = [
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
     "encode_tokens", "bucketed_join", "token_commonness",
-    "snapshot_diff", "props_rollup", "min_cost_supplier",
+    "snapshot_diff", "props_rollup",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
@@ -2252,10 +2286,10 @@ _R05_WINDOW = [
     # (scorer length-bias corr, MinHash estimator audit, cross-source
     # contamination matrix) displaced sketch_heavy_hitters,
     # redact_pii and gopher_quality (r03 driver-green) likewise;
-    # finally warc_ingest, bloom_decontaminate and the two
+    # finally warc_ingest, bloom_decontaminate and the three
     # iceberg-lite entries displaced sketch_quantiles,
-    # sketch_distinct_hll, incremental_agg and funnel_counts (all
-    # r03 driver-green).
+    # sketch_distinct_hll, incremental_agg, funnel_counts and
+    # min_cost_supplier (all r03 driver-green).
 ]
 
 
@@ -2276,6 +2310,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontaminate": q_bloom_decontaminate,
         "iceberg_lite_roundtrip": q_iceberg_lite_roundtrip,
         "iceberg_lite_prune": q_iceberg_lite_prune,
+        "iceberg_lite_compact": q_iceberg_lite_compact,
         "scorer_length_corr": q_scorer_length_corr,
         "minhash_estimate": q_minhash_estimate,
         "cross_source_dups": q_cross_source_dups,
@@ -2830,6 +2865,9 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_lite_prune": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
             " WHERE source = 'src7'"
+        ),
+        "iceberg_lite_compact": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
         ),
         "scorer_length_corr": _scorer_length_corr_sql(),
         "minhash_estimate": _minhash_estimate_sql(),

@@ -66,6 +66,7 @@ ROWS_ONLY = {
 EXPECTED_WINDOW_50 = [
     "warc_ingest", "bloom_decontaminate",
     "iceberg_lite_roundtrip", "iceberg_lite_prune",
+    "iceberg_lite_compact",
     "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
@@ -78,7 +79,7 @@ EXPECTED_WINDOW_50 = [
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
     "encode_tokens", "bucketed_join", "token_commonness",
-    "snapshot_diff", "props_rollup", "min_cost_supplier",
+    "snapshot_diff", "props_rollup",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # The six late-r05 evaluation/overlap additions (model
     # AUC/calibration, source-vocab Jaccard, containment pairs,
@@ -89,10 +90,10 @@ EXPECTED_WINDOW_50 = [
     # (scorer length-bias corr, MinHash estimator audit, cross-source
     # contamination matrix) then displaced sketch_heavy_hitters,
     # redact_pii and gopher_quality (r03 driver-green) likewise;
-    # finally warc_ingest, bloom_decontaminate and the two
+    # finally warc_ingest, bloom_decontaminate and the three
     # iceberg-lite entries displaced sketch_quantiles,
-    # sketch_distinct_hll, incremental_agg and funnel_counts (all
-    # r03 driver-green).
+    # sketch_distinct_hll, incremental_agg, funnel_counts and
+    # min_cost_supplier (all r03 driver-green).
 ]
 
 

@@ -358,3 +358,61 @@ def test_checkpointed_extract_resumes_from_iceberg_snapshot(
     assert sum(r.n_docs for r in lin if r.run_id in (run1, run2)) == 120
     # and the sink really is the v2 layout: snapshots accumulated
     assert ck.data.committed_runs() == [run1, run2, run3]
+
+
+def test_compact_preserves_rows_and_shrinks_files(table, docs):
+    from pyspark.sql import functions as F
+
+    for i in range(4):  # many tiny appends -> small-files problem
+        table.append(
+            docs.filter(F.col("doc_id") % 4 == i), run_id=f"r{i}"
+        )
+    before = len(table._data_files())
+    pre_snap = table._metadata()["current-snapshot-id"]
+    table.compact(run_id="maint")
+    after = len(table._data_files())
+    assert after < before
+    assert _rows(table.read()) == _rows(docs)
+    # pruning still works off the rewritten manifests
+    assert _rows(table.read(partition_filter={"source": "s1"})) == _rows(
+        docs.filter(F.col("source") == "s1")
+    )
+    # prior snapshots stay time-travelable through their own lists
+    assert len(_rows(table.read(snapshot_id=pre_snap))) == len(
+        _rows(docs)
+    )
+    md = table._metadata()
+    cur = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert cur["summary"]["operation"] == "replace"
+    # replace list carries ONLY the rewrite's manifest
+    mf = read_container(open(cur["manifest-list"], "rb").read())[1]
+    assert {m["added_snapshot_id"] for m in mf} == {
+        md["current-snapshot-id"]
+    }
+
+
+def test_expire_snapshots_vacuums_unreferenced_files(table, docs):
+    from pyspark.sql import functions as F
+
+    table.append(docs.filter(F.col("doc_id") < 15), run_id="r1")
+    table.append(docs.filter(F.col("doc_id") >= 15), run_id="r2")
+    table.compact(run_id="maint")
+    old_files = {
+        d["file_path"] for d in table._data_files(snapshot_id=2)
+    }
+    deleted = table.expire_snapshots(keep_last=1)
+    # the pre-compaction data files are gone from disk
+    assert old_files <= set(deleted)
+    for fp in old_files:
+        assert not os.path.exists(fp)
+    # current read unaffected, old snapshot no longer resolvable
+    assert _rows(table.read()) == _rows(docs)
+    assert len(table._metadata()["snapshots"]) == 1
+    with pytest.raises(ValueError):
+        table.read(snapshot_id=1)
+    # expiry itself was a hint-swap commit (new metadata version)
+    assert table._current_version() >= 4

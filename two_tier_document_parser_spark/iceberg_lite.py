@@ -272,6 +272,89 @@ class IcebergLiteIO:
     def append(self, df, run_id: str | None = None) -> int:
         """Commit one snapshot adding `df`'s rows; returns the
         snapshot id. Deterministic given (table state, run_id)."""
+        return self._commit(df, run_id, "append")
+
+    def compact(self, run_id: str | None = None) -> int:
+        """Rewrite the CURRENT snapshot into one compact file set per
+        partition and commit it as a REPLACE snapshot: the new
+        manifest list carries ONLY the rewritten manifest (the spec's
+        rewrite operation — rewritten files simply leave the list),
+        so readers see the same rows from far fewer files while every
+        PRIOR snapshot stays time-travelable through its own list.
+        The small-files problem is the first operational wall of a
+        10^12-doc streaming/appending table; this is the maintenance
+        path, same atomic hint-swap commit as append."""
+        cur = self.read()
+        if cur is None:
+            raise ValueError("nothing to compact: empty table")
+        n_part = max(1, len(self._data_files()) // 64)
+        return self._commit(
+            cur.coalesce(n_part), run_id, "replace"
+        )
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Vacuum: retain only the newest `keep_last` snapshots in a
+        new metadata version (atomic hint swap — expiry is itself a
+        commit), then delete data/manifest files no retained snapshot
+        references. Returns the deleted paths. Without this, compact
+        only ADDS bytes; with it, the table's storage is bounded by
+        the live snapshot window — the standard Iceberg maintenance
+        pair."""
+        md = self._metadata()
+        if not md:
+            return []
+        keep = md["snapshots"][-keep_last:]
+        keep_ids = {s["snapshot-id"] for s in keep}
+        new_md = dict(md)
+        new_md["snapshots"] = keep
+        new_md["snapshot-log"] = [
+            e
+            for e in md["snapshot-log"]
+            if e["snapshot-id"] in keep_ids
+        ]
+        v = self._current_version() + 1
+        with open(
+            os.path.join(self.meta_dir, f"v{v}.metadata.json"), "w"
+        ) as f:
+            json.dump(new_md, f, indent=1)
+        tmp = self._hint + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(v))
+        os.replace(tmp, self._hint)
+
+        # reachability sweep: everything a retained snapshot's
+        # manifest tree names survives; the rest is garbage
+        live_data: set[str] = set()
+        live_meta: set[str] = set()
+        for s in keep:
+            live_meta.add(s["manifest-list"])
+            for mf in read_container(
+                open(s["manifest-list"], "rb").read()
+            )[1]:
+                live_meta.add(mf["manifest_path"])
+                for e in read_container(
+                    open(mf["manifest_path"], "rb").read()
+                )[1]:
+                    live_data.add(e["data_file"]["file_path"])
+        deleted: list[str] = []
+        for root, _dirs, files in os.walk(self.data_dir):
+            for fn in files:
+                fp = os.path.join(root, fn)
+                if fn.endswith(".parquet") and fp not in live_data:
+                    os.remove(fp)
+                    deleted.append(fp)
+        for fn in os.listdir(self.meta_dir):
+            fp = os.path.join(self.meta_dir, fn)
+            if fn.endswith(".avro") and fp not in live_meta:
+                os.remove(fp)
+                deleted.append(fp)
+        # drop now-empty run/partition dirs (bottom-up)
+        for root, dirs, files in os.walk(self.data_dir, topdown=False):
+            if root != self.data_dir and not dirs and not files:
+                os.rmdir(root)
+        return deleted
+
+    def _commit(self, df, run_id: str | None, operation: str) -> int:
         run_id = run_id or uuid.uuid4().hex[:12]
         if self.partition_by is not None:
             ptype = repr(df.schema[self.partition_by].dataType)
@@ -366,10 +449,12 @@ class IcebergLiteIO:
         with open(manifest_path, "wb") as f:
             f.write(manifest_bytes)
 
-        # 3. manifest LIST: prior manifests carried by reference
-        #    (fast-append), plus this snapshot's one new manifest
+        # 3. manifest LIST: for append, prior manifests carried by
+        #    reference (fast-append) plus this snapshot's one new
+        #    manifest; for replace (compaction), ONLY the new one —
+        #    rewritten files leave the list
         prior: list[dict] = []
-        if md and md.get("current-snapshot-id"):
+        if operation == "append" and md and md.get("current-snapshot-id"):
             cur = next(
                 s
                 for s in md["snapshots"]
@@ -410,7 +495,7 @@ class IcebergLiteIO:
             "timestamp-ms": seq,  # logical clock: determinism first
             "manifest-list": list_path,
             "summary": {
-                "operation": "append",
+                "operation": operation,
                 "run-id": run_id,
                 "added-data-files": str(len(entries)),
                 "added-records": str(n_rows),
