@@ -1483,6 +1483,40 @@ def q_iceberg_lite_compact(spark, sf_dir):
     return _ICEBERG_LITE_TABLES[key].read()
 
 
+def q_iceberg_lite_delete(spark, sf_dir):
+    """Copy-on-write delete on the iceberg-lite table (the
+    right-to-be-forgotten path): three range appends, then
+    delete(doc_id in {3, 7}) — only files whose recorded column
+    BOUNDS overlap a requested id are rewritten, the rest carry into
+    the new manifest as EXISTING entries by path. Value-exact vs the
+    NOT IN oracle; bounded-rewrite and physical-purge-after-expiry
+    are pytest-pinned."""
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from two_tier_document_parser_spark.iceberg_lite import (
+        IcebergLiteIO,
+    )
+
+    key = sf_dir.rstrip("/") + "#delete"
+    if key not in _ICEBERG_LITE_TABLES:
+        path = (
+            "/tmp/ttdp_iceberg_lite/"
+            + key.replace("/", "_").replace("#", "_")
+        )
+        shutil.rmtree(path, ignore_errors=True)
+        t = IcebergLiteIO(spark, path, partition_by="source")
+        docs = _docs(spark, sf_dir)
+        for i in range(3):
+            t.append(
+                docs.filter(SF.col("doc_id") % 3 == i), run_id=f"r{i}"
+            )
+        t.delete("doc_id", [3, 7], run_id="gdpr")
+        _ICEBERG_LITE_TABLES[key] = t
+    return _ICEBERG_LITE_TABLES[key].read()
+
+
 def q_iceberg_lite_prune(spark, sf_dir):
     """Manifest-level partition pruning on the iceberg-lite table:
     an identity-partition equality filter drops FILES while walking
@@ -2255,7 +2289,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R05_WINDOW = [
     "warc_ingest", "bloom_decontaminate",
     "iceberg_lite_roundtrip", "iceberg_lite_prune",
-    "iceberg_lite_compact",
+    "iceberg_lite_compact", "iceberg_lite_delete",
     "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
@@ -2268,7 +2302,7 @@ _R05_WINDOW = [
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
     "encode_tokens", "bucketed_join", "token_commonness",
-    "snapshot_diff", "props_rollup",
+    "snapshot_diff",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
@@ -2288,8 +2322,8 @@ _R05_WINDOW = [
     # redact_pii and gopher_quality (r03 driver-green) likewise;
     # finally warc_ingest, bloom_decontaminate and the three
     # iceberg-lite entries displaced sketch_quantiles,
-    # sketch_distinct_hll, incremental_agg, funnel_counts and
-    # min_cost_supplier (all r03 driver-green).
+    # sketch_distinct_hll, incremental_agg, funnel_counts,
+    # min_cost_supplier and props_rollup (all r03 driver-green).
 ]
 
 
@@ -2311,6 +2345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_lite_roundtrip": q_iceberg_lite_roundtrip,
         "iceberg_lite_prune": q_iceberg_lite_prune,
         "iceberg_lite_compact": q_iceberg_lite_compact,
+        "iceberg_lite_delete": q_iceberg_lite_delete,
         "scorer_length_corr": q_scorer_length_corr,
         "minhash_estimate": q_minhash_estimate,
         "cross_source_dups": q_cross_source_dups,
@@ -2868,6 +2903,10 @@ def oracle_sql() -> dict[str, str]:
         ),
         "iceberg_lite_compact": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
+        ),
+        "iceberg_lite_delete": (
+            "SELECT doc_id, text, lang, source, n_chars FROM documents"
+            " WHERE doc_id NOT IN (3, 7)"
         ),
         "scorer_length_corr": _scorer_length_corr_sql(),
         "minhash_estimate": _minhash_estimate_sql(),

@@ -66,7 +66,7 @@ ROWS_ONLY = {
 EXPECTED_WINDOW_50 = [
     "warc_ingest", "bloom_decontaminate",
     "iceberg_lite_roundtrip", "iceberg_lite_prune",
-    "iceberg_lite_compact",
+    "iceberg_lite_compact", "iceberg_lite_delete",
     "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
@@ -79,7 +79,7 @@ EXPECTED_WINDOW_50 = [
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
     "encode_tokens", "bucketed_join", "token_commonness",
-    "snapshot_diff", "props_rollup",
+    "snapshot_diff",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # The six late-r05 evaluation/overlap additions (model
     # AUC/calibration, source-vocab Jaccard, containment pairs,
@@ -92,8 +92,8 @@ EXPECTED_WINDOW_50 = [
     # redact_pii and gopher_quality (r03 driver-green) likewise;
     # finally warc_ingest, bloom_decontaminate and the three
     # iceberg-lite entries displaced sketch_quantiles,
-    # sketch_distinct_hll, incremental_agg, funnel_counts and
-    # min_cost_supplier (all r03 driver-green).
+    # sketch_distinct_hll, incremental_agg, funnel_counts,
+    # min_cost_supplier and props_rollup (all r03 driver-green).
 ]
 
 

@@ -416,3 +416,70 @@ def test_expire_snapshots_vacuums_unreferenced_files(table, docs):
         table.read(snapshot_id=1)
     # expiry itself was a hint-swap commit (new metadata version)
     assert table._current_version() >= 4
+
+
+def test_column_bounds_prune_files_and_rows_exact(table, docs):
+    from pyspark.sql import functions as F
+
+    # four appends of disjoint doc_id ranges -> files with disjoint
+    # recorded bounds
+    for i in range(4):
+        lo, hi = i * 8, (i + 1) * 8
+        table.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ),
+            run_id=f"r{i}",
+        )
+    all_files = table._data_files()
+    pruned = table._data_files(column_range={"doc_id": (0, 7)})
+    assert 0 < len(pruned) < len(all_files)
+    # every surviving file's recorded lower bound is in range
+    got = _rows(table.read(column_range={"doc_id": (3, 17)}))
+    want = _rows(
+        docs.filter((F.col("doc_id") >= 3) & (F.col("doc_id") <= 17))
+    )
+    assert got == want
+    # bounds are present and spec-encoded (8-byte LE longs)
+    d = all_files[0]
+    lows = {kv["key"]: kv["value"] for kv in d["lower_bounds"]}
+    assert any(len(v) == 8 for v in lows.values())
+
+
+def test_copy_on_write_delete(table, docs):
+    from pyspark.sql import functions as F
+
+    for i in range(3):
+        lo, hi = i * 10, (i + 1) * 10
+        table.append(
+            docs.filter(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ),
+            run_id=f"r{i}",
+        )
+    before = {d["file_path"] for d in table._data_files()}
+    table.delete("doc_id", [3, 7], run_id="gdpr1")
+    got = _rows(table.read())
+    want = _rows(docs.filter(~F.col("doc_id").isin([3, 7])))
+    assert got == want
+    after = {d["file_path"] for d in table._data_files()}
+    # untouched files carried BY PATH (no rewrite); only the files
+    # whose bounds overlapped the deleted ids were replaced
+    carried = before & after
+    assert carried  # run r1/r2 ranges don't contain 3 or 7
+    # doc_ids 3 and 7 live in run r0's range only -> r0 files gone
+    assert all("/r0/" not in p for p in after - carried)
+    md = table._metadata()
+    cur = next(
+        s
+        for s in md["snapshots"]
+        if s["snapshot-id"] == md["current-snapshot-id"]
+    )
+    assert cur["summary"]["operation"] == "overwrite"
+    # pre-delete snapshot still shows the rows (until expiry)
+    assert len(_rows(table.read(snapshot_id=3))) == 30
+    # and expiry makes the purge physical
+    table.expire_snapshots(keep_last=1)
+    assert _rows(table.read()) == want
+    with pytest.raises(ValueError):
+        table.read(snapshot_id=3)

@@ -132,6 +132,22 @@ def _partition_schema(fields: list[tuple[str, str]]) -> dict:
     }
 
 
+def _bounds_schema(kid: int, vid: int) -> dict:
+    # the spec's map-as-array-of-kv shape: array<struct<key:int,
+    # value:binary>> with per-field ids (e.g. k126_v127)
+    return {
+        "type": "array",
+        "items": {
+            "type": "record",
+            "name": f"k{kid}_v{vid}",
+            "fields": [
+                {"name": "key", "type": "int", "field-id": kid},
+                {"name": "value", "type": "bytes", "field-id": vid},
+            ],
+        },
+    }
+
+
 def _manifest_entry_schema(part_schema: dict) -> dict:
     data_file = {
         "type": "record",
@@ -146,6 +162,18 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
                 "name": "file_size_in_bytes",
                 "type": "long",
                 "field-id": 104,
+            },
+            {
+                "name": "lower_bounds",
+                "type": ["null", _bounds_schema(126, 127)],
+                "default": None,
+                "field-id": 125,
+            },
+            {
+                "name": "upper_bounds",
+                "type": ["null", _bounds_schema(129, 130)],
+                "default": None,
+                "field-id": 128,
             },
         ],
     }
@@ -175,6 +203,75 @@ def _manifest_entry_schema(part_schema: dict) -> dict:
             {"name": "data_file", "type": data_file, "field-id": 2},
         ],
     }
+
+
+def _encode_bound(v, itype: str) -> bytes | None:
+    """Spec 'binary single-value serialization' for the types this
+    layer tracks stats on: long/int little-endian fixed width,
+    string utf-8."""
+    if v is None:
+        return None
+    if itype == "long":
+        return int(v).to_bytes(8, "little", signed=True)
+    if itype == "int":
+        return int(v).to_bytes(4, "little", signed=True)
+    if itype == "string":
+        return str(v).encode("utf-8")
+    return None
+
+
+def _decode_bound(b: bytes, itype: str):
+    if itype == "long":
+        return int.from_bytes(b, "little", signed=True)
+    if itype == "int":
+        return int.from_bytes(b, "little", signed=True)
+    if itype == "string":
+        return b.decode("utf-8")
+    return None
+
+
+def _file_bounds(fp: str, col_fids: dict[str, tuple[int, str]]):
+    """(lower_bounds, upper_bounds) kv-arrays from the parquet
+    footer's row-group statistics — free metadata, no data read.
+    Columns lacking stats in ANY row group get no bound (absence
+    means 'cannot prune', never 'no rows match')."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(fp).metadata
+    lows: dict[str, object] = {}
+    highs: dict[str, object] = {}
+    ok = {name: True for name in col_fids}
+    for rg in range(meta.num_row_groups):
+        g = meta.row_group(rg)
+        present = set()
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if name not in col_fids or name in present:
+                continue
+            present.add(name)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                ok[name] = False
+                continue
+            lows[name] = (
+                st.min if name not in lows else min(lows[name], st.min)
+            )
+            highs[name] = (
+                st.max if name not in highs else max(highs[name], st.max)
+            )
+        for name in col_fids:
+            if name not in present:
+                ok[name] = False
+    lower, upper = [], []
+    for name in sorted(n for n in col_fids if ok[n] and n in lows):
+        fid, itype = col_fids[name]
+        lo = _encode_bound(lows[name], itype)
+        hi = _encode_bound(highs[name], itype)
+        if lo is not None and hi is not None:
+            lower.append({"key": fid, "value": lo})
+            upper.append({"key": fid, "value": hi})
+    return lower or None, upper or None
 
 
 _MANIFEST_FILE_SCHEMA = {
@@ -292,6 +389,50 @@ class IcebergLiteIO:
             cur.coalesce(n_part), run_id, "replace"
         )
 
+    def delete(
+        self, col: str, values: list, run_id: str | None = None
+    ) -> int:
+        """Copy-on-write delete (the right-to-be-forgotten path a
+        training-data table of record must have): rows whose `col` is
+        in `values` vanish from the new snapshot. Only files whose
+        recorded column BOUNDS overlap some requested value are
+        rewritten — everything else is carried into the new manifest
+        by reference as EXISTING entries — so a bounded GDPR batch
+        rewrites a bounded file set, not the table. Commits an
+        'overwrite' snapshot (atomic hint swap; priors stay
+        time-travelable, so `expire_snapshots` is what makes the
+        purge physical)."""
+        from pyspark.sql import functions as F
+
+        fid, itype = self._col_fid_type(col)
+        files = self._data_files()
+        affected, kept = [], []
+        for d in files:
+            hit = any(
+                not self._bounds_disjoint(
+                    d, {fid: (v, v, itype)}
+                )
+                for v in values
+            )
+            (affected if hit else kept).append(d)
+        md = self._metadata()
+        col_order = [f["name"] for f in md["schemas"][0]["fields"]]
+        groups: dict[str | None, list[str]] = {}
+        for d in affected:
+            v = (d["partition"] or {}).get(self.partition_by)
+            groups.setdefault(v, []).append(d["file_path"])
+        out = None
+        for v, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+            part = self.spark.read.parquet(*paths)
+            if self.partition_by:
+                part = part.withColumn(self.partition_by, F.lit(v))
+            part = part.select(*col_order)
+            out = part if out is None else out.unionByName(part)
+        if out is None:  # nothing overlaps: still commit the intent
+            out = self.read().limit(0)
+        rewritten = out.filter(~F.col(col).isin(values))
+        return self._commit(rewritten, run_id, "overwrite", carry=kept)
+
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
         """Vacuum: retain only the newest `keep_last` snapshots in a
         new metadata version (atomic hint swap — expiry is itself a
@@ -354,7 +495,17 @@ class IcebergLiteIO:
                 os.rmdir(root)
         return deleted
 
-    def _commit(self, df, run_id: str | None, operation: str) -> int:
+    def _commit(
+        self,
+        df,
+        run_id: str | None,
+        operation: str,
+        carry: list[dict] | None = None,
+    ) -> int:
+        """Write df's rows as new data files and commit one snapshot.
+        `carry`: data_file dicts (from a prior snapshot) re-listed
+        as EXISTING entries in the new manifest — the copy-on-write
+        delete path keeps untouched files this way."""
         run_id = run_id or uuid.uuid4().hex[:12]
         if self.partition_by is not None:
             ptype = repr(df.schema[self.partition_by].dataType)
@@ -382,9 +533,15 @@ class IcebergLiteIO:
         os.replace(staging, final)
 
         # 2. manifest: one entry per parquet file, with identity
-        #    partition values recovered from the directory layout
+        #    partition values recovered from the directory layout and
+        #    per-file column bounds lifted from the parquet footers
         import pyarrow.parquet as pq
 
+        col_fids = {
+            f["name"]: (f["id"], f["type"])
+            for f in schema_fields
+            if f["type"] in ("long", "int", "string")
+        }
         entries = []
         n_rows = 0
         for root, _dirs, files in sorted(os.walk(final)):
@@ -401,6 +558,7 @@ class IcebergLiteIO:
                             part_val = v
                 nr = pq.ParquetFile(fp).metadata.num_rows
                 n_rows += nr
+                lower, upper = _file_bounds(fp, col_fids)
                 entries.append(
                     {
                         "status": 1,  # ADDED
@@ -418,9 +576,24 @@ class IcebergLiteIO:
                             ),
                             "record_count": nr,
                             "file_size_in_bytes": os.path.getsize(fp),
+                            "lower_bounds": lower,
+                            "upper_bounds": upper,
                         },
                     }
                 )
+        n_added = len(entries)
+        carried_rows = 0
+        for d in carry or []:
+            carried_rows += d["record_count"]
+            entries.append(
+                {
+                    "status": 0,  # EXISTING: untouched by this commit
+                    "snapshot_id": snap_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": d,
+                }
+            )
         part_fields = (
             [(self.partition_by, "string")] if self.partition_by else []
         )
@@ -471,11 +644,11 @@ class IcebergLiteIO:
             "sequence_number": seq,
             "min_sequence_number": seq,
             "added_snapshot_id": snap_id,
-            "added_files_count": len(entries),
-            "existing_files_count": 0,
+            "added_files_count": n_added,
+            "existing_files_count": len(entries) - n_added,
             "deleted_files_count": 0,
             "added_rows_count": n_rows,
-            "existing_rows_count": 0,
+            "existing_rows_count": carried_rows,
             "deleted_rows_count": 0,
         }
         list_path = os.path.join(
@@ -562,10 +735,22 @@ class IcebergLiteIO:
 
     # ---------------------------------------------------------- read
 
+    def _col_fid_type(self, name: str) -> tuple[int, str]:
+        md = self._metadata()
+        f = next(
+            f
+            for f in md["schemas"][0]["fields"]
+            if f["name"] == name
+        )
+        if not isinstance(f["type"], str):
+            raise TypeError("bounds pruning needs a primitive column")
+        return f["id"], f["type"]
+
     def _data_files(
         self,
         snapshot_id: int | None = None,
         partition_filter: dict[str, str] | None = None,
+        column_range: dict[str, tuple] | None = None,
     ) -> list[dict]:
         md = self._metadata()
         if not md or not md.get("current-snapshot-id"):
@@ -580,6 +765,10 @@ class IcebergLiteIO:
         )
         if snap is None:
             raise ValueError(f"unknown snapshot {snapshot_id}")
+        ranges = {}
+        for name, (lo, hi) in (column_range or {}).items():
+            fid, itype = self._col_fid_type(name)
+            ranges[fid] = (lo, hi, itype)
         files: list[dict] = []
         for mf in read_container(open(snap["manifest-list"], "rb").read())[1]:
             for entry in read_container(
@@ -595,13 +784,38 @@ class IcebergLiteIO:
                         for k, v in partition_filter.items()
                     ):
                         continue  # manifest-level prune: file skipped
+                if ranges and self._bounds_disjoint(d, ranges):
+                    continue  # file skipped on column bounds
                 files.append(d)
         return files
+
+    @staticmethod
+    def _bounds_disjoint(d: dict, ranges: dict) -> bool:
+        """True iff the file's recorded [lower, upper] for some
+        queried column cannot intersect its range. Files without a
+        recorded bound for a column are never pruned on it."""
+        lows = {
+            kv["key"]: kv["value"] for kv in (d.get("lower_bounds") or [])
+        }
+        highs = {
+            kv["key"]: kv["value"] for kv in (d.get("upper_bounds") or [])
+        }
+        for fid, (lo, hi, itype) in ranges.items():
+            if fid not in lows or fid not in highs:
+                continue
+            f_lo = _decode_bound(lows[fid], itype)
+            f_hi = _decode_bound(highs[fid], itype)
+            if (hi is not None and f_lo > hi) or (
+                lo is not None and f_hi < lo
+            ):
+                return True
+        return False
 
     def read(
         self,
         snapshot_id: int | None = None,
         partition_filter: dict[str, str] | None = None,
+        column_range: dict[str, tuple] | None = None,
     ):
         """DataFrame over the snapshot's (possibly pruned) files.
 
@@ -618,14 +832,26 @@ class IcebergLiteIO:
         md = self._metadata()
         if not md or not md.get("current-snapshot-id"):
             return None  # no committed snapshot (duck contract)
-        files = self._data_files(snapshot_id, partition_filter)
+        files = self._data_files(snapshot_id, partition_filter, column_range)
         if not files:
             raise ValueError("fully pruned read (no matching files)")
         col_order = [f["name"] for f in md["schemas"][0]["fields"]]
+
+        def residual(df):
+            # bounds prune FILES; the residual range predicate makes
+            # the row semantics exact (and pushes into the scan)
+            for name, (lo, hi) in (column_range or {}).items():
+                if lo is not None:
+                    df = df.filter(F.col(name) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(name) <= hi)
+            return df
         if not self.partition_by:
-            return self.spark.read.parquet(
-                *[d["file_path"] for d in files]
-            ).select(*col_order)
+            return residual(
+                self.spark.read.parquet(
+                    *[d["file_path"] for d in files]
+                ).select(*col_order)
+            )
         groups: dict[str | None, list[str]] = {}
         for d in files:
             v = (d["partition"] or {}).get(self.partition_by)
@@ -638,7 +864,7 @@ class IcebergLiteIO:
                 .select(*col_order)
             )
             out = part if out is None else out.unionByName(part)
-        return out
+        return residual(out)
 
     def read_run(self, run_id: str):
         """DataFrame over ONLY the files a given run's snapshot
