@@ -439,3 +439,53 @@ def run_stream_url_frontier(
     )
     q.awaitTermination()
     return spark.read.parquet(output_dir)
+
+
+def iceberg_sink_batch(batch_df: DataFrame, batch_id: int, table) -> None:
+    """One exactly-once micro-batch commit into an iceberg-lite
+    table, module-level so replay idempotence is directly testable
+    (the merge_agg_batch precedent). Structured Streaming guarantees
+    at-least-once foreachBatch delivery with a MONOTONE batch_id;
+    keying the snapshot's run-id on that id turns replays into
+    no-ops — if `batch-<id>` already committed, the crash landed
+    between the table's hint swap and the streaming checkpoint
+    commit, and the batch must not be applied twice. This is exactly
+    how the real Iceberg streaming sink de-duplicates replayed
+    batches (snapshot summary carries the batch id)."""
+    run_id = f"batch-{batch_id}"
+    if run_id in table.committed_runs():
+        return  # replayed batch: already a committed snapshot
+    table.append(batch_df, run_id)
+
+
+def run_stream_to_iceberg(
+    spark: SparkSession,
+    input_dir: str,
+    table_target: str,
+    checkpoint: str,
+) -> DataFrame:
+    """Streaming extraction INTO the Iceberg table of record: raw
+    span rows land continuously, each micro-batch runs the same
+    fused cascade as the batch job and commits ONE iceberg-lite
+    snapshot keyed by batch id (exactly-once under replay — the
+    streaming twin of CheckpointedExtract's resume story, sharing
+    the identical snapshot layout). AvailableNow trigger; returns
+    the table's current-snapshot read."""
+    from .pipeline import extract
+    from .table_io import open_table
+
+    table = open_table(spark, table_target)
+    stream = read_document_stream(spark, input_dir)
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        out = extract(batch_df.sparkSession, batch_df, mode="fused")
+        iceberg_sink_batch(out, batch_id, table)
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return table.read()
