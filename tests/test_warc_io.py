@@ -190,3 +190,53 @@ def test_bloom_matches_numpy_reimplementation(spark):
         for r in bloom_decontaminate(d).collect()
     }
     assert got == expect
+
+
+def test_warc_chain_is_map_only(spark):
+    """The whole render -> WARC pack -> unpack -> DOM lift chain must
+    plan with ZERO exchanges (pure mapInArrow pipeline): framing and
+    parsing never shuffle; only a downstream aggregate would."""
+    from two_tier_document_parser_spark.adapter import documents_to_raw
+    from two_tier_document_parser_spark.html_io import (
+        parse_table,
+        render_table,
+    )
+    from two_tier_document_parser_spark.pipeline import ship_package
+    from two_tier_document_parser_spark.warc_io import (
+        pack_table,
+        unpack_table,
+    )
+
+    ship_package(spark)
+    docs = _mini_docs(
+        spark, [(i, f"alpha beta {i}", "en", "s0") for i in range(20)]
+    )
+    out = parse_table(unpack_table(pack_table(render_table(
+        documents_to_raw(docs)
+    ))))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_bloom_probe_plan_has_no_single_partition(spark):
+    """bloom_decontaminate's probe job: exactly the shingle window's
+    doc_id exchange + the final rollup exchange, both hash — never a
+    SinglePartition shape, never a join on the data-sized side."""
+    from two_tier_document_parser_spark.curation import (
+        bloom_decontaminate,
+    )
+
+    d = _mini_docs(
+        spark,
+        [
+            (i, " ".join(f"w{(i * 3 + j) % 11}" for j in range(8)), "en", "s0")
+            for i in range(40)
+        ],
+    )
+    out = bloom_decontaminate(d)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    # the probe side carries no join operator at all (the bitmap is a
+    # broadcast VARIABLE, not a broadcast relation)
+    assert "Join" not in plan, plan
