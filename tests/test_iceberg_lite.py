@@ -539,3 +539,55 @@ def test_stream_to_iceberg_exactly_once(spark, tmp_path):
     iceberg_sink_batch(sample, first_id, t)
     assert len(t._metadata()["snapshots"]) == n_before
     assert canon(t.read()) == batch
+
+
+def test_schema_evolution_add_column(table, docs):
+    """ADD-column evolution: a later append carries a new primitive
+    column; old files read back with typed nulls, field ids of
+    existing columns are STABLE across the bump (what keeps bounds
+    pruning working), and the schema id increments with both schemas
+    retained in metadata."""
+    from pyspark.sql import functions as F
+
+    table.append(docs.filter(F.col("doc_id") < 15), run_id="r1")
+    ids_before = {
+        f["name"]: f["id"] for f in table._metadata()["schemas"][0]["fields"]
+    }
+    evolved = docs.filter(F.col("doc_id") >= 15).withColumn(
+        "quality", (F.col("doc_id") * 10).cast("long")
+    )
+    table.append(evolved, run_id="r2")
+    md = table._metadata()
+    assert md["current-schema-id"] == 1
+    assert [s["schema-id"] for s in md["schemas"]] == [0, 1]
+    cur = table._current_fields(md)
+    assert {f["name"]: f["id"] for f in cur if f["name"] in ids_before} == ids_before
+    q = next(f for f in cur if f["name"] == "quality")
+    assert q["id"] == md["last-column-id"]
+
+    got = {r["doc_id"]: r["quality"] for r in table.read().collect()}
+    assert len(got) == 30
+    for i in range(15):
+        assert got[i] is None  # pre-evolution rows null-filled
+    for i in range(15, 30):
+        assert got[i] == i * 10
+    # bounds pruning on the ORIGINAL column still works post-bump
+    pruned = table._data_files(column_range={"doc_id": (0, 14)})
+    assert 0 < len(pruned) < len(table._data_files())
+
+
+def test_schema_evolution_rejects_drops_and_type_changes(table, docs):
+    from pyspark.sql import functions as F
+
+    table.append(docs, run_id="r1")
+    with pytest.raises(TypeError):
+        table.append(docs.drop("lang"), run_id="r2")
+    with pytest.raises(TypeError):
+        table.append(
+            docs.withColumn("n_chars", F.col("n_chars").cast("int")),
+            run_id="r3",
+        )
+    with pytest.raises(TypeError):  # nested adds not supported
+        table.append(
+            docs.withColumn("tags", F.array(F.lit("a"))), run_id="r4"
+        )

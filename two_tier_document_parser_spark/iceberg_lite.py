@@ -366,6 +366,101 @@ class IcebergLiteIO:
         ]
         return fields, ids.last
 
+    @staticmethod
+    def _strip_ids(t):
+        """Type JSON with every id annotation removed — the shape two
+        schemas must share for a column to count as 'the same'."""
+        if isinstance(t, dict):
+            return {
+                k: IcebergLiteIO._strip_ids(v)
+                for k, v in t.items()
+                if k not in ("id", "element-id", "key-id", "value-id")
+            }
+        if isinstance(t, list):
+            return [IcebergLiteIO._strip_ids(x) for x in t]
+        return t
+
+    def _evolve_schema(self, df, md):
+        """Reconcile df's schema against the table's current schema
+        (spec schema evolution, ADD-column subset): existing columns
+        keep their FIELD IDS (what makes bounds pruning and manifest
+        references stable across commits), new columns get fresh ids
+        continuing from last-column-id and bump the schema id. Type
+        changes and drops are refused loudly — silent coercion is how
+        tables corrupt.
+
+        Returns (fields, last_col_id, schema_id, schemas_list)."""
+        if md is None:
+            fields, last = self._schema_fields(df)
+            return fields, last, 0, [
+                {"type": "struct", "schema-id": 0, "fields": fields}
+            ]
+        cur = next(
+            s
+            for s in md["schemas"]
+            if s["schema-id"] == md["current-schema-id"]
+        )
+        old = {f["name"]: f for f in cur["fields"]}
+        df_fields = {f.name: f.dataType for f in df.schema.fields}
+        missing = set(old) - set(df_fields)
+        if missing:
+            raise TypeError(
+                f"schema evolution supports ADD only; df drops {sorted(missing)}"
+            )
+        probe = _IdAlloc()
+        for name, f in old.items():
+            if self._strip_ids(
+                _iceberg_type(df_fields[name], probe)
+            ) != self._strip_ids(f["type"]):
+                raise TypeError(
+                    f"column {name!r} changed type — not supported"
+                )
+        new_names = [
+            f.name for f in df.schema.fields if f.name not in old
+        ]
+        if not new_names:
+            return (
+                cur["fields"],
+                md["last-column-id"],
+                cur["schema-id"],
+                md["schemas"],
+            )
+        ids = _IdAlloc()
+        ids.last = md["last-column-id"]
+        added = []
+        for name in new_names:
+            t = _iceberg_type(df_fields[name], ids)
+            if not isinstance(t, str):
+                raise TypeError(
+                    "evolution adds primitive columns only (old files "
+                    "are null-filled at read; nested null synthesis "
+                    "is not implemented)"
+                )
+            fid = ids.next()
+            added.append(
+                {
+                    "id": fid,
+                    "name": name,
+                    "required": False,
+                    "type": t,
+                }
+            )
+        fields = cur["fields"] + added
+        schema_id = cur["schema-id"] + 1
+        return (
+            fields,
+            ids.last,
+            schema_id,
+            md["schemas"]
+            + [
+                {
+                    "type": "struct",
+                    "schema-id": schema_id,
+                    "fields": fields,
+                }
+            ],
+        )
+
     def append(self, df, run_id: str | None = None) -> int:
         """Commit one snapshot adding `df`'s rows; returns the
         snapshot id. Deterministic given (table state, run_id)."""
@@ -416,17 +511,18 @@ class IcebergLiteIO:
             )
             (affected if hit else kept).append(d)
         md = self._metadata()
-        col_order = [f["name"] for f in md["schemas"][0]["fields"]]
         groups: dict[str | None, list[str]] = {}
         for d in affected:
             v = (d["partition"] or {}).get(self.partition_by)
             groups.setdefault(v, []).append(d["file_path"])
         out = None
         for v, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            part = self.spark.read.parquet(*paths)
+            part = self.spark.read.option(
+                "mergeSchema", "true"
+            ).parquet(*paths)
             if self.partition_by:
                 part = part.withColumn(self.partition_by, F.lit(v))
-            part = part.select(*col_order)
+            part = self._conform(part, md)
             out = part if out is None else out.unionByName(part)
         if out is None:  # nothing overlaps: still commit the intent
             out = self.read().limit(0)
@@ -517,7 +613,9 @@ class IcebergLiteIO:
         md = self._metadata()
         seq = (md["last-sequence-number"] + 1) if md else 1
         snap_id = seq  # deterministic, strictly increasing
-        schema_fields, last_col_id = self._schema_fields(df)
+        schema_fields, last_col_id, schema_id, schemas_list = (
+            self._evolve_schema(df, md)
+        )
 
         # 1. data files (parquet via Spark; staging + atomic rename)
         staging = os.path.join(self.path, f"_staging_{run_id}")
@@ -610,7 +708,7 @@ class IcebergLiteIO:
                 "schema": json.dumps(
                     {
                         "type": "struct",
-                        "schema-id": 0,
+                        "schema-id": schema_id,
                         "fields": schema_fields,
                     }
                 ).encode(),
@@ -683,14 +781,8 @@ class IcebergLiteIO:
             "last-sequence-number": seq,
             "last-updated-ms": seq,
             "last-column-id": last_col_id,
-            "schemas": [
-                {
-                    "type": "struct",
-                    "schema-id": 0,
-                    "fields": schema_fields,
-                }
-            ],
-            "current-schema-id": 0,
+            "schemas": schemas_list,
+            "current-schema-id": schema_id,
             "partition-specs": [
                 {
                     "spec-id": 0,
@@ -735,12 +827,17 @@ class IcebergLiteIO:
 
     # ---------------------------------------------------------- read
 
+    def _current_fields(self, md) -> list[dict]:
+        return next(
+            s
+            for s in md["schemas"]
+            if s["schema-id"] == md["current-schema-id"]
+        )["fields"]
+
     def _col_fid_type(self, name: str) -> tuple[int, str]:
         md = self._metadata()
         f = next(
-            f
-            for f in md["schemas"][0]["fields"]
-            if f["name"] == name
+            f for f in self._current_fields(md) if f["name"] == name
         )
         if not isinstance(f["type"], str):
             raise TypeError("bounds pruning needs a primitive column")
@@ -811,6 +908,34 @@ class IcebergLiteIO:
                 return True
         return False
 
+    _ICEBERG_TO_DDL = {
+        "long": "bigint",
+        "int": "int",
+        "string": "string",
+        "double": "double",
+        "float": "float",
+        "boolean": "boolean",
+        "binary": "binary",
+        "date": "date",
+        "timestamptz": "timestamp",
+    }
+
+    def _conform(self, df, md):
+        """Project df onto the CURRENT schema: columns a file set
+        predates (schema evolution adds) come back as typed nulls —
+        the spec's read-side default for added fields."""
+        from pyspark.sql import functions as F
+
+        for f in self._current_fields(md):
+            if f["name"] not in df.columns:
+                df = df.withColumn(
+                    f["name"],
+                    F.lit(None).cast(self._ICEBERG_TO_DDL[f["type"]]),
+                )
+        return df.select(
+            *[f["name"] for f in self._current_fields(md)]
+        )
+
     def read(
         self,
         snapshot_id: int | None = None,
@@ -835,7 +960,6 @@ class IcebergLiteIO:
         files = self._data_files(snapshot_id, partition_filter, column_range)
         if not files:
             raise ValueError("fully pruned read (no matching files)")
-        col_order = [f["name"] for f in md["schemas"][0]["fields"]]
 
         def residual(df):
             # bounds prune FILES; the residual range predicate makes
@@ -848,9 +972,11 @@ class IcebergLiteIO:
             return df
         if not self.partition_by:
             return residual(
-                self.spark.read.parquet(
-                    *[d["file_path"] for d in files]
-                ).select(*col_order)
+                self._conform(
+                    self.spark.read.option("mergeSchema", "true")
+                    .parquet(*[d["file_path"] for d in files]),
+                    md,
+                )
             )
         groups: dict[str | None, list[str]] = {}
         for d in files:
@@ -858,10 +984,11 @@ class IcebergLiteIO:
             groups.setdefault(v, []).append(d["file_path"])
         out = None
         for v, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            part = (
-                self.spark.read.parquet(*paths)
-                .withColumn(self.partition_by, F.lit(v))
-                .select(*col_order)
+            part = self._conform(
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+                .withColumn(self.partition_by, F.lit(v)),
+                md,
             )
             out = part if out is None else out.unionByName(part)
         return residual(out)
@@ -892,17 +1019,18 @@ class IcebergLiteIO:
             )
         from pyspark.sql import functions as F
 
-        col_order = [f["name"] for f in md["schemas"][0]["fields"]]
         groups: dict[str | None, list[str]] = {}
         for d in files:
             v = (d["partition"] or {}).get(self.partition_by)
             groups.setdefault(v, []).append(d["file_path"])
         out = None
         for v, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            part = self.spark.read.parquet(*paths)
+            part = self.spark.read.option(
+                "mergeSchema", "true"
+            ).parquet(*paths)
             if self.partition_by:
                 part = part.withColumn(self.partition_by, F.lit(v))
-            part = part.select(*col_order)
+            part = self._conform(part, md)
             out = part if out is None else out.unionByName(part)
         return out
 
