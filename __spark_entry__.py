@@ -1528,6 +1528,17 @@ def q_iceberg_lite_prune(spark, sf_dir):
     )
 
 
+def q_oov_rate(spark, sf_dir):
+    """Per-source OOV rate vs the corpus-trained top-k vocabulary
+    (textstats.oov_rate): the tokenizer-coverage diagnostic read
+    before committing to a vocab size. Broadcast vocab, map-side
+    coverage join, #sources-row rollup; integer ppm. top_k=20 on the
+    31-token synthetic vocab so the rate is non-trivial."""
+    from two_tier_document_parser_spark.textstats import oov_rate
+
+    return oov_rate(_docs(spark, sf_dir), top_k=20)
+
+
 def q_bloom_decontaminate(spark, sf_dir):
     """Bloom-filter decontamination (curation.bloom_decontaminate):
     the fixed-size-broadcast scale path beside the exact set-join
@@ -2289,7 +2300,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R05_WINDOW = [
     "warc_ingest", "bloom_decontaminate",
     "iceberg_lite_roundtrip", "iceberg_lite_prune",
-    "iceberg_lite_compact", "iceberg_lite_delete",
+    "iceberg_lite_compact", "iceberg_lite_delete", "oov_rate",
     "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
@@ -2302,7 +2313,6 @@ _R05_WINDOW = [
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
     "encode_tokens", "bucketed_join", "token_commonness",
-    "snapshot_diff",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
@@ -2323,7 +2333,8 @@ _R05_WINDOW = [
     # finally warc_ingest, bloom_decontaminate and the three
     # iceberg-lite entries displaced sketch_quantiles,
     # sketch_distinct_hll, incremental_agg, funnel_counts,
-    # min_cost_supplier and props_rollup (all r03 driver-green).
+    # min_cost_supplier and props_rollup (all r03 driver-green);
+    # oov_rate then displaced snapshot_diff (r03 driver-green).
 ]
 
 
@@ -2346,6 +2357,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_lite_prune": q_iceberg_lite_prune,
         "iceberg_lite_compact": q_iceberg_lite_compact,
         "iceberg_lite_delete": q_iceberg_lite_delete,
+        "oov_rate": q_oov_rate,
         "scorer_length_corr": q_scorer_length_corr,
         "minhash_estimate": q_minhash_estimate,
         "cross_source_dups": q_cross_source_dups,
@@ -2907,6 +2919,20 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_lite_delete": (
             "SELECT doc_id, text, lang, source, n_chars FROM documents"
             " WHERE doc_id NOT IN (3, 7)"
+        ),
+        "oov_rate": (
+            f"{_TOK_CTE}, c AS (SELECT lower(token) AS token,"
+            " count(*) AS n FROM tok GROUP BY 1),"
+            " v AS (SELECT token, row_number() OVER"
+            " (ORDER BY n DESC, token ASC) AS r FROM c QUALIFY r <= 20),"
+            " st AS (SELECT d.source, lower(t.token) AS token"
+            " FROM tok t JOIN documents d USING (doc_id))"
+            " SELECT st.source, CAST(count(*) AS BIGINT) AS n_tokens,"
+            " CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)"
+            " AS BIGINT) AS n_oov,"
+            " CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)"
+            " * 1000000 // count(*) AS BIGINT) AS oov_ppm"
+            " FROM st LEFT JOIN v USING (token) GROUP BY st.source"
         ),
         "scorer_length_corr": _scorer_length_corr_sql(),
         "minhash_estimate": _minhash_estimate_sql(),

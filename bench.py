@@ -315,6 +315,7 @@ def main() -> int:
         "warc_ingest",
         "bloom_decontaminate",
         "iceberg_lite_roundtrip",
+        "oov_rate",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

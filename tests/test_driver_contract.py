@@ -1,7 +1,7 @@
 """Driver-contract smoke + DuckDB parity on a representative subset
 (the driver runs its 50-entry window; tests/parity_harness.py runs
-the FULL queries() set locally — 144/144 OK at sf0.01, last full run
-round-5 close after the final registrations: 140 value-exact vs
+the FULL queries() set locally — 145/145 OK at sf0.01, last full run
+round-5 close after the final registrations: 141 value-exact vs
 their DuckDB oracles + 4 rows-only by documented design)."""
 
 from __future__ import annotations
@@ -66,7 +66,7 @@ ROWS_ONLY = {
 EXPECTED_WINDOW_50 = [
     "warc_ingest", "bloom_decontaminate",
     "iceberg_lite_roundtrip", "iceberg_lite_prune",
-    "iceberg_lite_compact", "iceberg_lite_delete",
+    "iceberg_lite_compact", "iceberg_lite_delete", "oov_rate",
     "scorer_length_corr", "minhash_estimate", "cross_source_dups",
     "model_auc", "score_calibration", "source_vocab_jaccard",
     "containment_pairs", "ngram_novelty", "hits",
@@ -79,7 +79,6 @@ EXPECTED_WINDOW_50 = [
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
     "encode_tokens", "bucketed_join", "token_commonness",
-    "snapshot_diff",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # The six late-r05 evaluation/overlap additions (model
     # AUC/calibration, source-vocab Jaccard, containment pairs,
@@ -93,7 +92,8 @@ EXPECTED_WINDOW_50 = [
     # finally warc_ingest, bloom_decontaminate and the three
     # iceberg-lite entries displaced sketch_quantiles,
     # sketch_distinct_hll, incremental_agg, funnel_counts,
-    # min_cost_supplier and props_rollup (all r03 driver-green).
+    # min_cost_supplier and props_rollup (all r03 driver-green);
+    # oov_rate then displaced snapshot_diff (r03 driver-green).
 ]
 
 

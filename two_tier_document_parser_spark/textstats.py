@@ -992,3 +992,48 @@ def source_vocab_jaccard(
             ).alias("jaccard_x1000"),
         )
     )
+
+
+def oov_rate(
+    df: DataFrame, text_col: str = "text", top_k: int = 1000
+) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus-trained
+    top-k vocabulary (`vocab_top_ids`) — the tokenizer-coverage
+    diagnostic read BEFORE committing to a vocab size: a source whose
+    oov_ppm is high will fragment into byte-fallback garbage when
+    encoded, and either the vocab grows or the source mix changes.
+    Columns: source, n_tokens, n_oov, oov_ppm (integer parts-per-
+    million, engine-exact).
+
+    Scale shape: the vocabulary is top_k rows — a BROADCAST — so the
+    coverage pass is map-side (explode -> broadcast left join) and
+    the rollup collapses map-side onto #sources rows; the only
+    data-sized shuffle is the vocab build's own distinct-token
+    groupBy (shared shape with vocab_top_ids/encode_tokens)."""
+    vocab = (
+        vocab_top_ids(df, text_col, top_k)
+        .select("token")
+        .withColumn("_in", F.lit(1))
+    )
+    tok = df.select(
+        "source",
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("token"),
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum(
+                F.when(F.col("_in").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.expr("n_oov * 1000000 div n_tokens").alias("oov_ppm"),
+        )
+    )
