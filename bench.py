@@ -51,6 +51,33 @@ def _load_snapshot() -> dict:
     return snap
 
 
+def _membw_probe() -> float | None:
+    """Single-thread DRAM bandwidth probe (GB/s): best of 5 passes
+    copying a 256 MiB buffer that cannot fit any cache. Round-5 close
+    lesson: three captures with in-band steal 0.41-1.15% all showed a
+    uniform +15% slowdown vs the calm baseline on BIT-IDENTICAL code
+    — co-tenant BANDWIDTH pressure does not bill as steal ticks, so
+    the bench must measure the memory bus directly. Compare this
+    number across captures: the calm baseline for this box is
+    recorded in BENCH/BASELINE.md; a depressed probe = contended
+    window even at steal 0%."""
+    try:
+        import numpy as np
+
+        src = np.ones(256 * 1024 * 1024 // 8, dtype=np.int64)
+        dst = np.empty_like(src)
+        best = None
+        for _ in range(5):
+            t0 = time.time()
+            np.copyto(dst, src)
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        # copy reads + writes the buffer once each: 2 x 256 MiB
+        return round(2 * 256 / 1024 / best, 2)
+    except Exception:  # noqa: BLE001 - probe is best-effort evidence
+        return None
+
+
 def _load_meta(start: dict, end: dict) -> dict:
     meta = {
         "loadavg_1m_start": start.get("loadavg_1m"),
@@ -77,6 +104,7 @@ def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     load_start = _load_snapshot()
+    membw_start = _membw_probe()
 
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -392,7 +420,11 @@ def main() -> int:
             "queries": timings,
             "sf": sf_dir.rstrip("/").split("/")[-1],
             "cpus": cpus,
-            "load": _load_meta(load_start, _load_snapshot()),
+            "load": {
+                **_load_meta(load_start, _load_snapshot()),
+                "membw_gbps_start": membw_start,
+                "membw_gbps_end": _membw_probe(),
+            },
             **extras,
             **({"scaling": scaling_summary} if scaling_summary else {}),
         }
