@@ -49,11 +49,14 @@ def main() -> int:
     ap.add_argument(
         "--input-format",
         default="spans",
-        choices=["spans", "pdf", "html", "ttdp", "bytes"],
+        choices=["spans", "pdf", "html", "ttdp", "bytes", "warc"],
         help="with --input: 'spans' reads documents_raw rows (default); "
         "'pdf'/'html'/'ttdp' read a (doc_id, payload binary) table of "
         "raw document bytes and decode inside the Arrow kernel; "
-        "'bytes' sniffs the format per document (content wins)",
+        "'bytes' sniffs the format per document (content wins); "
+        "'warc' reads a directory of .warc/.warc.gz crawl archives "
+        "(Spark binaryFile source, one file per task) through the "
+        "from-scratch WARC member walker into the HTML DOM lift",
     )
     ap.add_argument("--output", required=True, help="documents_out parquet path")
     ap.add_argument("--master", default=None, help="spark master (default: env)")
@@ -98,9 +101,26 @@ def main() -> int:
 
     t0 = time.time()
     if args.input:
-        raw = spark.read.parquet(args.input)
-        if args.input_format != "spans":
-            raw = _decode_bytes_table(raw, args.input_format)
+        if args.input_format == "warc":
+            from pyspark.sql import functions as F
+
+            from two_tier_document_parser_spark import html_io
+            from two_tier_document_parser_spark.warc_io import unpack_table
+
+            files = (
+                spark.read.format("binaryFile")
+                .option("pathGlobFilter", "*.warc*")
+                .load(args.input)
+                .select(
+                    F.col("path").alias("file_id"),
+                    F.col("content").alias("data"),
+                )
+            )
+            raw = html_io.parse_table(unpack_table(files))
+        else:
+            raw = spark.read.parquet(args.input)
+            if args.input_format != "spans":
+                raw = _decode_bytes_table(raw, args.input_format)
     else:
         raw = synth_spark(spark, args.synth, args.seed, partitions=args.partitions)
 

@@ -591,3 +591,44 @@ def test_schema_evolution_rejects_drops_and_type_changes(table, docs):
         table.append(
             docs.withColumn("tags", F.array(F.lit("a"))), run_id="r4"
         )
+
+
+def test_avro_reader_rejects_junk_cleanly():
+    """read_container on arbitrary junk raises (ValueError/EOFError/
+    json/zlib/unicode errors) — it must never hang or return garbage
+    silently. Deterministic pseudo-random corpus, no wall clock."""
+    import hashlib
+
+    from two_tier_document_parser_spark.avro_lite import (
+        read_container as rc,
+    )
+    from two_tier_document_parser_spark.avro_lite import (
+        write_container as wc,
+    )
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": "long"}],
+    }
+    good = wc(schema, [{"x": i} for i in range(50)])
+    corpora = [b"", b"Obj", b"Obj\x02", b"\x00" * 64]
+    for i in range(64):
+        seed = hashlib.sha256(f"avro-fuzz-{i}".encode()).digest()
+        junk = (seed * 8)[: 17 + i * 7]
+        corpora.append(junk)
+        # bit-flipped / truncated valid containers
+        pos = seed[0] % len(good)
+        corpora.append(good[:pos] + bytes([good[pos] ^ 0xFF]) + good[pos + 1 :])
+        corpora.append(good[: seed[1] % len(good)])
+    ok = 0
+    for blob in corpora:
+        try:
+            s, recs, _ = rc(blob)
+            # a mutation may survive decode; it must still be sane
+            assert isinstance(recs, list)
+            ok += 1
+        except Exception:
+            pass
+    # sanity: the harness isn't vacuous — most mutations are caught
+    assert ok < len(corpora) // 2

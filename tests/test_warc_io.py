@@ -240,3 +240,76 @@ def test_bloom_probe_plan_has_no_single_partition(spark):
     # the probe side carries no join operator at all (the bitmap is a
     # broadcast VARIABLE, not a broadcast relation)
     assert "Join" not in plan, plan
+
+
+def test_binaryfile_warc_to_cascade(spark, tmp_path):
+    """The job CLI's 'warc' input path: real .warc.gz files on disk,
+    read via Spark's binaryFile source, through the member walker
+    and DOM lift into the cascade — span text survives exactly."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.html_io import (
+        parse_table,
+        render_html,
+    )
+    from two_tier_document_parser_spark.pipeline import (
+        extract,
+        ship_package,
+    )
+    from two_tier_document_parser_spark.warc_io import (
+        unpack_table,
+        write_warc,
+    )
+
+    ship_package(spark)
+    docs = [
+        {
+            "doc_id": f"d{i:03d}",
+            "doc_class": "html",
+            "n_pages": 1,
+            "spans": [
+                {
+                    "kind": "text",
+                    # natural-language shaped so the jusText-style
+                    # length + stopword-density gates KEEP it (short
+                    # or stopword-free fragments strip as boilerplate)
+                    "text": (
+                        f"item {i} is the part of the corpus and "
+                        "the quick brown fox jumps over the lazy "
+                        "dog in a field of green grass by the "
+                        "river and the sun is warm on the water"
+                    ),
+                    "media_ref": None,
+                    "offset": 0,
+                }
+            ],
+        }
+        for i in range(40)
+    ]
+    html = [(d["doc_id"], render_html(d)) for d in docs]
+    for shard in range(2):
+        (tmp_path / f"s{shard}.warc.gz").write_bytes(
+            write_warc(html[shard * 20 : (shard + 1) * 20])
+        )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(str(tmp_path))
+        .select(
+            F.col("path").alias("file_id"),
+            F.col("content").alias("data"),
+        )
+    )
+    out = extract(spark, parse_table(unpack_table(files)), mode="fused")
+    got = {
+        r["doc_id"]: r["spans"][0]["text"] for r in out.collect()
+    }
+    assert got == {
+        f"d{i:03d}": (
+            f"item {i} is the part of the corpus and "
+            "the quick brown fox jumps over the lazy "
+            "dog in a field of green grass by the "
+            "river and the sun is warm on the water"
+        )
+        for i in range(40)
+    }
