@@ -101,7 +101,14 @@ def main() -> int:
 
     t0 = time.time()
     if args.input:
-        if args.input_format == "warc":
+        if args.input.startswith("iceberg-lite:"):
+            # the north-rule read path literally: documents_raw rows
+            # resolved from the table's current snapshot (manifest
+            # tree -> explicit file list, no directory discovery)
+            from two_tier_document_parser_spark.table_io import open_table
+
+            raw = open_table(spark, args.input).read()
+        elif args.input_format == "warc":
             from pyspark.sql import functions as F
 
             from two_tier_document_parser_spark import html_io

@@ -632,3 +632,45 @@ def test_avro_reader_rejects_junk_cleanly():
             pass
     # sanity: the harness isn't vacuous — most mutations are caught
     assert ok < len(corpora) // 2
+
+
+def test_iceberg_to_iceberg_extraction(spark, tmp_path):
+    """The north-rule sentence end-to-end: READ an Iceberg table of
+    interleaved documents (current-snapshot manifest resolution),
+    extract, COMMIT to an Iceberg table of record — and the output
+    equals extracting the same rows read directly."""
+    from two_tier_document_parser_spark.checkpoint import (
+        CheckpointedExtract,
+    )
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+    from two_tier_document_parser_spark.pipeline import (
+        extract,
+        ship_package,
+    )
+    from two_tier_document_parser_spark.synth import synth_spark
+    from two_tier_document_parser_spark.table_io import open_table
+
+    ship_package(spark)
+    raw = synth_spark(spark, 80, partitions=4)
+    t_in = IcebergLiteIO(spark, str(tmp_path / "in"))
+    t_in.append(raw, run_id="crawl")
+
+    src = open_table(spark, f"iceberg-lite:{tmp_path}/in").read()
+    ck = CheckpointedExtract(spark, f"iceberg-lite:{tmp_path}/out")
+    ck.run(src, mode="fused")
+
+    def canon(df):
+        return {
+            r["doc_id"]: (
+                r["tier"],
+                tuple(
+                    (s["kind"], s["text"], s["media_ref"], s["order"])
+                    for s in r["spans"]
+                ),
+            )
+            for r in df.collect()
+        }
+
+    assert canon(ck.result()) == canon(
+        extract(spark, raw, mode="fused")
+    )
