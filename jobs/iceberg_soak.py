@@ -106,7 +106,8 @@ def main() -> int:
     post_wall, post_files = timed_files()
     exp = t.expire_snapshots(keep_last=1)
 
-    q = n_commits // 4
+    q = max(1, n_commits // 4)
+    qn = min(4, n_commits)  # degenerate soaks still report something
     out = {
         "metric": "iceberg-lite commit metadata cost flatness",
         "n_commits": n_commits,
@@ -114,11 +115,11 @@ def main() -> int:
         "total_rows": n_commits * rows_per,
         "commit_wall_quartile_means": [
             round(sum(commit_walls[i * q : (i + 1) * q]) / q, 4)
-            for i in range(4)
+            for i in range(qn)
         ],
         "metadata_walk_quartile_means": [
             round(sum(meta_walls[i * q : (i + 1) * q]) / q, 4)
-            for i in range(4)
+            for i in range(qn)
         ],
         "read_planning": {
             "full": {"wall_s": full_wall, "files": full_files},

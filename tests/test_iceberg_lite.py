@@ -674,3 +674,89 @@ def test_iceberg_to_iceberg_extraction(spark, tmp_path):
     assert canon(ck.result()) == canon(
         extract(spark, raw, mode="fused")
     )
+
+
+# ------------------------------------------- round-5 review findings
+
+
+def test_drop_uncommitted_spares_carried_files_after_expiry(
+    table, docs
+):
+    """Reachability, not run-id membership: after expiry drops old
+    snapshots whose FILES the current snapshot still carries by
+    reference, drop_uncommitted must not delete those files."""
+    from pyspark.sql import functions as F
+
+    table.append(docs.filter(F.col("doc_id") < 15), run_id="r1")
+    table.append(docs.filter(F.col("doc_id") >= 15), run_id="r2")
+    # r2's manifest list carries r1's manifest; expire to ONLY r2
+    table.expire_snapshots(keep_last=1)
+    table.drop_uncommitted()  # must treat data/r1 as live
+    assert _rows(table.read()) == _rows(docs)
+    # and genuinely dead dirs still go
+    os.makedirs(os.path.join(table.data_dir, "orphan"), exist_ok=True)
+    table.drop_uncommitted()
+    assert not os.path.exists(os.path.join(table.data_dir, "orphan"))
+
+
+def test_committed_run_id_reuse_refused(table, docs):
+    """Replaying a COMMITTED run_id would rmtree files its snapshot
+    references — refused loudly; crashed (uncommitted) staging is
+    still replayable (covered by the staging-replay test)."""
+    table.append(docs, run_id="r1")
+    with pytest.raises(ValueError):
+        table.append(docs, run_id="r1")
+    with pytest.raises(ValueError):
+        table.compact(run_id="r1")
+    # history intact
+    assert _rows(table.read()) == _rows(docs)
+
+
+def test_delete_keeps_null_keyed_rows(spark, tmp_path):
+    """~isin is NULL (not true) for NULL keys: the keep predicate
+    must be NULL-safe or unrelated NULL-keyed rows silently vanish
+    from rewritten files."""
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+
+    df = spark.createDataFrame(
+        [(3, "a"), (None, "b"), (5, "c")], "doc_id long, text string"
+    )
+    t = IcebergLiteIO(spark, str(tmp_path / "n"))
+    t.append(df.coalesce(1), run_id="r1")  # one file: bounds overlap 3
+    t.delete("doc_id", [3], run_id="gdpr")
+    got = sorted(
+        ((r["doc_id"], r["text"]) for r in t.read().collect()),
+        key=str,
+    )
+    assert (None, "b") in got and (5, "c") in got
+    assert all(k != 3 for k, _ in got)
+
+
+def test_partition_values_unescape_and_null(spark, tmp_path):
+    """Hive-layout escaping (%3D etc.) and the NULL spelling
+    (__HIVE_DEFAULT_PARTITION__) must round-trip to true values."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.iceberg_lite import IcebergLiteIO
+
+    df = spark.createDataFrame(
+        [(1, "a=b"), (2, "plain"), (3, None)],
+        "doc_id long, source string",
+    )
+    t = IcebergLiteIO(spark, str(tmp_path / "p"), partition_by="source")
+    t.append(df, run_id="r1")
+    assert _rows(t.read()) == _rows(df)
+    got = t.read(partition_filter={"source": "a=b"}).collect()
+    assert [(r["doc_id"], r["source"]) for r in got] == [(1, "a=b")]
+
+
+def test_full_delete_leaves_readable_empty_table(table, docs):
+    """Deleting every row commits a zero-file snapshot; read() must
+    return an EMPTY frame in the current schema, not raise — resume
+    paths read legitimately empty tables."""
+    table.append(docs, run_id="r1")
+    ids = [r["doc_id"] for r in docs.select("doc_id").collect()]
+    table.delete("doc_id", ids, run_id="wipe")
+    out = table.read()
+    assert out.count() == 0
+    assert out.columns == [f.name for f in docs.schema.fields]

@@ -313,3 +313,15 @@ def test_binaryfile_warc_to_cascade(spark, tmp_path):
         )
         for i in range(40)
     }
+
+
+def test_plain_uncompressed_warc_stream():
+    """ISO 28500 allows plain .warc files too (the job CLI globs
+    them): the same records in an uncompressed stream parse
+    identically, including the warcinfo skip and multi-record
+    Content-Length framing."""
+    blob = write_warc(RECS, compress=False)
+    assert blob.startswith(b"WARC/1.0\r\n")
+    assert parse_warc(blob) == RECS
+    # truncation mid-record keeps prior records, never raises
+    assert parse_warc(blob[: len(blob) - len(blob) // 3]) != []

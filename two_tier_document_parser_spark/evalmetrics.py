@@ -119,7 +119,12 @@ def logit_milli(
         .agg(
             F.sum(F.coalesce(F.col("w_milli"), F.lit(0)))
             .cast("long")
-            .alias("lm")
+            .alias("lm"),
+            # the same exploded pass also counts tokens for free —
+            # scorer_length_corr consumes this instead of cloning the
+            # explode/bucket/join plan (one bucketing definition, one
+            # place to change it)
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
         )
     )
 
@@ -231,41 +236,17 @@ def scorer_length_corr(
     length threshold, so a curation team checks this number before
     trusting model_auc's headline.
 
-    Exactness: both per-doc signals come from ONE exploded pass (the
-    logit groupBy also counts its tokens — zero extra shuffles), the
-    five cross-moments accumulate exactly in DECIMAL(38,0) (the
-    fit_ols2 recipe: one 1-row exchange for the whole corpus), and r
-    is computed from the shared PEARSON_R formula string — bit-equal
-    doubles vs the oracle. Token-free docs have no exploded rows and
-    drop from both marginals consistently (the oracle's tok CTE
-    reproduces this).
-    """
-    tok = docs.select(
-        "doc_id",
-        F.explode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), r"\s+"),
-                lambda t: t != F.lit(""),
-            )
-        ).alias("t"),
-    )
-    bucketed = tok.withColumn(
-        "bucket",
-        (
-            F.conv(F.substring(F.md5(F.col("t")), 1, 8), 16, 10)
-            .cast("long")
-            % n_buckets
-        ),
-    )
-    per_doc = (
-        bucketed.join(F.broadcast(weights), "bucket", "left")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.coalesce(F.col("w_milli"), F.lit(0)))
-            .cast("long")
-            .alias("x"),
-            F.count(F.lit(1)).cast("long").alias("y"),
-        )
+    Exactness: both per-doc signals come from logit_milli's ONE
+    exploded pass (its groupBy also counts tokens — zero extra
+    shuffles, and one shared bucketing definition with the scorer it
+    audits), the five cross-moments accumulate exactly in
+    DECIMAL(38,0) (the fit_ols2 recipe: one 1-row exchange for the
+    whole corpus), and r is computed from the shared PEARSON_R
+    formula string — bit-equal doubles vs the oracle. Token-free
+    docs have no exploded rows and drop from both marginals
+    consistently (the oracle's tok CTE reproduces this)."""
+    per_doc = logit_milli(docs, weights, text_col, n_buckets).select(
+        F.col("lm").alias("x"), F.col("n_tok").alias("y")
     )
 
     def d(c: str):

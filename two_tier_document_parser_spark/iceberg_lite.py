@@ -499,7 +499,8 @@ class IcebergLiteIO:
         purge physical)."""
         from pyspark.sql import functions as F
 
-        fid, itype = self._col_fid_type(col)
+        md = self._metadata()
+        fid, itype = self._col_fid_type(col, md)
         files = self._data_files()
         affected, kept = [], []
         for d in files:
@@ -510,23 +511,15 @@ class IcebergLiteIO:
                 for v in values
             )
             (affected if hit else kept).append(d)
-        md = self._metadata()
-        groups: dict[str | None, list[str]] = {}
-        for d in affected:
-            v = (d["partition"] or {}).get(self.partition_by)
-            groups.setdefault(v, []).append(d["file_path"])
-        out = None
-        for v, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            part = self.spark.read.option(
-                "mergeSchema", "true"
-            ).parquet(*paths)
-            if self.partition_by:
-                part = part.withColumn(self.partition_by, F.lit(v))
-            part = self._conform(part, md)
-            out = part if out is None else out.unionByName(part)
+        out = self._assemble(affected, md)
         if out is None:  # nothing overlaps: still commit the intent
-            out = self.read().limit(0)
-        rewritten = out.filter(~F.col(col).isin(values))
+            out = self._empty_df(md)
+        # NULL-safe keep predicate: isin() is NULL for NULL keys, so
+        # a bare ~isin would silently drop unrelated NULL-keyed rows
+        # from rewritten files (while carried files kept theirs)
+        rewritten = out.filter(
+            F.col(col).isNull() | ~F.col(col).isin(values)
+        )
         return self._commit(rewritten, run_id, "overwrite", carry=kept)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[str]:
@@ -603,6 +596,16 @@ class IcebergLiteIO:
         as EXISTING entries in the new manifest — the copy-on-write
         delete path keeps untouched files this way."""
         run_id = run_id or uuid.uuid4().hex[:12]
+        if run_id in self.committed_runs():
+            # a reused run_id would rmtree data/<run_id> below and
+            # corrupt the committed snapshot that references those
+            # files (round-5 review finding) — refuse loudly; only a
+            # CRASHED (uncommitted) attempt may be replayed
+            raise ValueError(
+                f"run_id {run_id!r} already committed — pick a new "
+                "run_id (replaying a committed run would destroy the "
+                "files its snapshot references)"
+            )
         if self.partition_by is not None:
             ptype = repr(df.schema[self.partition_by].dataType)
             if ptype != "StringType()":
@@ -649,11 +652,21 @@ class IcebergLiteIO:
                 fp = os.path.join(root, fn)
                 part_val = None
                 if self.partition_by:
+                    from urllib.parse import unquote
+
                     rel = os.path.relpath(root, final)
                     for seg in rel.split(os.sep):
                         k, _, v = seg.partition("=")
                         if k == self.partition_by:
-                            part_val = v
+                            # Spark escapes special chars in the dir
+                            # name (%3D etc.) and spells NULL as
+                            # __HIVE_DEFAULT_PARTITION__ — undo both
+                            # so the manifest stores the true value
+                            part_val = (
+                                None
+                                if v == "__HIVE_DEFAULT_PARTITION__"
+                                else unquote(v)
+                            )
                 nr = pq.ParquetFile(fp).metadata.num_rows
                 n_rows += nr
                 lower, upper = _file_bounds(fp, col_fids)
@@ -834,8 +847,8 @@ class IcebergLiteIO:
             if s["schema-id"] == md["current-schema-id"]
         )["fields"]
 
-    def _col_fid_type(self, name: str) -> tuple[int, str]:
-        md = self._metadata()
+    def _col_fid_type(self, name: str, md=None) -> tuple[int, str]:
+        md = md if md is not None else self._metadata()
         f = next(
             f for f in self._current_fields(md) if f["name"] == name
         )
@@ -936,6 +949,71 @@ class IcebergLiteIO:
             *[f["name"] for f in self._current_fields(md)]
         )
 
+    def _spark_ddl(self, t) -> str:
+        if isinstance(t, str):
+            return self._ICEBERG_TO_DDL[t]
+        if t["type"] == "struct":
+            inner = ",".join(
+                f'`{f["name"]}`:{self._spark_ddl(f["type"])}'
+                for f in t["fields"]
+            )
+            return f"struct<{inner}>"
+        if t["type"] == "list":
+            return f'array<{self._spark_ddl(t["element"])}>'
+        if t["type"] == "map":
+            return (
+                f'map<{self._spark_ddl(t["key"])},'
+                f'{self._spark_ddl(t["value"])}>'
+            )
+        raise TypeError(f"unsupported schema type {t!r}")
+
+    def _empty_df(self, md):
+        """Empty DataFrame in the CURRENT schema — what a read of a
+        legitimately empty snapshot returns (a full delete leaves a
+        zero-file snapshot; crashing on it breaks the duck contract
+        and every resume path)."""
+        ddl = ", ".join(
+            f'`{f["name"]}` {self._spark_ddl(f["type"])}'
+            for f in self._current_fields(md)
+        )
+        return self.spark.createDataFrame([], ddl)
+
+    def _assemble(self, files: list[dict], md):
+        """ONE shared scan assembly for read/read_run/delete: group
+        files by identity-partition value, re-attach the value as a
+        typed literal per group (the manifest is the source of truth,
+        not directory discovery), conform every group to the current
+        schema, union. Returns None for an empty file list."""
+        from pyspark.sql import functions as F
+
+        if not files:
+            return None
+        if not self.partition_by:
+            return self._conform(
+                self.spark.read.option("mergeSchema", "true").parquet(
+                    *[d["file_path"] for d in files]
+                ),
+                md,
+            )
+        groups: dict[str | None, list[str]] = {}
+        for d in files:
+            v = (d["partition"] or {}).get(self.partition_by)
+            groups.setdefault(v, []).append(d["file_path"])
+        out = None
+        for v, paths in sorted(
+            groups.items(), key=lambda kv: (kv[0] is None, str(kv[0]))
+        ):
+            part = self._conform(
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(*paths)
+                .withColumn(
+                    self.partition_by, F.lit(v).cast("string")
+                ),
+                md,
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
     def read(
         self,
         snapshot_id: int | None = None,
@@ -958,40 +1036,21 @@ class IcebergLiteIO:
         if not md or not md.get("current-snapshot-id"):
             return None  # no committed snapshot (duck contract)
         files = self._data_files(snapshot_id, partition_filter, column_range)
-        if not files:
-            raise ValueError("fully pruned read (no matching files)")
-
-        def residual(df):
+        out = self._assemble(files, md)
+        if out is None:
+            # a legitimately empty snapshot (e.g. after a full
+            # delete) or a fully pruned filter: an EMPTY frame in the
+            # current schema, never an exception — resume paths and
+            # the duck contract depend on reads of empty tables
+            return self._empty_df(md)
+        for name, (lo, hi) in (column_range or {}).items():
             # bounds prune FILES; the residual range predicate makes
             # the row semantics exact (and pushes into the scan)
-            for name, (lo, hi) in (column_range or {}).items():
-                if lo is not None:
-                    df = df.filter(F.col(name) >= lo)
-                if hi is not None:
-                    df = df.filter(F.col(name) <= hi)
-            return df
-        if not self.partition_by:
-            return residual(
-                self._conform(
-                    self.spark.read.option("mergeSchema", "true")
-                    .parquet(*[d["file_path"] for d in files]),
-                    md,
-                )
-            )
-        groups: dict[str | None, list[str]] = {}
-        for d in files:
-            v = (d["partition"] or {}).get(self.partition_by)
-            groups.setdefault(v, []).append(d["file_path"])
-        out = None
-        for v, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            part = self._conform(
-                self.spark.read.option("mergeSchema", "true")
-                .parquet(*paths)
-                .withColumn(self.partition_by, F.lit(v)),
-                md,
-            )
-            out = part if out is None else out.unionByName(part)
-        return residual(out)
+            if lo is not None:
+                out = out.filter(F.col(name) >= lo)
+            if hi is not None:
+                out = out.filter(F.col(name) <= hi)
+        return out
 
     def read_run(self, run_id: str):
         """DataFrame over ONLY the files a given run's snapshot
@@ -1017,28 +1076,34 @@ class IcebergLiteIO:
                 )[1]
                 if e["status"] == 1
             )
-        from pyspark.sql import functions as F
+        out = self._assemble(files, md)
+        return out if out is not None else self._empty_df(md)
 
-        groups: dict[str | None, list[str]] = {}
-        for d in files:
-            v = (d["partition"] or {}).get(self.partition_by)
-            groups.setdefault(v, []).append(d["file_path"])
-        out = None
-        for v, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
-            part = self.spark.read.option(
-                "mergeSchema", "true"
-            ).parquet(*paths)
-            if self.partition_by:
-                part = part.withColumn(self.partition_by, F.lit(v))
-            part = self._conform(part, md)
-            out = part if out is None else out.unionByName(part)
-        return out
+    def _live_data_paths(self) -> set[str]:
+        """Every data-file path some RETAINED snapshot's manifest
+        tree references. THE liveness authority for cleanup — run-id
+        lists are not: fast-append and copy-on-write carry older
+        runs' FILES live by reference even after `expire_snapshots`
+        drops those runs' own snapshots (round-5 review finding)."""
+        md = self._metadata()
+        live: set[str] = set()
+        for s in (md or {}).get("snapshots", []):
+            for mf in read_container(
+                open(s["manifest-list"], "rb").read()
+            )[1]:
+                for e in read_container(
+                    open(mf["manifest_path"], "rb").read()
+                )[1]:
+                    live.add(e["data_file"]["file_path"])
+        return live
 
     def drop_uncommitted(self) -> None:
         """Crash cleanup (duck contract): staging dirs are always
-        dead; data/<run> dirs whose run never reached a committed
-        snapshot are orphans of a crash between the data rename and
-        the hint swap."""
+        dead; a data/<run> dir is an orphan ONLY if no retained
+        snapshot's manifest tree references any file inside it —
+        reachability, not run-id membership (a run dropped by expiry
+        can still have files carried live by a later fast-append or
+        copy-on-write snapshot)."""
         import shutil
 
         for name in os.listdir(self.path):
@@ -1046,9 +1111,14 @@ class IcebergLiteIO:
                 shutil.rmtree(
                     os.path.join(self.path, name), ignore_errors=True
                 )
-        committed = set(self.committed_runs())
+        live = self._live_data_paths()
+        live_runs = {
+            os.path.relpath(p, self.data_dir).split(os.sep)[0]
+            for p in live
+            if p.startswith(self.data_dir + os.sep)
+        }
         for name in os.listdir(self.data_dir):
-            if name not in committed:
+            if name not in live_runs:
                 shutil.rmtree(
                     os.path.join(self.data_dir, name), ignore_errors=True
                 )

@@ -69,16 +69,21 @@ def _record(warc_type: str, headers: list[tuple[str, str]], body: bytes) -> byte
     return CRLF.join(head) + CRLF + CRLF + body + CRLF + CRLF
 
 
-def write_warc(records: list[tuple[str, bytes]]) -> bytes:
-    """[(doc_id, html_bytes)] -> WARC file bytes. Leads with a
-    warcinfo record (the standard file preamble) so readers are
-    exercised on skipping non-response types."""
+def write_warc(
+    records: list[tuple[str, bytes]], compress: bool = True
+) -> bytes:
+    """[(doc_id, html_bytes)] -> WARC file bytes — gzip-per-record by
+    default (the Common-Crawl layout) or a plain .warc stream with
+    compress=False (also legal per ISO 28500). Leads with a warcinfo
+    record (the standard file preamble) so readers are exercised on
+    skipping non-response types."""
     info_body = (
         b"software: two_tier_document_parser_spark\r\n"
         b"format: WARC File Format 1.0\r\n"
     )
+    member = _gzip_member if compress else (lambda b: b)
     out = [
-        _gzip_member(
+        member(
             _record(
                 "warcinfo",
                 [
@@ -100,7 +105,7 @@ def write_warc(records: list[tuple[str, bytes]]) -> bytes:
             + html
         )
         out.append(
-            _gzip_member(
+            member(
                 _record(
                     "response",
                     [
@@ -119,9 +124,16 @@ def write_warc(records: list[tuple[str, bytes]]) -> bytes:
 
 
 def _members(blob: bytes) -> Iterator[bytes]:
-    """Decompress concatenated gzip members one at a time; stops at
-    the first malformed member (sequential framing — bytes after a
-    corrupt member cannot be re-synchronized reliably)."""
+    """Yield one decompressed record-block per gzip member; for a
+    PLAIN (uncompressed) .warc file — also legal per ISO 28500 and
+    advertised by the job CLI — yield the whole stream once and let
+    the record walker consume records sequentially by Content-Length
+    framing. Stops at the first malformed member (sequential framing
+    — bytes after a corrupt member cannot be re-synchronized
+    reliably)."""
+    if blob.startswith(b"WARC/"):
+        yield blob
+        return
     rest = blob
     while rest:
         do = zlib.decompressobj(16 + zlib.MAX_WBITS)
@@ -136,14 +148,19 @@ def _members(blob: bytes) -> Iterator[bytes]:
         rest = do.unused_data
 
 
-def _parse_record(data: bytes) -> tuple[str, str, bytes] | None:
-    """One decompressed member -> (warc_type, target_uri, block) or
-    None if malformed."""
-    sep = data.find(CRLF + CRLF)
-    if sep < 0 or not data.startswith(b"WARC/"):
+def _parse_record(
+    data: bytes, pos: int = 0
+) -> tuple[str, str, bytes, int] | None:
+    """One record starting at `pos` -> (warc_type, target_uri, block,
+    next_pos) or None if malformed. next_pos sits past the record's
+    trailing CRLF CRLF, so concatenated records (a plain .warc
+    stream, or several records in one gzip member) walk by
+    Content-Length framing."""
+    sep = data.find(CRLF + CRLF, pos)
+    if sep < 0 or not data.startswith(b"WARC/", pos):
         return None
     headers: dict[str, str] = {}
-    for line in data[: sep].split(CRLF)[1:]:
+    for line in data[pos:sep].split(CRLF)[1:]:
         k, _, v = line.partition(b":")
         headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
             "utf-8", "replace"
@@ -155,28 +172,39 @@ def _parse_record(data: bytes) -> tuple[str, str, bytes] | None:
     block = data[sep + 4 : sep + 4 + n]
     if len(block) != n:
         return None
+    end = sep + 4 + n
+    if data.startswith(CRLF + CRLF, end):
+        end += 4
     return (
         headers.get("warc-type", ""),
         headers.get("warc-target-uri", ""),
         block,
+        end,
     )
 
 
 def parse_warc(blob: bytes) -> list[tuple[str, bytes]]:
-    """WARC file bytes -> [(doc_id, html_payload)] from response
-    records; warcinfo/request/metadata records are skipped."""
+    """WARC file bytes (gzip-per-record OR plain stream) ->
+    [(doc_id, html_payload)] from response records;
+    warcinfo/request/metadata records are skipped."""
     out: list[tuple[str, bytes]] = []
     for member in _members(blob):
-        rec = _parse_record(member)
-        if rec is None:
-            break
-        warc_type, uri, block = rec
-        if warc_type != "response" or not uri.startswith(_URI_PREFIX):
-            continue
-        http_sep = block.find(CRLF + CRLF)
-        if http_sep < 0 or not block.startswith(b"HTTP/"):
-            continue
-        out.append((uri[len(_URI_PREFIX) :], block[http_sep + 4 :]))
+        pos = 0
+        while pos < len(member):
+            rec = _parse_record(member, pos)
+            if rec is None:
+                return out  # malformed: keep prior records only
+            warc_type, uri, block, pos = rec
+            if warc_type != "response" or not uri.startswith(
+                _URI_PREFIX
+            ):
+                continue
+            http_sep = block.find(CRLF + CRLF)
+            if http_sep < 0 or not block.startswith(b"HTTP/"):
+                continue
+            out.append(
+                (uri[len(_URI_PREFIX) :], block[http_sep + 4 :])
+            )
     return out
 
 
