@@ -474,3 +474,58 @@ def test_type1_pfb_segments_and_standard_encoding():
     got = type1_code_map(pfb)
     assert got is not None and got[0x41] == "A" and got[0xA1] == "¡"
     assert type1_code_map(b"no encoding here") is None
+
+
+def test_cff_stale_encoding_with_supplement_cursor():
+    """Encoding format 0 with nCodes > nGlyphs-1 plus a supplement
+    block: the cursor must skip the FULL code array so the
+    supplement's (code, SID) pairs parse from the right offset
+    (round-5 review finding — a stale subset encoding otherwise
+    yields garbage mappings)."""
+    import struct
+
+    from two_tier_document_parser_spark.pdf_fonts import cff_code_map
+
+    # hand-build: 2 real glyphs (gid 1 'space', gid 2 'bullet'),
+    # encoding declares THREE codes (one stale), then a supplement
+    # mapping code 90 -> SID of 'bullet'
+    glyphs = ["space", "bullet"]
+    sids = [CFF_TEST_SIDS["space"], CFF_TEST_SIDS["bullet"]]
+    header = bytes([1, 0, 4, 2])
+    name_idx = _cff_index_bytes([b"TestFont"])
+    string_idx = _cff_index_bytes([])
+    gsubr_idx = _cff_index_bytes([])
+    nglyphs = len(glyphs) + 1
+    charstrings = _cff_index_bytes([b"\x0e"] * nglyphs)
+    charset = b"\x00" + b"".join(struct.pack(">H", s) for s in sids)
+    encoding = (
+        bytes([0x80, 3])          # fmt 0 + supplement flag; nCodes=3
+        + bytes([32, 67, 99])     # codes: gid1<-32, (gid2<-67), stale 99
+        + bytes([1])              # nSups = 1
+        + bytes([90]) + struct.pack(">H", CFF_TEST_SIDS["bullet"])
+    )
+    top_dict_len = 18
+    top_idx_len = len(_cff_index_bytes([b"\x00" * top_dict_len]))
+    base = (
+        len(header) + len(name_idx) + top_idx_len + len(string_idx)
+        + len(gsubr_idx)
+    )
+    charset_off = base
+    enc_off = charset_off + len(charset)
+    cs_off = enc_off + len(encoding)
+    top = (
+        bytes([29]) + struct.pack(">i", charset_off) + bytes([15])
+        + bytes([29]) + struct.pack(">i", enc_off) + bytes([16])
+        + bytes([29]) + struct.pack(">i", cs_off) + bytes([17])
+    )
+    cff = (
+        header + name_idx + _cff_index_bytes([top]) + string_idx
+        + gsubr_idx + charset + encoding + charstrings
+    )
+    got = cff_code_map(cff)
+    # code 32 -> gid1 'space'; code 67 -> gid2 'bullet' (in-range);
+    # stale code 99 has no glyph; supplement maps 90 -> 'bullet'
+    assert got.get(32) == " "
+    assert got.get(67) == "•"
+    assert got.get(90) == "•"
+    assert 99 not in got

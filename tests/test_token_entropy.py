@@ -102,3 +102,22 @@ def test_host_dup_stats_hand_computed(spark):
         "h.net": (3, 2, 333),
         "other.org": (1, 1, 0),
     }
+
+
+def test_null_text_scores_as_empty(spark):
+    """A NULL-text document emits the zero row the oracle's LEFT
+    JOIN + COALESCE contract produces — never NULL stats (round-5
+    review finding: split(NULL) would otherwise propagate)."""
+    from two_tier_document_parser_spark.textstats import token_entropy
+
+    d = spark.createDataFrame(
+        [(1, None), (2, "a a b")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r for r in token_entropy(d).collect()}
+    assert (
+        got[1]["n_tokens"],
+        got[1]["n_types"],
+        got[1]["ttr_permille"],
+        got[1]["entropy_bits"],
+    ) == (0, 0, 0, 0)
+    assert got[2]["n_tokens"] == 3

@@ -179,3 +179,49 @@ def test_stream_url_frontier_dedup_across_restarts(spark, tmp_path):
         spark, str(in_dir) + "/*", str(tmp_path / "out2"), ckpt
     ).collect()
     assert {r["doc_id"] for r in got2} == {"d4"}
+
+
+def test_default_port_strip_is_scheme_aware(spark):
+    """':80' is only redundant under http and ':443' only under
+    https — 'https://h:80/x' is a REAL distinct resource and must not
+    fold (round-5 review finding; the fold would silently drop a
+    document at dedup)."""
+    from two_tier_document_parser_spark.urlnorm import canonicalize
+
+    rows = [
+        (1, "http://h.net:80/x"),
+        (2, "https://h.net:443/x"),
+        (3, "https://h.net:80/x"),
+        (4, "http://h.net:443/x"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canon_url"] for r in canonicalize(d).collect()}
+    assert got[1] == "http://h.net/x"
+    assert got[2] == "https://h.net/x"
+    assert got[3] == "https://h.net:80/x"  # kept: not the default
+    assert got[4] == "http://h.net:443/x"
+
+
+def test_malformed_urls_canonicalize_to_null_not_shared_key(spark):
+    """Non-URL strings must not collapse onto one shared canonical
+    form (':///') — canon is NULL and url_dedup excludes them, so
+    junk rows never become 'duplicates' of each other."""
+    from two_tier_document_parser_spark.urlnorm import (
+        canonicalize,
+        url_dedup,
+    )
+
+    rows = [
+        (1, "not-a-url"),
+        (2, ""),
+        (3, "http://ok.net/x"),
+        (4, "also garbage"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r["canon_url"] for r in canonicalize(d).collect()}
+    assert got[1] is None and got[2] is None and got[4] is None
+    assert got[3] == "http://ok.net/x"
+    groups = url_dedup(d).collect()
+    assert [(g["canon_url"], g["n_docs"]) for g in groups] == [
+        ("http://ok.net/x", 1)
+    ]

@@ -411,6 +411,71 @@ def source_mixture_weights(
     )
 
 
+def range_rank(df: DataFrame, sort_cols: list, rank_name: str, partitions: int = 32) -> DataFrame:
+    """Exact 1-based global rank by `sort_cols` WITHOUT a
+    single-partition window — THE shared two-phase range-rank
+    machinery (the classic TeraSort shape) behind shuffle_rank,
+    regress.zipf_fit, and (in its per-group form) textstats.
+    ccnet_bucket:
+
+    1. `repartitionByRange` on the sort key (a sampling range
+       exchange, the ONLY data-sized shuffle), sortWithinPartitions,
+       localCheckpoint to pin partition contents across the passes.
+    2. A P-row per-partition count aggregate (bounded driver
+       collect) -> cumulative offsets; a narrow mapInArrow pass adds
+       offset + running position. No window, no hash exchange on a
+       partition id, no `Exchange SinglePartition` anywhere — the
+       plan a naive row_number() OVER (ORDER BY ...) produces and
+       the one thing that cannot survive 10^12 rows.
+
+    Returns df's columns plus `rank_name` (long). Ties are broken by
+    the sort key itself — pass a total order for determinism.
+    """
+    part = (
+        df.repartitionByRange(partitions, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .withColumn("_rr_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = {
+        r["_rr_pid"]: r["cnt"]
+        for r in part.groupBy("_rr_pid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    out_names = [c for c in part.columns if c != "_rr_pid"]
+    schema = ", ".join(
+        f"`{f.name}` {f.dataType.simpleString()}"
+        for f in part.schema.fields
+        if f.name != "_rr_pid"
+    ) + f", `{rank_name}` long"
+
+    def assign(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        pos = None
+        for b in batches:
+            if b.num_rows == 0:
+                continue
+            if pos is None:
+                pos = offsets.get(b.column("_rr_pid")[0].as_py(), 0)
+            rank = pa.array(
+                np.arange(pos + 1, pos + 1 + b.num_rows, dtype=np.int64)
+            )
+            pos += b.num_rows
+            yield pa.record_batch(
+                [b.column(n) for n in out_names] + [rank],
+                names=out_names + [rank_name],
+            )
+
+    return part.mapInArrow(assign, schema)
+
+
 def shuffle_rank(
     docs: DataFrame, seed: str = "42", partitions: int = 32
 ) -> DataFrame:
@@ -441,45 +506,11 @@ def shuffle_rank(
     key = F.md5(
         F.concat_ws("|", F.col("doc_id").cast("string"), F.lit(seed))
     )
-    part = (
-        docs.select(F.col("doc_id"), key.alias("shuffle_key"))
-        .repartitionByRange(partitions, "shuffle_key", "doc_id")
-        .sortWithinPartitions("shuffle_key", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in part.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    def assign(batches):
-        import numpy as np
-        import pyarrow as pa
-
-        pos = None
-        for b in batches:
-            if b.num_rows == 0:
-                continue
-            if pos is None:
-                pos = offsets.get(b.column("pid")[0].as_py(), 0)
-            order = pa.array(
-                np.arange(pos + 1, pos + 1 + b.num_rows, dtype=np.int64)
-            )
-            pos += b.num_rows
-            yield pa.record_batch(
-                [b.column("doc_id"), b.column("shuffle_key"), order],
-                names=["doc_id", "shuffle_key", "train_order"],
-            )
-
-    return part.mapInArrow(
-        assign, "doc_id long, shuffle_key string, train_order long"
+    return range_rank(
+        docs.select(F.col("doc_id"), key.alias("shuffle_key")),
+        ["shuffle_key", "doc_id"],
+        "train_order",
+        partitions,
     )
 
 

@@ -654,6 +654,11 @@ def _cff_code_map_inner(data: bytes) -> dict[int, str] | None:
         for gid in range(1, min(ncodes, nglyphs - 1) + 1):
             code_gid[data[q]] = gid
             q += 1
+        # a stale subset encoding may declare more codes than glyphs:
+        # the cursor must still skip the FULL code array or a
+        # following supplement block parses from the wrong offset
+        # (garbage mappings -> silent mojibake)
+        q += max(0, ncodes - (nglyphs - 1))
     elif base_fmt == 1:
         nranges = data[q]
         q += 1

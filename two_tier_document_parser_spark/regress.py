@@ -226,45 +226,11 @@ def zipf_fit(
         .groupBy("tok")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
-    part = (
-        vocab.repartitionByRange(
-            partitions, F.col("c").desc(), F.col("tok")
-        )
-        .sortWithinPartitions(F.col("c").desc(), "tok")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+    from .curation import range_rank
+
+    ranked = range_rank(
+        vocab, [F.col("c").desc(), F.col("tok")], "rank", partitions
     )
-    counts = {
-        r["pid"]: r["cnt"]
-        for r in part.groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    }
-    offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
-
-    def assign(batches):
-        import numpy as np
-        import pyarrow as pa
-
-        pos = None
-        for b in batches:
-            if b.num_rows == 0:
-                continue
-            if pos is None:
-                pos = offsets.get(b.column("pid")[0].as_py(), 0)
-            rank = pa.array(
-                np.arange(pos + 1, pos + 1 + b.num_rows, dtype=np.int64)
-            )
-            pos += b.num_rows
-            yield pa.record_batch(
-                [b.column("tok"), b.column("c"), rank],
-                names=["tok", "c", "rank"],
-            )
-
-    ranked = part.mapInArrow(assign, "tok string, c long, rank long")
     coords = ranked.select(
         (F.length(F.bin("rank")) - F.lit(1)).cast("long").alias("x"),
         (F.length(F.bin("c")) - F.lit(1)).cast("long").alias("y"),

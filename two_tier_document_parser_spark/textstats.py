@@ -848,9 +848,12 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Columns: doc_id, n_tokens, n_types, ttr_permille, entropy_bits.
     """
+    # coalesce first: a NULL text would propagate NULL through
+    # split/size and emit NULL stats, while the oracle's LEFT JOIN +
+    # COALESCE contract emits zeros — a NULL-text doc scores as empty
     ts = F.array_sort(
         F.filter(
-            F.split(F.lower(F.col(text_col)), r"\s+"),
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
             lambda x: x != F.lit(""),
         )
     )
@@ -899,6 +902,10 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, c: acc
         + c.cast("long")
         * (
+            # floor(n/c) in double == n DIV c exactly here: both are
+            # doc-sized ints far below 2^53, where IEEE division of
+            # exactly-representable integers floors exactly (a SQL
+            # `DIV` cannot reference the lambda variable c)
             F.length(F.bin(F.floor(F.col("n") / c).cast("long")))
             - F.lit(1)
         ).cast("long"),
@@ -908,7 +915,7 @@ def token_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.col("n").cast("long").alias("n_tokens"),
         F.size("starts").cast("long").alias("n_types"),
         F.when(F.col("n") == 0, F.lit(0))
-        .otherwise(F.floor(F.size("starts") * 1000 / F.col("n")))
+        .otherwise(F.expr("size(starts) * 1000 DIV n"))
         .cast("long")
         .alias("ttr_permille"),
         ent.alias("entropy_bits"),

@@ -106,7 +106,15 @@ def _canon_col(url: Column) -> Column:
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     host = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
     host = F.regexp_replace(host, r"^www\.", "")
-    host = F.regexp_replace(host, r":(80|443)$", "")
+    # default-port stripping is SCHEME-AWARE: only the port that is
+    # the scheme's own default is redundant ('https://h:80' is a
+    # real, distinct resource — folding it would break the module's
+    # only-provably-equivalent contract; round-5 review finding)
+    host = F.when(
+        scheme == F.lit("http"), F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == F.lit("https"), F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
     path = F.regexp_extract(url, _PATH_RE, 1)
     path = F.when(path == F.lit(""), F.lit("/")).otherwise(
         F.when(path == F.lit("/"), F.lit("/")).otherwise(
@@ -123,14 +131,20 @@ def _canon_col(url: Column) -> Column:
         & ~p.startswith("gclid="),
     )
     qs_c = F.array_join(F.sort_array(keep), "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(qs_c == F.lit(""), F.lit("")).otherwise(
-            F.concat(F.lit("?"), qs_c)
-        ),
+    # regexp_extract returns '' (not NULL) on no match: a non-URL
+    # string has scheme '' and would otherwise collapse every
+    # malformed row onto the single canon ':///', making unrelated
+    # junk rows "duplicates" of each other — NULL marks unparseable
+    return F.when(scheme == F.lit(""), F.lit(None)).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs_c == F.lit(""), F.lit("")).otherwise(
+                F.concat(F.lit("?"), qs_c)
+            ),
+        )
     )
 
 
@@ -150,9 +164,16 @@ def url_dedup(df: DataFrame, url_col: str = "url") -> DataFrame:
     the groups-only output is what the frontier-dedup join consumes
     (anti-join new fetches against keep_doc_id, dedup_incremental
     style)."""
-    return canonicalize(df, url_col).groupBy("canon_url").agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
-        F.min("doc_id").cast("long").alias("keep_doc_id"),
+    return (
+        canonicalize(df, url_col)
+        # unparseable rows (canon NULL) are quarantine territory,
+        # not dedup candidates — they must never group together
+        .filter(F.col("canon_url").isNotNull())
+        .groupBy("canon_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keep_doc_id"),
+        )
     )
 
 
@@ -171,18 +192,21 @@ def host_dup_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
     Spark plans it as the standard two-level partial-distinct expand
     (map-side (host, canon_url) dedup first), so the exchange carries
     distinct pairs, not rows; output is host-cardinality-sized."""
+    scheme = F.lower(F.regexp_extract(F.col(url_col), _SCHEME_RE, 1))
     host = F.regexp_replace(
-        F.regexp_replace(
-            F.lower(F.regexp_extract(F.col(url_col), _HOSTPORT_RE, 1)),
-            r"^www\.",
-            "",
-        ),
-        r":(80|443)$",
+        F.lower(F.regexp_extract(F.col(url_col), _HOSTPORT_RE, 1)),
+        r"^www\.",
         "",
     )
+    host = F.when(
+        scheme == F.lit("http"), F.regexp_replace(host, r":80$", "")
+    ).when(
+        scheme == F.lit("https"), F.regexp_replace(host, r":443$", "")
+    ).otherwise(host)
     return (
         canonicalize(df, url_col)
         .select(host.alias("host"), "canon_url")
+        .filter(F.col("canon_url").isNotNull())
         .groupBy("host")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_urls"),
