@@ -128,17 +128,18 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
     task #4: DCT payloads stopped using the hash stub), TIFF
     payloads (IFD tag parse, ccitt.py — the scanned-bilevel leg),
     JPEG-2000 payloads (JP2 ihdr box / raw-codestream SIZ, jpeg.py),
-    and JBIG2 payloads (page-info segment walk, ccitt.py) — the last
-    two are the r04 verdict's task #8: JPXDecode/JBIG2Decode streams
-    report true dimensions from their headers even though their
-    pixels stay compressed. Deterministic hash fallback only for
-    payloads with no image header at all. A production deployment
+    JBIG2 payloads (page-info segment walk, ccitt.py), GIF payloads
+    (logical-screen descriptor, gif.py) and WebP payloads (RIFF
+    VP8/VP8L/VP8X headers, webp.py). Deterministic hash fallback only
+    for payloads with no image header at all. A production deployment
     swaps the fallback for PIL/libvips/ffmpeg; the Arrow batching,
     schema, and partitioning around it are already the production
     shape."""
     from .ccitt import jbig2_dims, tiff_dims
+    from .gif import gif_dims
     from .jpeg import jp2_dims, jpeg_dims
     from .png import png_dims
+    from .webp import webp_dims
 
     payload = payload or b""
     dims = (
@@ -147,11 +148,43 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
         or tiff_dims(payload)
         or jp2_dims(payload)
         or jbig2_dims(payload)
+        or gif_dims(payload)
+        or webp_dims(payload)
     )
     if dims is not None:
         return dims
     h = hashlib.sha256(payload).digest()
     return 16 + h[0] % 64, 16 + h[1] % 64
+
+
+def decode_image_gray(raw: bytes) -> "np.ndarray | None":
+    """Shared pixel-decode dispatcher for the media kernels: PNG (all
+    still-image color types + Adam7), JPEG (SOF0/SOF1/SOF2), G4/MH
+    TIFF, JBIG2, JPEG-2000, GIF and lossless WebP (VP8L) payloads ->
+    (h, w) uint8 grayscale via the from-scratch codecs, or None when
+    no codec claims the payload (lossy-VP8 WebP, video, audio — the
+    honest fallback class)."""
+    from .ccitt import decode_tiff_g4
+    from .gif import decode_gif_gray
+    from .jbig2 import decode_jbig2_gray
+    from .jpeg import decode_jpeg_gray
+    from .jpeg2000 import decode_jp2_gray
+    from .png import decode_png_gray
+    from .webp import decode_webp_gray
+
+    for dec in (
+        decode_png_gray,
+        decode_jpeg_gray,
+        decode_tiff_g4,
+        decode_jbig2_gray,
+        decode_jp2_gray,
+        decode_gif_gray,
+        decode_webp_gray,
+    ):
+        pix = dec(raw)
+        if pix is not None:
+            return pix
+    return None
 
 
 RESIZED_SCHEMA = (
@@ -176,10 +209,12 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
     (ccitt.decode_tiff_g4 — from-scratch T.6 MMR, the scanned-bilevel
     leg of round-3 "what's missing" #2), JBIG2 generic-region
     payloads (jbig2.decode_jbig2_gray — from-scratch T.88 MQ coder),
-    and reversible JPEG-2000 payloads (jpeg2000.decode_jp2_gray —
+    reversible JPEG-2000 payloads (jpeg2000.decode_jp2_gray —
     from-scratch T.800 EBCOT + 5/3 lifting; with JBIG2 this closes
-    the round-4 "what's missing" #1 format families) the resample is
-    REAL: decode
+    the round-4 "what's missing" #1 format families), GIF payloads
+    (gif.decode_gif_gray — LZW + interlace + transparency) and
+    lossless-WebP payloads (webp.decode_webp_gray — VP8L prefix
+    codes + LZ77 + transforms) the resample is REAL: decode
     pixels, nearest-neighbor index-sample in numpy, and re-encode —
     the output payload is a PNG whose IHDR dims equal the reported
     (width, height). Remaining non-decodable payloads (no pixel
@@ -190,11 +225,7 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
     before base64 encoding."""
     import numpy as np
 
-    from .ccitt import decode_tiff_g4
-    from .jbig2 import decode_jbig2_gray
-    from .jpeg import decode_jpeg_gray
-    from .jpeg2000 import decode_jp2_gray
-    from .png import decode_png_gray, encode_png_gray
+    from .png import encode_png_gray
 
     def _target(w: int, h: int) -> tuple[int, int]:
         s = max(w, h)
@@ -207,15 +238,7 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
             ws, hs, payloads = [], [], []
             for p in b["payload"]:
                 raw = bytes(p) if p is not None else b""
-                pix = decode_png_gray(raw)
-                if pix is None:
-                    pix = decode_jpeg_gray(raw)
-                if pix is None:
-                    pix = decode_tiff_g4(raw)
-                if pix is None:
-                    pix = decode_jbig2_gray(raw)
-                if pix is None:
-                    pix = decode_jp2_gray(raw)
+                pix = decode_image_gray(raw)
                 if pix is not None:
                     h0, w0 = pix.shape
                     w, h = _target(w0, h0)
@@ -454,11 +477,12 @@ def media_dhash(media: DataFrame) -> DataFrame:
     accurate/service.py's first-seen id policy; dHash extends that
     from exact bytes to perceptual identity).
 
-    Decode is REAL for PNG / JPEG (baseline SOF0/SOF1 AND progressive
-    SOF2 — r05 task #3 closed the dominant web-JPEG gap) / G4-TIFF /
-    JBIG2 generic-region / reversible JPEG-2000 payloads (the
-    from-scratch codecs), with the same nearest-neighbor resample as
-    resize_media. Non-decodable payloads (no pixel
+    Decode is REAL for PNG (all still-image color types + Adam7) /
+    JPEG (baseline SOF0/SOF1 AND progressive SOF2 — r05 task #3
+    closed the dominant web-JPEG gap) / G4-TIFF / JBIG2
+    generic-region / reversible JPEG-2000 / GIF / lossless-WebP
+    payloads (the from-scratch codecs), with the same
+    nearest-neighbor resample as resize_media. Non-decodable payloads (no pixel
     semantics in this sandbox) fall back to a sha256-derived hash —
     exact-dup-only for those, flagged real_pixels=false so downstream
     policy can tell.
@@ -468,12 +492,6 @@ def media_dhash(media: DataFrame) -> DataFrame:
     never on pixels.
     """
     import numpy as np
-
-    from .ccitt import decode_tiff_g4
-    from .jbig2 import decode_jbig2_gray
-    from .jpeg import decode_jpeg_gray
-    from .jpeg2000 import decode_jp2_gray
-    from .png import decode_png_gray
 
     def _dhash(pix: "np.ndarray") -> int:
         h0, w0 = pix.shape
@@ -491,15 +509,7 @@ def media_dhash(media: DataFrame) -> DataFrame:
             hashes, real = [], []
             for p in b["payload"]:
                 raw = bytes(p) if p is not None else b""
-                pix = decode_png_gray(raw)
-                if pix is None:
-                    pix = decode_jpeg_gray(raw)
-                if pix is None:
-                    pix = decode_tiff_g4(raw)
-                if pix is None:
-                    pix = decode_jbig2_gray(raw)
-                if pix is None:
-                    pix = decode_jp2_gray(raw)
+                pix = decode_image_gray(raw)
                 if pix is not None and pix.size:
                     hashes.append(_dhash(pix))
                     real.append(True)
