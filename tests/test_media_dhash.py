@@ -266,3 +266,29 @@ def test_band_completeness_boundary(spark):
     assert ("x", "y8") not in pairs  # 1-per-band: no band agrees
     # y7 vs y8 differ in exactly 1 bit -> found
     assert pairs[("y7", "y8")] == 1
+
+
+def test_dhash_gif_and_webp_payloads(spark):
+    """r05: GIF and lossless-WebP payloads decode through gif.py /
+    webp.py and hash identically to the same pixels as PNG —
+    real_pixels=true for the last still-web-image families (JPEG and
+    PNG already covered; lossy VP8 stays the honest fallback)."""
+    from two_tier_document_parser_spark.gif import encode_gif_gray
+    from two_tier_document_parser_spark.webp import encode_webp_gray
+
+    img = ((np.add.outer(np.arange(20), np.arange(33)) * 11) % 241).astype(
+        np.uint8
+    )
+    df = _media(
+        spark,
+        [
+            ("g", "m", encode_gif_gray(img)),
+            ("gi", "m", encode_gif_gray(img, interlace=True)),
+            ("w", "m", encode_webp_gray(img)),
+            ("p", "m", encode_png_gray(img)),
+        ],
+    )
+    got = {r.doc_id: (r.dhash, r.real_pixels)
+           for r in media_dhash(df).collect()}
+    assert got["g"][1] is True and got["w"][1] is True
+    assert got["g"] == got["p"] == got["w"] == got["gi"]

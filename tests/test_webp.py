@@ -641,3 +641,16 @@ def test_garbage_safety():
         r = decode_webp_gray(bytes(buf))
         assert r is None or isinstance(r, np.ndarray)
         buf = bytearray(full)
+
+
+def test_package_encoder_roundtrip():
+    """The in-package minimal encoder (synth payloads) roundtrips
+    through the decoder bit-exactly."""
+    from two_tier_document_parser_spark.webp import encode_webp_gray
+
+    rng = np.random.default_rng(12)
+    for shape in [(1, 1), (8, 8), (33, 21), (100, 3)]:
+        px = rng.integers(0, 256, shape, np.uint8)
+        d = encode_webp_gray(px)
+        assert webp_dims(d) == (shape[1], shape[0])
+        assert np.array_equal(decode_webp_gray(d), px)
