@@ -2182,6 +2182,20 @@ def q_media_features(spark, sf_dir):
     return extract_media_features(_media_df(spark, sf_dir))
 
 
+def q_media_codec_roundtrip(spark, sf_dir):
+    """r05: the GIF / lossless-WebP / full-color-PNG codecs, proven
+    end-to-end against arithmetic: deterministic gradient images per
+    doc_id are ENCODED with the codec picked by doc_id % 3, the bytes
+    DECODED back through decode_image_gray, and the reported
+    width/height/sum/min/max come from the DECODED pixels — the
+    DuckDB oracle recomputes them from pure integer arithmetic, so
+    any codec defect breaks the value hash (encoder and decoder are
+    independent implementations per family)."""
+    from two_tier_document_parser_spark.multimodal import codec_roundtrip_stats
+
+    return codec_roundtrip_stats(_docs(spark, sf_dir))
+
+
 def q_media_frames(spark, sf_dir):
     from two_tier_document_parser_spark.multimodal import sample_frames
 
@@ -2513,6 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "binary_ingest": q_binary_ingest,
         "pipeline_documents": q_pipeline_documents,
+        "media_codec_roundtrip": q_media_codec_roundtrip,
     }
     ordered = {n: base[n] for n in _R05_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)
@@ -3292,6 +3307,7 @@ def oracle_sql() -> dict[str, str]:
         # full probe (n_probe = n_cells) => candidate set is the whole
         # table, so exact knn SQL is a true oracle for the IVF plan
         "knn_ivf": _knn_sql(),
+        "media_codec_roundtrip": _media_codec_roundtrip_sql(),
     }
 
 
@@ -3596,6 +3612,36 @@ SELECT CAST(doc_id AS VARCHAR) AS doc_id,
          AS height,
        TRUE AS feat_ok
 FROM documents
+"""
+
+
+def _media_codec_roundtrip_sql() -> str:
+    """Arithmetic replica of multimodal.codec_roundtrip_stats: the
+    gradient image pixel (y, x) is (doc_id + x + y) % 256 at dims
+    (8 + doc_id % 9, 8 + (doc_id // 9) % 9); Spark reports these
+    stats from pixels that round-tripped through the PNG/GIF/VP8L
+    byte codecs, DuckDB from pure integer arithmetic."""
+    return """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(8 + doc_id % 9 AS INT) AS width,
+         CAST(8 + (doc_id // 9) % 9 AS INT) AS height,
+         CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
+              WHEN 1 THEN 'gif' ELSE 'webp' END AS codec
+  FROM documents
+),
+px AS (
+  SELECT d.doc_id, d.codec, d.width, d.height,
+         (d.doc_id + xs.x + ys.y) % 256 AS v
+  FROM dims d,
+       UNNEST(range(d.width)) AS xs(x),
+       UNNEST(range(d.height)) AS ys(y)
+)
+SELECT doc_id, codec, width, height,
+       CAST(sum(v) AS BIGINT) AS pix_sum,
+       CAST(min(v) AS INT) AS pix_min,
+       CAST(max(v) AS INT) AS pix_max
+FROM px GROUP BY 1, 2, 3, 4
 """
 
 
