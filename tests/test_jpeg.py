@@ -846,3 +846,118 @@ def test_progressive_color_420_interleaved_dc_exact():
     assert prog is not None and base is not None
     assert prog.shape == (32, 32, 3)
     assert np.array_equal(prog, base)
+
+
+def encode_gray_jpeg12(img12: np.ndarray, qt: np.ndarray = QT_LUM) -> bytes:
+    """Extended-sequential (SOF1) 12-bit grayscale encoder: level
+    shift 2048, categories up to 15; same huffman machinery."""
+    h, w = img12.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.zeros((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img12
+    padded[h:, :w] = img12[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    blocks = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            g = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+            F = fdct_block(g)
+            q = np.round(F.flatten() / qt.reshape(8, 8).flatten()).astype(int)
+            blocks.append([int(q[z]) for z in ZZ])
+    dc_syms, ac_syms = set(), set()
+    pred = 0
+    stream = []
+    for zz in blocks:
+        diff = zz[0] - pred
+        pred = zz[0]
+        s, bits, _ = _magnitude(diff)
+        dc_syms.add(s)
+        stream.append((True, s, bits, s))
+        k = 1
+        while k < 64:
+            run = 0
+            while k < 64 and zz[k] == 0:
+                run += 1
+                k += 1
+            if k == 64:
+                ac_syms.add(0x00)
+                stream.append((False, 0x00, 0, 0))
+                break
+            while run > 15:
+                ac_syms.add(0xF0)
+                stream.append((False, 0xF0, 0, 0))
+                run -= 16
+            s, bits, _ = _magnitude(zz[k])
+            sym = (run << 4) | s
+            ac_syms.add(sym)
+            stream.append((False, sym, bits, s))
+            k += 1
+    dc_bits, dc_vals, dc_codes = _build_huff(dc_syms)
+    ac_bits, ac_vals, ac_codes = _build_huff(ac_syms)
+    out = bytearray(b"\xff\xd8")
+    zz_qt = bytes(int(qt[z]) for z in ZZ)
+    out += b"\xff\xdb" + (2 + 1 + 64).to_bytes(2, "big") + b"\x00" + zz_qt
+    sof = b"\x0c" + h.to_bytes(2, "big") + w.to_bytes(2, "big") + b"\x01"
+    sof += b"\x01\x11\x00"
+    out += b"\xff\xc1" + (2 + len(sof)).to_bytes(2, "big") + sof  # SOF1
+    for tc, (bits, vals) in ((0, (dc_bits, dc_vals)), (1, (ac_bits, ac_vals))):
+        body = bytes([tc << 4]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + (2 + len(body)).to_bytes(2, "big") + body
+    sos = b"\x01\x01\x00\x00\x3f\x00"
+    out += b"\xff\xda" + (2 + len(sos)).to_bytes(2, "big") + sos
+    bw = _BitWriter()
+    for is_dc, sym, bits, nbits in stream:
+        code, clen = (dc_codes if is_dc else ac_codes)[sym]
+        bw.put(code, clen)
+        if nbits:
+            bw.put(bits, nbits)
+    bw.flush()
+    out += bytes(bw.out) + b"\xff\xd9"
+    return bytes(out)
+
+
+def expected_gray12(img12: np.ndarray, qt: np.ndarray = QT_LUM) -> np.ndarray:
+    """Expected 8-bit output for a 12-bit payload: quant/dequant
+    roundtrip at 12-bit range, then >>4 (the decoder's downscale)."""
+    h, w = img12.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.zeros((ph, pw), dtype=np.float64)
+    padded[:h, :w] = img12
+    padded[h:, :w] = img12[-1:, :]
+    padded[:, w:] = padded[:, w - 1 : w]
+    out = np.zeros((ph, pw))
+    qtm = qt.reshape(8, 8).astype(float)
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            g = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 2048.0
+            F = np.round(fdct_block(g) / qtm) * qtm
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = idct_block(F)
+    rec = np.clip(np.round(out) + 2048, 0, 4095).astype(np.int32)[:h, :w]
+    return (rec >> 4).astype(np.uint8)
+
+
+def test_12bit_sequential_gray():
+    """SOF1 12-bit: decode matches the test-side double-sum
+    reconstruction exactly; SOF0 with precision 12 stays rejected."""
+    from two_tier_document_parser_spark.jpeg import decode_jpeg
+
+    rng = np.random.default_rng(21)
+    yy, xx = np.mgrid[0:24, 0:33]
+    img12 = np.clip(
+        1536 + 768 * np.sin(xx / 5.0) + 512 * np.cos(yy / 4.0)
+        + rng.integers(-64, 64, (24, 33)),
+        0, 4095,
+    ).astype(np.int32)
+    data = encode_gray_jpeg12(img12)
+    out = decode_jpeg(data)
+    assert out is not None and out.ndim == 2
+    assert np.array_equal(out, expected_gray12(img12))
+    # flat 12-bit image: exact value recovery (DC-only blocks)
+    flat = np.full((16, 16), 3000, np.int32)
+    outf = decode_jpeg(encode_gray_jpeg12(flat))
+    assert np.array_equal(outf, np.full((16, 16), 3000 >> 4, np.uint8))
+    # SOF0 must not accept precision 12
+    bad = bytearray(data)
+    i = bad.find(b"\xff\xc1")
+    bad[i + 1] = 0xC0
+    assert decode_jpeg(bytes(bad)) is None

@@ -6,8 +6,11 @@ PROGRESSIVE (SOF2) — the bulk of web JPEGs — plus extended
 sequential (SOF1), all through ONE generic scan engine.
 
 Scope (§8, Annex F sequential + Annex G progressive):
-- SOF0/SOF1 (sequential huffman) and SOF2 (progressive huffman),
-  8-bit samples,
+- SOF0/SOF1 (sequential huffman) and SOF2 (progressive huffman);
+  8-bit samples everywhere, plus 12-bit samples for SOF1/SOF2 (the
+  only frames T.81 table B.2 allows them in — level shift 2048,
+  range 0..4095, downscaled to the engine's 8-bit output by
+  dropping the 4 low bits after color conversion),
 - grayscale (1 component) and YCbCr (3 components) with arbitrary
   sampling factors (4:4:4, 4:2:0, 4:2:2 all fall out of the general
   Hi/Vi handling),
@@ -19,9 +22,8 @@ Scope (§8, Annex F sequential + Annex G progressive):
   (a baseline scan is just Ss=0, Se=63, Ah=Al=0),
 - DQT (8/16-bit), DHT redefinable between scans, DRI/RSTn restart
   intervals per scan, APPn/COM skip.
-Arithmetic coding, 12-bit, hierarchical and lossless processes stay
-out of scope and return None (callers keep their documented
-fallback).
+Arithmetic coding, hierarchical and lossless processes stay out of
+scope and return None (callers keep their documented fallback).
 
 Shape of the work: marker/header parse and the entropy decode are a
 per-symbol Python loop fed by a 16-bit-peek huffman lookup table
@@ -353,6 +355,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     w = h = 0
     hmax = vmax = mcux = mcuy = 0
     restart = 0
+    prec = 8
     i = 2
     n = len(data)
     saw_scan = False
@@ -397,8 +400,11 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
                 (huff_ac if tc else huff_dc)[th] = _Huff(bits, vals)
                 j += 17 + nv
         elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. seq. / progressive
-            if seg[0] != 8:
-                return None  # 12-bit out of scope
+            prec = seg[0]
+            # T.81: baseline (SOF0) is 8-bit only; extended sequential
+            # and progressive allow 12-bit (Annex B table B.2)
+            if prec != 8 and not (prec == 12 and m in (0xC1, 0xC2)):
+                return None
             h = int.from_bytes(seg[1:3], "big")
             w = int.from_bytes(seg[3:5], "big")
             nc = seg[5]
@@ -463,7 +469,13 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
     if not saw_scan or not comps or not w or not h:
         return None
 
-    # vectorized: dequant + dezigzag + IDCT + level shift per plane
+    # vectorized: dequant + dezigzag + IDCT + level shift per plane;
+    # level shift and clamp range follow the sample precision (T.81
+    # A.3.1: shift = 2^(P-1), range 0..2^P-1); 12-bit planes downscale
+    # to the engine's 8-bit output by dropping the 4 low bits at the
+    # very end (after color conversion).
+    mid = 1 << (prec - 1)
+    maxv = (1 << prec) - 1
     planes: list[np.ndarray] = []
     for ci, c in enumerate(comps):
         q = qt[c["q"]]
@@ -476,7 +488,7 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
         spatial = np.einsum(
             "kK,nKL,Ll->nkl", _C.T, blocks, _C, optimize=True
         )
-        spatial = np.clip(np.round(spatial) + 128, 0, 255).astype(np.uint8)
+        spatial = np.clip(np.round(spatial) + mid, 0, maxv).astype(np.int32)
         # grid order (by, bx): one transpose+reshape rebuilds the plane
         plane = (
             spatial.reshape(by_, bx_, 8, 8)
@@ -493,16 +505,18 @@ def _decode_jpeg_inner(data: bytes) -> np.ndarray | None:
             )
         planes.append(plane[:h, :w])
 
+    shift = prec - 8
     if len(planes) == 1:
-        return planes[0]
+        return (planes[0] >> shift).astype(np.uint8)
     y = planes[0].astype(np.float64)
-    cb = planes[1].astype(np.float64) - 128.0
-    cr = planes[2].astype(np.float64) - 128.0
+    cb = planes[1].astype(np.float64) - float(mid)
+    cr = planes[2].astype(np.float64) - float(mid)
     r = y + 1.402 * cr
     g = y - 0.344136 * cb - 0.714136 * cr
     b = y + 1.772 * cb
     rgb = np.stack([r, g, b], axis=2)
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    rgb = np.clip(np.round(rgb), 0, maxv).astype(np.int32)
+    return (rgb >> shift).astype(np.uint8)
 
 
 def _decode_scan(
