@@ -344,6 +344,9 @@ def main() -> int:
         "bloom_decontaminate",
         "iceberg_lite_roundtrip",
         "oov_rate",
+        # round-5 close: the web-image codec roundtrip (PNG/GIF/VP8L
+        # encode+decode per doc, oracle-backed)
+        "media_codec_roundtrip",
     ):
         timed(name, lambda n=name: qs[n](spark, sf_dir).count(), reps=2)
 

@@ -292,3 +292,29 @@ def test_dhash_gif_and_webp_payloads(spark):
            for r in media_dhash(df).collect()}
     assert got["g"][1] is True and got["w"][1] is True
     assert got["g"] == got["p"] == got["w"] == got["gi"]
+
+
+def test_dhash_baseline_tiff_payloads(spark):
+    """Baseline-TIFF strips (LZW-gray here) decode through
+    decode_tiff_gray and hash identically to the same pixels as
+    PNG — real_pixels=true for the non-CCITT scanner outputs too."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    from test_tiff_baseline import _write_tiff
+
+    img = ((np.add.outer(np.arange(18), np.arange(27)) * 13) % 229).astype(
+        np.uint8
+    )
+    df = _media(
+        spark,
+        [
+            ("t", "m", _write_tiff(img, comp=5)),
+            ("p", "m", encode_png_gray(img)),
+        ],
+    )
+    got = {r.doc_id: (r.dhash, r.real_pixels)
+           for r in media_dhash(df).collect()}
+    assert got["t"][1] is True
+    assert got["t"] == got["p"]

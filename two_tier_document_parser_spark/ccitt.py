@@ -635,3 +635,211 @@ def encode_g3_1d(
         # the opposite color ONLY when the transition list was empty
         # (all white handled by the single full-width code above)
     return bw.done()
+
+
+# ---------------------------------------------------------------------------
+# general TIFF strip decoding (TIFF 6.0 baseline beyond the CCITT
+# classes above): Compression 1 (none), 5 (TIFF-LZW: MSB-first,
+# early-change, optional horizontal predictor), 8/32946 (Deflate),
+# 32773 (PackBits), for 1-bit bilevel and 8-bit gray/RGB strips —
+# the uncompressed/LZW scans real scanners emit beside G4. RGB maps
+# to the engine's BT.601 integer luma like the other codecs.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4}
+
+
+def _tiff_tag_arrays(data: bytes) -> dict[int, list[int]] | None:
+    """First-IFD tags as value ARRAYS (BYTE/SHORT/LONG), reading
+    out-of-line arrays — StripOffsets/StripByteCounts/BitsPerSample
+    need more than the packed single value _tiff_tags returns."""
+    if len(data) < 12 or data[:4] not in (_TIFF_II, _TIFF_MM):
+        return None
+    end = "<" if data[:2] == b"II" else ">"
+    (ifd,) = struct.unpack_from(end + "I", data, 4)
+    if ifd + 2 > len(data):
+        return None
+    (n,) = struct.unpack_from(end + "H", data, ifd)
+    out: dict[int, list[int]] = {}
+    fmt = {1: "B", 3: "H", 4: "I"}
+    for i in range(n):
+        off = ifd + 2 + 12 * i
+        if off + 12 > len(data):
+            return None
+        tag, typ, cnt = struct.unpack_from(end + "HHI", data, off)
+        if typ not in fmt or cnt == 0:
+            continue
+        size = _TIFF_TYPE_SIZE[typ] * cnt
+        if size <= 4:
+            src = off + 8
+        else:
+            (src,) = struct.unpack_from(end + "I", data, off + 8)
+        if src + size > len(data):
+            return None
+        out[tag] = list(
+            struct.unpack_from(end + str(cnt) + fmt[typ], data, src)
+        )
+    return out
+
+
+def _tiff_lzw(data: bytes, expect: int) -> bytes | None:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, 8-bit roots,
+    Clear=256, EOI=257, EARLY code-width change (one code before the
+    table fills — the opposite convention from GIF)."""
+    out = bytearray()
+    prefix = [0] * 4096
+    suffix = bytearray(4096)
+    CLEAR, EOI = 256, 257
+    next_code, width = 258, 9
+    acc = nbits = 0
+    prev = -1
+    i, n = 0, len(data)
+    while len(out) < expect:
+        while nbits < width:
+            if i >= n:
+                return bytes(out[:expect]) if len(out) >= expect else None
+            acc = (acc << 8) | data[i]
+            nbits += 8
+            i += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == CLEAR:
+            next_code, width = 258, 9
+            prev = -1
+            continue
+        if code == EOI:
+            if len(out) < expect:
+                return None
+            break
+        if prev < 0:
+            if code > 255:
+                return None
+            out.append(code)
+            prev = code
+            continue
+        if code > next_code:
+            return None
+        probe = prev if code == next_code else code
+        stack = bytearray()
+        while probe >= 258:
+            stack.append(suffix[probe])
+            probe = prefix[probe]
+        stack.append(probe)
+        first = probe
+        if code == next_code:
+            stack.insert(0, first)
+        out.extend(reversed(stack))
+        if next_code < 4096:
+            prefix[next_code] = prev
+            suffix[next_code] = first
+            next_code += 1
+            # EARLY change, decoder side: the decoder's table lags the
+            # encoder's by one entry, so it must widen one entry
+            # earlier than the encoder's (1<<width)-1 threshold
+            if next_code == (1 << width) - 2 and width < 12:
+                width += 1
+        prev = code
+    return bytes(out[:expect])
+
+
+def _packbits(data: bytes, expect: int) -> bytes | None:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1 bytes
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # repeat next byte 257-c times
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # 128: no-op
+    return bytes(out[:expect]) if len(out) >= expect else None
+
+
+def decode_tiff_gray(data: bytes) -> np.ndarray | None:
+    """Baseline-TIFF strips -> (h, w) uint8 grayscale, or None.
+    Compression 1/5/8/32773/32946; 1-bit bilevel (photometric 0/1)
+    and 8-bit gray/RGB (SamplesPerPixel 1/3, optional horizontal
+    predictor for LZW/Deflate); multi-strip via RowsPerStrip. CCITT
+    compressions (2/4) stay with decode_tiff_g4."""
+    import zlib as _z
+
+    data = bytes(data or b"")
+    tags = _tiff_tag_arrays(data)
+    if not tags:
+        return None
+    comp = tags.get(259, [1])[0]
+    if comp not in (1, 5, 8, 32773, 32946):
+        return None
+    w = tags.get(256, [0])[0]
+    h = tags.get(257, [0])[0]
+    bps = tags.get(258, [1])
+    spp = tags.get(277, [1])[0]
+    photometric = tags.get(262, [1])[0]
+    predictor = tags.get(317, [1])[0]
+    offs = tags.get(273)
+    cnts = tags.get(279)
+    rps = tags.get(278, [h])[0] or h
+    if not w or not h or not offs or not cnts or len(offs) != len(cnts):
+        return None
+    if spp not in (1, 3) or any(b != bps[0] for b in bps):
+        return None
+    depth = bps[0]
+    if (depth, spp) not in ((1, 1), (8, 1), (8, 3)):
+        return None
+    if w * h > (1 << 26):  # bomb guard, as gif/webp
+        return None
+    rowbytes = (w * depth * spp + 7) // 8
+    rows = []
+    for si, (off, cnt) in enumerate(zip(offs, cnts)):
+        if off + cnt > len(data):
+            return None
+        strip = data[off : off + cnt]
+        nrows = min(rps, h - si * rps)
+        if nrows <= 0:
+            return None
+        expect = rowbytes * nrows
+        if comp == 1:
+            raw = strip[:expect] if len(strip) >= expect else None
+        elif comp == 5:
+            raw = _tiff_lzw(strip, expect)
+        elif comp == 32773:
+            raw = _packbits(strip, expect)
+        else:  # 8 / 32946: zlib
+            try:
+                raw = _z.decompress(strip)[:expect]
+                if len(raw) < expect:
+                    raw = None
+            except _z.error:
+                raw = None
+        if raw is None:
+            return None
+        arr = np.frombuffer(raw, np.uint8).reshape(nrows, rowbytes)
+        if predictor == 2 and depth == 8:
+            # horizontal differencing: per-sample prefix sum
+            arr = (
+                arr.reshape(nrows, w, spp)
+                .astype(np.int32)
+                .cumsum(axis=1) % 256
+            ).astype(np.uint8).reshape(nrows, rowbytes)
+        rows.append(arr)
+    plane = np.concatenate(rows, axis=0)
+    if plane.shape[0] != h:
+        return None
+    if depth == 1:
+        bits = np.unpackbits(plane, axis=1)[:, :w]
+        # photometric 0 = WhiteIsZero: bit 1 is black
+        if photometric == 0:
+            return np.where(bits == 1, 0, 255).astype(np.uint8)
+        return np.where(bits == 1, 255, 0).astype(np.uint8)
+    if spp == 1:
+        g = plane[:, :w]
+        return (255 - g) if photometric == 0 else g
+    rgb = plane.reshape(h, w, 3).astype(np.int64)
+    return (
+        (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+    ).astype(np.uint8)

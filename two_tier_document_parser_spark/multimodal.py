@@ -159,12 +159,13 @@ def _decode_stub(payload: bytes) -> tuple[int, int]:
 
 def decode_image_gray(raw: bytes) -> "np.ndarray | None":
     """Shared pixel-decode dispatcher for the media kernels: PNG (all
-    still-image color types + Adam7), JPEG (SOF0/SOF1/SOF2), G4/MH
-    TIFF, JBIG2, JPEG-2000, GIF and lossless WebP (VP8L) payloads ->
+    still-image color types + Adam7), JPEG (SOF0/SOF1/SOF2, 8/12-bit),
+    TIFF (G4/MH CCITT plus baseline none/LZW/PackBits/Deflate strips),
+    JBIG2, JPEG-2000, GIF and lossless WebP (VP8L) payloads ->
     (h, w) uint8 grayscale via the from-scratch codecs, or None when
     no codec claims the payload (lossy-VP8 WebP, video, audio — the
     honest fallback class)."""
-    from .ccitt import decode_tiff_g4
+    from .ccitt import decode_tiff_g4, decode_tiff_gray
     from .gif import decode_gif_gray
     from .jbig2 import decode_jbig2_gray
     from .jpeg import decode_jpeg_gray
@@ -176,6 +177,7 @@ def decode_image_gray(raw: bytes) -> "np.ndarray | None":
         decode_png_gray,
         decode_jpeg_gray,
         decode_tiff_g4,
+        decode_tiff_gray,
         decode_jbig2_gray,
         decode_jp2_gray,
         decode_gif_gray,
