@@ -1170,3 +1170,30 @@ def test_wholestage_codegen_covers_hot_aggregate(spark):
     for bad in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
                 "PythonUDF"):
         assert bad not in plan, plan
+
+
+def test_codec_roundtrip_plan_is_map_only(spark):
+    """codec_roundtrip_stats (the PNG/GIF/VP8L oracle-backed proof)
+    must stay a single map-only Arrow pass: no Exchange anywhere —
+    at 10^12 docs the kernel parallelizes purely by input split."""
+    from pyspark.sql import functions as F
+
+    from two_tier_document_parser_spark.multimodal import (
+        codec_roundtrip_stats,
+    )
+
+    docs = spark.range(0, 64).select(F.col("id").alias("doc_id"))
+    out = codec_roundtrip_stats(docs)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    # and the values it would report are the decoded-pixel stats
+    rows = {r.doc_id: r for r in out.collect()}
+    import numpy as np
+
+    for d in (0, 1, 2, 17):
+        w0, h0 = 8 + d % 9, 8 + (d // 9) % 9
+        img = (d + np.add.outer(np.arange(h0), np.arange(w0))) % 256
+        r = rows[d]
+        assert (r.width, r.height) == (w0, h0)
+        assert r.pix_sum == int(img.sum())
+        assert r.codec == ("png", "gif", "webp")[d % 3]
