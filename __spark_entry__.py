@@ -2335,7 +2335,7 @@ _R05_WINDOW = [
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
-    "encode_tokens", "bucketed_join", "token_commonness",
+    "encode_tokens", "bucketed_join", "media_codec_roundtrip",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # curate, winnow_fingerprints, length_quantiles,
     # pivot_source_lang, sample_docs, lang_except, cube_lang_source,
@@ -2489,7 +2489,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_incremental": q_dedup_incremental,
         "encode_tokens": q_encode_tokens,
         "bucketed_join": q_bucketed_join,
-        "token_commonness": q_token_commonness,
+        "media_codec_roundtrip": q_media_codec_roundtrip,
         "snapshot_diff": q_snapshot_diff,
         "props_rollup": q_props_rollup,
         "min_cost_supplier": q_min_cost_supplier,
@@ -2527,7 +2527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "binary_ingest": q_binary_ingest,
         "pipeline_documents": q_pipeline_documents,
-        "media_codec_roundtrip": q_media_codec_roundtrip,
+        "token_commonness": q_token_commonness,
     }
     ordered = {n: base[n] for n in _R05_WINDOW}
     ordered.update((n, f) for n, f in base.items() if n not in ordered)

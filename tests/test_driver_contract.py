@@ -78,7 +78,7 @@ EXPECTED_WINDOW_50 = [
     "pdf_ingest", "html_ingest", "media_features", "media_frames",
     "knn_lsh", "knn_ivf", "emb_near_dups_lsh", "dedup_components_star",
     "simhash", "shuffle_rank", "profile_columns", "dedup_incremental",
-    "encode_tokens", "bucketed_join", "token_commonness",
+    "encode_tokens", "bucketed_join", "media_codec_roundtrip",
     "zipf_fit", "token_entropy", "host_dup_stats",
     # The six late-r05 evaluation/overlap additions (model
     # AUC/calibration, source-vocab Jaccard, containment pairs,
@@ -93,7 +93,11 @@ EXPECTED_WINDOW_50 = [
     # iceberg-lite entries displaced sketch_quantiles,
     # sketch_distinct_hll, incremental_agg, funnel_counts,
     # min_cost_supplier and props_rollup (all r03 driver-green);
-    # oov_rate then displaced snapshot_diff (r03 driver-green).
+    # oov_rate then displaced snapshot_diff (r03 driver-green);
+    # finally the round-close codec proof media_codec_roundtrip
+    # (PNG/GIF/VP8L decode vs an arithmetic DuckDB oracle) displaced
+    # token_commonness (r03 driver-green, still parity-run locally) —
+    # first-attestation priority, as every round.
 ]
 
 
