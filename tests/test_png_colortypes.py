@@ -199,3 +199,13 @@ def test_garbage_safety():
         r = decode_png_gray(bytes(buf))
         assert r is None or isinstance(r, np.ndarray)
         buf = bytearray(full)
+
+
+def test_empty_plte_returns_none():
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    data = (
+        PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"PLTE", b"")
+        + _chunk(b"IDAT", zlib.compress(b"\x00\x00\x01"))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png_gray(data) is None

@@ -144,7 +144,7 @@ def _samples_to_gray(
     integer BT.601; alpha composites over white; palette + tRNS per
     spec §11.3.2; 16-bit uses the high byte."""
     if ctype == 3:
-        if palette is None:
+        if palette is None or not len(palette):
             return None
         idx = np.clip(px, 0, len(palette) - 1)
         rgb = palette[idx].astype(np.int32)
