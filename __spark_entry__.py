@@ -3629,6 +3629,7 @@ WITH dims AS (
          CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'png'
               WHEN 1 THEN 'gif' ELSE 'webp' END AS codec
   FROM documents
+  WHERE doc_id IS NOT NULL
 ),
 px AS (
   SELECT d.doc_id, d.codec, d.width, d.height,

@@ -646,6 +646,8 @@ def codec_roundtrip_stats(documents: DataFrame) -> DataFrame:
                 rows["pix_max"].append(int(pix.max()))
             yield pd.DataFrame(rows)
 
-    return documents.select("doc_id").mapInPandas(
-        run, schema=CODEC_STATS_SCHEMA
+    return (
+        documents.select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+        .mapInPandas(run, schema=CODEC_STATS_SCHEMA)
     )
