@@ -268,3 +268,90 @@ def test_jbig2_dims_rejects_non_jbig2_and_striped():
     assert jbig2_dims(b"Lorem ipsum dolor sit amet " * 3) is None
     # striped page of unknown height must NOT report a fake height
     assert jbig2_dims(_jbig2_page_info(640, 0xFFFFFFFF)) is None
+
+
+def test_g3_2d_mixed_round_trips():
+    """T.4 mixed 2-D (K>0): per-line EOL + tag bit, 1-D every k-th
+    line, 2-D against the previous line otherwise."""
+    from two_tier_document_parser_spark.ccitt import (
+        decode_g3_2d,
+        encode_g3_2d,
+    )
+
+    rng = np.random.default_rng(13)
+    for shape in [(1, 8), (5, 17), (20, 64), (33, 100)]:
+        for k in (1, 2, 4, 8):
+            for ba in (False, True):
+                pix = (rng.integers(0, 4, shape) == 0).astype(np.uint8)
+                enc = encode_g3_2d(pix, k=k, byte_align=ba)
+                dec = decode_g3_2d(
+                    enc, columns=shape[1], rows=shape[0], byte_align=ba
+                )
+                assert np.array_equal(dec, pix), (shape, k, ba)
+    # rows=None terminates on the RTC (six EOL+1)
+    pat = np.zeros((30, 80), np.uint8)
+    pat[5:25, 10:70] = 1
+    dec = decode_g3_2d(encode_g3_2d(pat, k=2), columns=80)
+    assert np.array_equal(dec, pat)
+
+
+def test_g3_2d_truncation_and_garbage():
+    from two_tier_document_parser_spark.ccitt import (
+        decode_g3_2d,
+        encode_g3_2d,
+    )
+
+    pat = np.zeros((12, 40), np.uint8)
+    pat[2:10, 5:35] = 1
+    enc = encode_g3_2d(pat, k=2)
+    import pytest as _pytest
+
+    for cut in (3, 10, len(enc) // 2):
+        with _pytest.raises(ValueError):
+            decode_g3_2d(enc[:cut], 40, 12)
+    assert decode_g3_2d(b"", 40).shape == (0, 40)
+    rng = np.random.default_rng(14)
+    buf = bytearray(enc)
+    for _ in range(150):
+        i = int(rng.integers(0, len(buf)))
+        buf[i] ^= 1 << int(rng.integers(0, 8))
+        try:
+            r = decode_g3_2d(bytes(buf), 40, 12)
+            assert r.shape == (12, 40)
+        except ValueError:
+            pass
+        buf = bytearray(enc)
+
+
+def test_tiff_compression3_2d():
+    """TIFF Compression=3 with T4Options bit 0 (2-D) routes through
+    decode_g3_2d; bilevel pixels equal the source."""
+    import struct as _struct
+
+    from two_tier_document_parser_spark.ccitt import (
+        decode_tiff_g4,
+        encode_g3_2d,
+    )
+
+    rng = np.random.default_rng(15)
+    pix = (rng.integers(0, 3, (14, 33)) == 0).astype(np.uint8)
+    payload = encode_g3_2d(pix, k=4)
+    # little-endian single-strip TIFF, comp 3, T4Options=1,
+    # photometric 0 (WhiteIsZero)
+    tags = [
+        (256, 3, 1, 33), (257, 3, 1, 14), (259, 3, 1, 3),
+        (262, 3, 1, 0), (273, 4, 1, 0), (278, 3, 1, 14),
+        (279, 4, 1, len(payload)), (292, 4, 1, 1),
+    ]
+    ifd_off = 8
+    strip_off = ifd_off + 2 + 12 * len(tags) + 4
+    out = b"II*\x00" + _struct.pack("<I", ifd_off)
+    out += _struct.pack("<H", len(tags))
+    for tag, typ, cnt, val in tags:
+        if tag == 273:
+            val = strip_off
+        out += _struct.pack("<HHII", tag, typ, cnt, val)
+    out += b"\x00" * 4 + payload
+    gray = decode_tiff_g4(out)
+    assert gray is not None
+    assert np.array_equal(gray, np.where(pix == 1, 0, 255))

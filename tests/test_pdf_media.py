@@ -346,3 +346,28 @@ def test_spark_media_table(spark):
         media.select("doc_id", "media_ref", "kind", "payload")
     ).collect()
     assert len(dh) == 24 and all(r.real_pixels for r in dh)
+
+
+def test_ccitt_k_positive_mixed_2d():
+    """CCITTFaxDecode with /K > 0 (T.4 mixed 2-D) decodes to real
+    pixels instead of the opaque fallback."""
+    from two_tier_document_parser_spark.ccitt import encode_g3_2d
+
+    rng = np.random.default_rng(31)
+    w, h = 26, 11
+    pix = (rng.integers(0, 3, (h, w)) == 0).astype(np.uint8)
+    payload = encode_g3_2d(pix, k=2)
+    extra = (
+        b"/Width %d /Height %d /ColorSpace /DeviceGray"
+        b" /BitsPerComponent 1 /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K 2 /Columns %d /Rows %d >>" % (w, h, w, h)
+    )
+    rows = _pdf_media_inner(build_pdf([(extra, payload)]))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["codec"] == "ccitt"
+    assert (r["width"], r["height"]) == (w, h)
+    assert np.array_equal(
+        decode_png_gray(r["payload"]),
+        np.where(pix == 1, 0, 255).astype(np.uint8),
+    )

@@ -180,6 +180,101 @@ def _read_run(br: _Bits, white: bool) -> int:
             return total
 
 
+class _LineTruncated(EOFError):
+    """Stream ran out inside a line; .progress says whether any
+    pixels/modes were consumed (False = trailing pad, not a line)."""
+
+    def __init__(self, progress: bool) -> None:
+        super().__init__()
+        self.progress = progress
+
+
+def _line_to_ref(line: np.ndarray, columns: int) -> np.ndarray:
+    """Changing-element positions of `line`, padded with sentinel
+    `columns` entries — the reference array the NEXT 2-D line codes
+    against."""
+    chg = np.flatnonzero(
+        np.diff(np.concatenate(([0], line))).astype(np.int8) != 0
+    )
+    return np.concatenate((chg.astype(np.int64), [columns, columns]))
+
+
+def _decode_2d_line(
+    br: "_Bits", ref_chg: np.ndarray, columns: int
+) -> np.ndarray:
+    """One T.6/T.4 two-dimensional coded line against the reference
+    transitions. Raises _LineTruncated on stream end, ValueError on
+    malformed codes."""
+    line = np.zeros(columns, dtype=np.uint8)
+    a0 = -1
+    white = True
+    cur: list[int] = []
+    # progress guard: a VALID line emits at most one mode per
+    # changing element (<= columns + slack); malformed input can
+    # oscillate vertical modes without advancing a0 — that must
+    # be an error, never a hang (the ingest contract is
+    # quarantine-in-band, and a stuck executor is unquarantinable)
+    steps = 0
+    max_steps = 2 * columns + 16
+    try:
+        while a0 < columns:
+            steps += 1
+            if steps > max_steps:
+                raise ValueError("2-D line makes no progress")
+            # b1: first reference transition right of a0 whose
+            # parity matches the current color (even index =
+            # white->black transition, line starts white)
+            start = int(np.searchsorted(ref_chg, a0, side="right"))
+            idx = start + ((start & 1) ^ (0 if white else 1))
+            b1 = int(ref_chg[idx]) if idx < len(ref_chg) else columns
+            b2 = int(ref_chg[idx + 1]) if idx + 1 < len(ref_chg) else columns
+            # mode decision tree
+            if br.read():
+                mode = "V0"
+            else:
+                if br.read():  # 01x
+                    mode = "VR1" if br.read() else "VL1"
+                elif br.read():  # 001
+                    mode = "H"
+                elif br.read():  # 0001
+                    mode = "P"
+                else:  # 0000 0..
+                    if br.read():
+                        mode = "VR2" if br.read() else "VL2"
+                    elif br.read():
+                        mode = "VR3" if br.read() else "VL3"
+                    else:
+                        raise ValueError("EOL/garbage inside 2-D line")
+            if mode == "P":
+                if not white:
+                    line[max(a0, 0) : b2] = 1
+                a0 = b2
+            elif mode == "H":
+                s = max(a0, 0)
+                r1 = _read_run(br, white)
+                r2 = _read_run(br, not white)
+                a1 = min(s + r1, columns)
+                a2 = min(a1 + r2, columns)
+                if not white:
+                    line[s:a1] = 1
+                else:
+                    line[a1:a2] = 1
+                cur.extend((a1, a2))
+                a0 = a2
+            else:
+                delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
+                         "VL1": -1, "VL2": -2, "VL3": -3}[mode]
+                a1 = min(max(b1 + delta, 0), columns)
+                if not white:
+                    line[max(a0, 0) : a1] = 1
+                cur.append(a1)
+                a0 = a1
+                white = not white
+    except EOFError:
+        raise _LineTruncated(bool(cur) or bool(line.any())) from None
+    return line
+
+
 def decode_g4(
     data: bytes, columns: int, rows: int | None = None
 ) -> np.ndarray:
@@ -190,90 +285,21 @@ def decode_g4(
         raise ValueError("columns must be positive")
     br = _Bits(data)
     out: list[np.ndarray] = []
-    # reference transitions: positions where color changes, padded
-    # with sentinel `columns` entries; the imaginary line above the
-    # first is all white (no transitions)
+    # the imaginary line above the first is all white (no transitions)
     ref_chg = np.array([columns, columns], dtype=np.int64)
     while rows is None or len(out) < rows:
         if br.pos >= br.n:
             break
         if br.peek_str(24) == _EOL + _EOL:
             break
-        line = np.zeros(columns, dtype=np.uint8)
-        a0 = -1
-        white = True
-        cur: list[int] = []
-        # progress guard: a VALID line emits at most one mode per
-        # changing element (<= columns + slack); malformed input can
-        # oscillate vertical modes without advancing a0 — that must
-        # be an error, never a hang (the ingest contract is
-        # quarantine-in-band, and a stuck executor is unquarantinable)
-        steps = 0
-        max_steps = 2 * columns + 16
         try:
-            while a0 < columns:
-                steps += 1
-                if steps > max_steps:
-                    raise ValueError("G4 line makes no progress")
-                # b1: first reference transition right of a0 whose
-                # parity matches the current color (even index =
-                # white->black transition, line starts white)
-                start = int(np.searchsorted(ref_chg, a0, side="right"))
-                idx = start + ((start & 1) ^ (0 if white else 1))
-                b1 = int(ref_chg[idx]) if idx < len(ref_chg) else columns
-                b2 = int(ref_chg[idx + 1]) if idx + 1 < len(ref_chg) else columns
-                # mode decision tree
-                if br.read():
-                    mode = "V0"
-                else:
-                    if br.read():  # 01x
-                        mode = "VR1" if br.read() else "VL1"
-                    elif br.read():  # 001
-                        mode = "H"
-                    elif br.read():  # 0001
-                        mode = "P"
-                    else:  # 0000 0..
-                        if br.read():
-                            mode = "VR2" if br.read() else "VL2"
-                        elif br.read():
-                            mode = "VR3" if br.read() else "VL3"
-                        else:
-                            raise ValueError("EOL/garbage inside G4 line")
-                if mode == "P":
-                    if not white:
-                        line[max(a0, 0) : b2] = 1
-                    a0 = b2
-                elif mode == "H":
-                    s = max(a0, 0)
-                    r1 = _read_run(br, white)
-                    r2 = _read_run(br, not white)
-                    a1 = min(s + r1, columns)
-                    a2 = min(a1 + r2, columns)
-                    if not white:
-                        line[s:a1] = 1
-                    else:
-                        line[a1:a2] = 1
-                    cur.extend((a1, a2))
-                    a0 = a2
-                else:
-                    delta = {"V0": 0, "VR1": 1, "VR2": 2, "VR3": 3,
-                             "VL1": -1, "VL2": -2, "VL3": -3}[mode]
-                    a1 = min(max(b1 + delta, 0), columns)
-                    if not white:
-                        line[max(a0, 0) : a1] = 1
-                    cur.append(a1)
-                    a0 = a1
-                    white = not white
-        except EOFError:
-            if not cur and not line.any():
+            line = _decode_2d_line(br, ref_chg, columns)
+        except _LineTruncated as e:
+            if not e.progress:
                 break  # trailing pad bits, not a real line
             raise ValueError("truncated G4 data") from None
         out.append(line)
-        chg = np.flatnonzero(np.diff(np.concatenate(([0], line)))
-                             .astype(np.int8) != 0)
-        ref_chg = np.concatenate(
-            (chg.astype(np.int64), [columns, columns])
-        )
+        ref_chg = _line_to_ref(line, columns)
     if rows is not None and len(out) != rows:
         raise ValueError(f"G4 stream ended at {len(out)}/{rows} rows")
     if not out:
@@ -329,41 +355,48 @@ def encode_g4(pix: np.ndarray, eofb: bool = True) -> bytes:
     bw = _BitWriter()
     ref_chg = np.array([w, w], dtype=np.int64)
     for y in range(h):
-        line = pix[y]
-        chg = np.flatnonzero(
-            np.diff(np.concatenate(([0], line))).astype(np.int8) != 0
-        )
-        cur_chg = np.concatenate((chg.astype(np.int64), [w, w]))
-        a0 = -1
-        white = True
-        ci = 0  # index of a1 in cur_chg
-        while a0 < w:
-            start = int(np.searchsorted(ref_chg, a0, side="right"))
-            idx = start + ((start & 1) ^ (0 if white else 1))
-            b1 = int(ref_chg[idx]) if idx < len(ref_chg) else w
-            b2 = int(ref_chg[idx + 1]) if idx + 1 < len(ref_chg) else w
-            a1 = int(cur_chg[ci]) if ci < len(cur_chg) else w
-            if b2 < a1:
-                bw.write("0001")  # pass
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                bw.write({0: "1", 1: "011", 2: "000011", 3: "0000011",
-                          -1: "010", -2: "000010", -3: "0000010"}[a1 - b1])
-                a0 = a1
-                ci += 1
-                white = not white
-            else:
-                a2 = int(cur_chg[ci + 1]) if ci + 1 < len(cur_chg) else w
-                s = max(a0, 0)
-                bw.write("001")
-                bw.write(_run_code(a1 - s, white))
-                bw.write(_run_code(a2 - a1, not white))
-                a0 = a2
-                ci += 2
-        ref_chg = cur_chg
+        ref_chg = _encode_2d_line(bw, pix[y], ref_chg, w)
     if eofb:
         bw.write(_EOL + _EOL)
     return bw.done()
+
+
+def _encode_2d_line(
+    bw: "_BitWriter", line: np.ndarray, ref_chg: np.ndarray, w: int
+) -> np.ndarray:
+    """Emit one 2-D coded line against `ref_chg`; returns this line's
+    changing elements (the next line's reference)."""
+    chg = np.flatnonzero(
+        np.diff(np.concatenate(([0], line))).astype(np.int8) != 0
+    )
+    cur_chg = np.concatenate((chg.astype(np.int64), [w, w]))
+    a0 = -1
+    white = True
+    ci = 0  # index of a1 in cur_chg
+    while a0 < w:
+        start = int(np.searchsorted(ref_chg, a0, side="right"))
+        idx = start + ((start & 1) ^ (0 if white else 1))
+        b1 = int(ref_chg[idx]) if idx < len(ref_chg) else w
+        b2 = int(ref_chg[idx + 1]) if idx + 1 < len(ref_chg) else w
+        a1 = int(cur_chg[ci]) if ci < len(cur_chg) else w
+        if b2 < a1:
+            bw.write("0001")  # pass
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            bw.write({0: "1", 1: "011", 2: "000011", 3: "0000011",
+                      -1: "010", -2: "000010", -3: "0000010"}[a1 - b1])
+            a0 = a1
+            ci += 1
+            white = not white
+        else:
+            a2 = int(cur_chg[ci + 1]) if ci + 1 < len(cur_chg) else w
+            s = max(a0, 0)
+            bw.write("001")
+            bw.write(_run_code(a1 - s, white))
+            bw.write(_run_code(a2 - a1, not white))
+            a0 = a2
+            ci += 2
+    return cur_chg
 
 
 # ---------------------------------------------------------------------------
@@ -519,7 +552,7 @@ def decode_tiff_g4(data: bytes) -> np.ndarray | None:
     documented fallback)."""
     data = bytes(data or b"")
     tags = _tiff_tags(data)
-    if not tags or tags.get(259) not in (2, 4):
+    if not tags or tags.get(259) not in (2, 3, 4):
         return None
     w, h = tags.get(256), tags.get(257)
     off, cnt = tags.get(273), tags.get(279)
@@ -531,6 +564,18 @@ def decode_tiff_g4(data: bytes) -> np.ndarray | None:
         strip = data[off : off + cnt]
         if tags[259] == 4:
             bits = decode_g4(strip, columns=w, rows=h)
+        elif tags[259] == 3:
+            # T4Options (tag 292): bit 0 = 2-D mixed coding, bit 2 =
+            # fill bits so EOLs land byte-aligned
+            t4 = tags.get(292, 0)
+            if t4 & 1:
+                bits = decode_g3_2d(
+                    strip, columns=w, rows=h, byte_align=bool(t4 & 4)
+                )
+            else:
+                bits = decode_g3_1d(
+                    strip, columns=w, rows=h, byte_align=bool(t4 & 4)
+                )
         else:
             bits = decode_g3_1d(strip, columns=w, rows=h, byte_align=True)
     except (ValueError, EOFError):
@@ -571,31 +616,15 @@ def decode_g3_1d(
             break
         if br.pos >= br.n:
             break
-        line = np.zeros(columns, dtype=np.uint8)
-        pos = 0
-        white = True
-        # progress guard: crafted zero-length run pairs (white-0,
-        # black-0, ...) never advance pos — error, never a hang
-        steps = 0
-        max_steps = 2 * columns + 16
         try:
-            while pos < columns:
-                steps += 1
-                if steps > max_steps:
-                    raise ValueError("G3 line makes no progress")
-                run = _read_run(br, white)
-                end = min(pos + run, columns)
-                if not white:
-                    line[pos:end] = 1
-                pos = end
-                white = not white
-        except EOFError:
-            if pos == 0:
+            line = _decode_1d_line(br, columns)
+        except _LineTruncated as e:
+            if not e.progress:
                 break  # trailing pad, not a real line
             raise ValueError("truncated G3 data") from None
-        except ValueError:
+        except ValueError as e:
             # RTC / EOL mid-line parse lands here when the stream ends
-            if pos == 0:
+            if not getattr(e, "progress", True):
                 break
             raise
         out.append(line)
@@ -604,6 +633,127 @@ def decode_g3_1d(
     if not out:
         return np.zeros((0, columns), dtype=np.uint8)
     return np.stack(out)
+
+
+def _decode_1d_line(br: "_Bits", columns: int) -> np.ndarray:
+    """One T.4 one-dimensional (MH) line: alternating white-first
+    run-length codes. Raises _LineTruncated on stream end; malformed
+    codes raise ValueError with a .progress attribute."""
+    line = np.zeros(columns, dtype=np.uint8)
+    pos = 0
+    white = True
+    # progress guard: crafted zero-length run pairs (white-0,
+    # black-0, ...) never advance pos — error, never a hang
+    steps = 0
+    max_steps = 2 * columns + 16
+    try:
+        while pos < columns:
+            steps += 1
+            if steps > max_steps:
+                raise ValueError("1-D line makes no progress")
+            run = _read_run(br, white)
+            end = min(pos + run, columns)
+            if not white:
+                line[pos:end] = 1
+            pos = end
+            white = not white
+    except EOFError:
+        raise _LineTruncated(pos > 0) from None
+    except ValueError as e:
+        e.progress = pos > 0
+        raise
+    return line
+
+
+def decode_g3_2d(
+    data: bytes,
+    columns: int,
+    rows: int | None = None,
+    byte_align: bool = False,
+) -> np.ndarray:
+    """T.4 MIXED two-dimensional decode (PDF CCITTFaxDecode /K > 0,
+    TIFF Compression=3 with T4Options bit 0) -> (h, w) uint8,
+    1 = black: every line is preceded by an EOL (through zero fill
+    bits, byte-aligned first when EncodedByteAlign) plus ONE tag bit
+    — 1 means the line is 1-D (Modified Huffman), 0 means 2-D coded
+    against the previous line (the same pass/horizontal/vertical
+    modes T.6 uses; T.4 §4.2.1). RTC (EOL+1 repeated) terminates
+    naturally: the tag's "line" parses zero runs and the loop stops.
+    Raises ValueError on malformed codes, like decode_g4/_g3_1d."""
+    if columns <= 0:
+        raise ValueError("columns must be positive")
+    br = _Bits(data)
+    out: list[np.ndarray] = []
+    ref_chg = np.array([columns, columns], dtype=np.int64)
+    while rows is None or len(out) < rows:
+        if byte_align and br.pos % 8:
+            br.pos += 8 - br.pos % 8
+        # seek the mandatory EOL through zero fill bits
+        try:
+            while br.peek_str(12) != _EOL:
+                if br.read() != 0:
+                    raise ValueError("nonzero fill before 2-D G3 EOL")
+        except EOFError:
+            break
+        if br.pos + 13 > br.n:
+            break
+        br.pos += 12
+        tag = br.read()
+        try:
+            if tag:
+                line = _decode_1d_line(br, columns)
+            else:
+                line = _decode_2d_line(br, ref_chg, columns)
+        except _LineTruncated as e:
+            if not e.progress:
+                break
+            raise ValueError("truncated 2-D G3 data") from None
+        except ValueError as e:
+            if not getattr(e, "progress", True):
+                break  # RTC: the EOL+1 chain parses as empty lines
+            raise
+        out.append(line)
+        ref_chg = _line_to_ref(line, columns)
+    if rows is not None and len(out) != rows:
+        raise ValueError(f"2-D G3 stream ended at {len(out)}/{rows} rows")
+    if not out:
+        return np.zeros((0, columns), dtype=np.uint8)
+    return np.stack(out)
+
+
+def encode_g3_2d(
+    pix: np.ndarray, k: int = 2, byte_align: bool = False
+) -> bytes:
+    """(h, w) array (nonzero = black) -> T.4 mixed 2-D bytes: every
+    k-th line 1-D, the rest 2-D against the previous line — the
+    fixture/producer inverse of decode_g3_2d."""
+    pix = (np.asarray(pix) != 0).astype(np.uint8)
+    h, w = pix.shape
+    bw = _BitWriter()
+    ref_chg = np.array([w, w], dtype=np.int64)
+    for y in range(h):
+        if byte_align and bw.k:
+            bw.write("0" * (8 - bw.k))
+        one_d = (y % max(k, 1)) == 0
+        bw.write(_EOL + ("1" if one_d else "0"))
+        line = pix[y]
+        if one_d:
+            chg = np.flatnonzero(
+                np.diff(np.concatenate(([0], line))).astype(np.int8) != 0
+            ).tolist() + [w]
+            prev = 0
+            white = True
+            for c in chg:
+                bw.write(_run_code(c - prev, white))
+                prev = c
+                white = not white
+            ref_chg = _line_to_ref(line, w)
+        else:
+            ref_chg = _encode_2d_line(bw, line, ref_chg, w)
+    # RTC: six EOL+1
+    for _ in range(6):
+        bw.write(_EOL + "1")
+    return bw.done()
 
 
 def encode_g3_1d(

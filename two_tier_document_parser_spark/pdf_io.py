@@ -1772,7 +1772,7 @@ def _lift_image(objs, d: dict, ref, media_ref: str) -> dict | None:
     '-opaque' so downstream policy can tell."""
     import numpy as np
 
-    from .ccitt import decode_g3_1d, decode_g4
+    from .ccitt import decode_g3_1d, decode_g3_2d, decode_g4
     from .png import encode_png_gray
 
     w = _resolve(objs, d.get("Width"))
@@ -1814,8 +1814,11 @@ def _lift_image(objs, d: dict, ref, media_ref: str) -> dict | None:
                 bmp = decode_g4(data, columns=cols, rows=rows_n)
             elif k == 0:
                 bmp = decode_g3_1d(data, columns=cols, rows=rows_n)
-            else:
-                raise ValueError("mixed 2-D G3 out of scope")
+            else:  # K > 0: T.4 mixed 2-D (per-line EOL + tag bit)
+                ba = bool(parms.get("EncodedByteAlign", False))
+                bmp = decode_g3_2d(
+                    data, columns=cols, rows=rows_n, byte_align=ba
+                )
             # semantic decode: 1 = black regardless of /BlackIs1 (the
             # flag flips raw SAMPLE bits; run-length decode yields
             # semantics directly)
