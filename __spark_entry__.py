@@ -3501,29 +3501,35 @@ def _pdf_media_sql() -> str:
     """Replica of q_pdf_media_extract's derivation: the embedded
     images are deterministic functions of doc_id (pdf_io.
     render_media_pdf — Im0 raw gray pixel[i] = (i + doc_id) % 251,
-    Im1 G4 bilevel black where (i + doc_id) % 3 == 0, gray 0/255),
+    Im1 G4 bilevel black where (i + doc_id) % 3 == 0, Im2 mixed 2-D
+    G3 (K=2) bilevel black where (i + doc_id) % 4 == 0, gray 0/255),
     so their decoded dims and pixel sums are computable arithmetically
     — a value-exact match proves the PDF write + object scan + filter
-    chain + G4/PNG codec round trip without the oracle parsing a
-    single PDF byte (same trick as the pdf_ingest span oracle)."""
+    chain + G4/G3-2D/PNG codec round trip without the oracle parsing
+    a single PDF byte (same trick as the pdf_ingest span oracle)."""
     return """
 WITH imgs AS (
   SELECT doc_id, 'page_0_img_0' AS media_ref, 'raw' AS codec,
-         8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h
+         8 + doc_id % 16 AS w, 6 + doc_id % 12 AS h, 3 AS blackmod
   FROM documents
   UNION ALL
-  SELECT doc_id, 'page_0_img_1', 'ccitt', 16 + doc_id % 8, 8 + doc_id % 4
+  SELECT doc_id, 'page_0_img_1', 'ccitt', 16 + doc_id % 8,
+         8 + doc_id % 4, 3
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'page_0_img_2', 'ccitt', 12 + doc_id % 6,
+         6 + doc_id % 5, 4
   FROM documents
 )
 , px AS (
-  SELECT doc_id, media_ref, codec, w, h,
+  SELECT doc_id, media_ref, codec, w, h, blackmod,
          unnest(range(CAST(w * h AS BIGINT))) AS i
   FROM imgs
 )
 SELECT printf('d%09d', doc_id) AS doc_id, media_ref, codec,
        CAST(w AS INT) AS width, CAST(h AS INT) AS height,
        CAST(sum(CASE WHEN codec = 'raw' THEN (i + doc_id) % 251
-                     WHEN (i + doc_id) % 3 = 0 THEN 0
+                     WHEN (i + doc_id) % blackmod = 0 THEN 0
                      ELSE 255 END) AS BIGINT) AS pixel_sum
 FROM px
 GROUP BY 1, 2, 3, 4, 5

@@ -88,9 +88,9 @@ def test_render_extract_round_trip():
     for did in (0, 7, 250, 9999):
         rows = _pdf_media_inner(render_media_pdf(did))
         assert [r["media_ref"] for r in rows] == [
-            "page_0_img_0", "page_0_img_1"
+            "page_0_img_0", "page_0_img_1", "page_0_img_2"
         ]
-        r0, r1 = rows
+        r0, r1, r2 = rows
         w0, h0 = 8 + did % 16, 6 + did % 12
         assert (r0["codec"], r0["width"], r0["height"]) == ("raw", w0, h0)
         assert np.array_equal(
@@ -106,6 +106,17 @@ def test_render_extract_round_trip():
             decode_png_gray(r1["payload"]),
             np.where(
                 ((np.arange(w1 * h1) + did) % 3).reshape(h1, w1) == 0,
+                0, 255,
+            ).astype(np.uint8),
+        )
+        w2, h2 = 12 + did % 6, 6 + did % 5
+        assert (r2["codec"], r2["width"], r2["height"]) == (
+            "ccitt", w2, h2,
+        )
+        assert np.array_equal(
+            decode_png_gray(r2["payload"]),
+            np.where(
+                ((np.arange(w2 * h2) + did) % 4).reshape(h2, w2) == 0,
                 0, 255,
             ).astype(np.uint8),
         )
@@ -340,12 +351,12 @@ def test_spark_media_table(spark):
     )
     media = extract_pdf_media(render_media_table(docs))
     rows = media.collect()
-    assert len(rows) == 24
+    assert len(rows) == 36
     assert {r.codec for r in rows} == {"raw", "ccitt"}
     dh = media_dhash(
         media.select("doc_id", "media_ref", "kind", "payload")
     ).collect()
-    assert len(dh) == 24 and all(r.real_pixels for r in dh)
+    assert len(dh) == 36 and all(r.real_pixels for r in dh)
 
 
 def test_ccitt_k_positive_mixed_2d():

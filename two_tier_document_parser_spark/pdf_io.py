@@ -1986,10 +1986,12 @@ def render_media_pdf(did: int) -> bytes:
       h = 6 + did%12, pixel[i] = (i + did) % 251.
     - Im1: CCITT G4 (K=-1), w = 16 + did%8, h = 8 + did%4,
       black where (i + did) % 3 == 0.
+    - Im2: CCITT mixed 2-D G3 (K=2 — per-line EOL + tag bit),
+      w = 12 + did%6, h = 6 + did%5, black where (i + did) % 4 == 0.
     """
     import numpy as np
 
-    from .ccitt import encode_g4
+    from .ccitt import encode_g3_2d, encode_g4
 
     w = _PdfWriter()
     w0, h0 = 8 + did % 16, 6 + did % 12
@@ -2016,7 +2018,20 @@ def render_media_pdf(did: int) -> bytes:
         b" /Length %d >>\nstream\n" % (w1, h1, w1, h1, len(g4))
         + g4 + b"\nendstream"
     )
-    content = b"q /Im0 Do Q q /Im1 Do Q\n"
+    w2, h2 = 12 + did % 6, 6 + did % 5
+    bits2 = (
+        ((np.arange(w2 * h2, dtype=np.int64) + did) % 4) == 0
+    ).astype(np.uint8).reshape(h2, w2)
+    g3 = encode_g3_2d(bits2, k=2)
+    im2 = w.add(
+        b"<< /Type /XObject /Subtype /Image /Width %d /Height %d"
+        b" /ColorSpace /DeviceGray /BitsPerComponent 1"
+        b" /Filter /CCITTFaxDecode"
+        b" /DecodeParms << /K 2 /Columns %d /Rows %d >>"
+        b" /Length %d >>\nstream\n" % (w2, h2, w2, h2, len(g3))
+        + g3 + b"\nendstream"
+    )
+    content = b"q /Im0 Do Q q /Im1 Do Q q /Im2 Do Q\n"
     cnum = w.add(
         b"<< /Length %d >>\nstream\n" % len(content)
         + content + b"\nendstream"
@@ -2025,8 +2040,8 @@ def render_media_pdf(did: int) -> bytes:
     pnum = w.add(
         b"<< /Type /Page /Parent %d 0 R /MediaBox [0 0 612 792]"
         b" /Contents %d 0 R /Resources << /XObject"
-        b" << /Im0 %d 0 R /Im1 %d 0 R >> >> >>"
-        % (pages_num, cnum, im0, im1)
+        b" << /Im0 %d 0 R /Im1 %d 0 R /Im2 %d 0 R >> >> >>"
+        % (pages_num, cnum, im0, im1, im2)
     )
     real_pages = w.add(
         b"<< /Type /Pages /Kids [ %d 0 R ] /Count 1 >>" % pnum
