@@ -15,8 +15,15 @@ Scope:
   EOFB.
 - decode_g3_1d / encode_g3_1d: T.4 one-dimensional Modified Huffman
   (TIFF Compression=2, PDF CCITTFaxDecode K=0), optional EOLs and
-  byte-aligned rows. Mixed 2-D Group 3 (K>0) stays out of scope and
-  those callers keep their documented fallback.
+  byte-aligned rows.
+- decode_g3_2d / encode_g3_2d: T.4 MIXED two-dimensional coding (PDF
+  CCITTFaxDecode K>0, TIFF Compression=3 + T4Options bit 0) —
+  per-line EOL + tag bit selecting 1-D or 2-D, sharing the 2-D mode
+  machinery with G4 via _decode_2d_line/_encode_2d_line.
+- decode_tiff_gray: baseline-TIFF strips beyond the CCITT classes
+  (Compression 1/5/8/32773 — none / early-change LZW / Deflate /
+  PackBits — with horizontal predictor, multi-strip, 1/8-bit gray
+  and RGB-to-luma).
 - tiff_wrap_g4 / tiff_dims / decode_tiff_g4: raw G4 bits are NOT
   self-describing (width/height live in the PDF stream dict or TIFF
   tags), so payload columns carry G4 inside a minimal little-endian
@@ -598,8 +605,8 @@ def decode_g3_1d(
     optional EOL markers (with zero fill) between lines; byte_align
     realigns each line to a byte boundary (TIFF Compression=2 rows
     are byte-aligned and EOL-free; PDF CCITTFaxDecode K=0 may carry
-    EOLs). The other CCITT flavor PDFs actually ship — G4 — is
-    decode_g4 above; mixed 2-D G3 (K>0) stays out of scope."""
+    EOLs). The other CCITT flavors are decode_g4 (K<0) and
+    decode_g3_2d (K>0) above/below."""
     if columns <= 0:
         raise ValueError("columns must be positive")
     br = _Bits(data)
