@@ -283,7 +283,8 @@ def test_one_bit_and_rgb_raw_normalise():
 
 
 def test_opaque_fallbacks_keep_bytes():
-    """Unsupported layouts (Indexed colorspace, mixed-2D G3) keep
+    """Unsupported layouts (Indexed colorspace) and MALFORMED CCITT
+    streams (K>0 now decodes — this payload is junk with no EOL) keep
     their stream bytes with an -opaque codec — never garbage
     pixels."""
     pdf = build_pdf(
