@@ -277,3 +277,115 @@ def test_garbage_safety():
         r = decode_tiff_gray(bytes(buf))
         assert r is None or isinstance(r, np.ndarray)
         buf = bytearray(full)
+
+
+def _write_tiff_tiled(samples, depth=8, spp=1, comp=1, photometric=None,
+                      predictor=1, tw=16, th=16):
+    """Tiled-layout TIFF writer (tags 322-325): tiles in raster
+    order, edge tiles padded to (th, tw)."""
+    h, w = samples.shape[:2]
+    if photometric is None:
+        photometric = 1
+    across = (w + tw - 1) // tw
+    down = (h + th - 1) // th
+    trb = (tw * depth * spp + 7) // 8
+    tiles = []
+    for ty in range(down):
+        for tx in range(across):
+            pad_shape = (th, tw) + samples.shape[2:]
+            tile = np.zeros(pad_shape, samples.dtype)
+            sub = samples[ty * th : ty * th + th, tx * tw : tx * tw + tw]
+            tile[: sub.shape[0], : sub.shape[1]] = sub
+            if depth == 1:
+                raw = np.packbits(
+                    tile.reshape(th, tw), axis=1
+                )[:, :trb].tobytes()
+            elif predictor == 2:
+                d = tile.reshape(th, tw, spp).astype(np.int32)
+                diff = d.copy()
+                diff[:, 1:] = (d[:, 1:] - d[:, :-1]) % 256
+                raw = diff.astype(np.uint8).tobytes()
+            else:
+                raw = tile.astype(np.uint8).tobytes()
+            if comp == 1:
+                tiles.append(raw)
+            elif comp == 5:
+                tiles.append(_lzw_encode(raw))
+            elif comp == 32773:
+                tiles.append(_packbits_encode(raw))
+            else:
+                tiles.append(zlib.compress(raw))
+    tags = [
+        (256, 3, 1, [w]), (257, 3, 1, [h]),
+        (258, 3, spp, [depth] * spp), (259, 3, 1, [comp]),
+        (262, 3, 1, [photometric]), (277, 3, 1, [spp]),
+        (322, 3, 1, [tw]), (323, 3, 1, [th]),
+        (324, 4, len(tiles), None),
+        (325, 4, len(tiles), [len(t) for t in tiles]),
+    ]
+    if predictor == 2:
+        tags.append((317, 3, 1, [2]))
+    tags.sort()
+    hdr = b"II*\x00" + struct.pack("<I", 8)
+    ifd_sz = 2 + 12 * len(tags) + 4
+    extra = bytearray()
+    extra_base = 8 + ifd_sz
+    def arr_bytes(typ, vals):
+        fmt = {3: "H", 4: "I"}[typ]
+        return struct.pack("<" + str(len(vals)) + fmt, *vals)
+    pending_sz = 0
+    for tag, typ, cnt, vals in tags:
+        size = {3: 2, 4: 4}[typ] * cnt
+        if size > 4:
+            pending_sz += (cnt * 4) if tag == 324 else size
+    tiles_base = extra_base + pending_sz
+    offs = []
+    cur = tiles_base
+    for t in tiles:
+        offs.append(cur)
+        cur += len(t)
+    entries = []
+    for tag, typ, cnt, vals in tags:
+        if tag == 324:
+            vals = offs
+            typ = 4
+        size = {3: 2, 4: 4}[typ] * cnt
+        if size <= 4:
+            packed = arr_bytes(typ, vals)
+            packed += b"\x00" * (4 - len(packed))
+            entries.append(struct.pack("<HHI", tag, typ, cnt) + packed)
+        else:
+            entries.append(
+                struct.pack("<HHII", tag, typ, cnt, extra_base + len(extra))
+            )
+            extra += arr_bytes(typ, vals)
+    ifd = struct.pack("<H", len(tags)) + b"".join(entries) + b"\x00" * 4
+    return hdr + ifd + bytes(extra) + b"".join(tiles)
+
+
+@pytest.mark.parametrize("comp", [1, 5, 8, 32773])
+def test_tiled_gray8(comp):
+    rng = np.random.default_rng(comp + 100)
+    img = rng.integers(0, 256, (37, 45), np.uint8)  # partial edge tiles
+    out = decode_tiff_gray(_write_tiff_tiled(img, comp=comp, tw=16, th=16))
+    assert out is not None and np.array_equal(out, img)
+
+
+def test_tiled_rgb_predictor():
+    rng = np.random.default_rng(200)
+    rgb = rng.integers(0, 256, (20, 27, 3), np.uint8)
+    out = decode_tiff_gray(
+        _write_tiff_tiled(rgb, spp=3, comp=8, predictor=2,
+                          photometric=2, tw=16, th=8)
+    )
+    assert np.array_equal(out, _luma(rgb))
+
+
+def test_tiled_bilevel():
+    rng = np.random.default_rng(201)
+    bits = rng.integers(0, 2, (19, 50), np.uint8)
+    out = decode_tiff_gray(
+        _write_tiff_tiled(bits, depth=1, comp=32773, photometric=0,
+                          tw=24, th=8)
+    )
+    assert np.array_equal(out, np.where(bits == 1, 0, 255))

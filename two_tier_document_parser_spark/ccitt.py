@@ -917,14 +917,31 @@ def _packbits(data: bytes, expect: int) -> bytes | None:
     return bytes(out[:expect]) if len(out) >= expect else None
 
 
-def decode_tiff_gray(data: bytes) -> np.ndarray | None:
-    """Baseline-TIFF strips -> (h, w) uint8 grayscale, or None.
-    Compression 1/5/8/32773/32946; 1-bit bilevel (photometric 0/1)
-    and 8-bit gray/RGB (SamplesPerPixel 1/3, optional horizontal
-    predictor for LZW/Deflate); multi-strip via RowsPerStrip. CCITT
-    compressions (2/4) stay with decode_tiff_g4."""
+def _tiff_decompress(strip: bytes, expect: int, comp: int) -> bytes | None:
+    """One strip/tile's bytes through the selected baseline codec."""
     import zlib as _z
 
+    if comp == 1:
+        return strip[:expect] if len(strip) >= expect else None
+    if comp == 5:
+        return _tiff_lzw(strip, expect)
+    if comp == 32773:
+        return _packbits(strip, expect)
+    try:  # 8 / 32946: zlib
+        raw = _z.decompress(strip)[:expect]
+        return raw if len(raw) >= expect else None
+    except _z.error:
+        return None
+
+
+def decode_tiff_gray(data: bytes) -> np.ndarray | None:
+    """Baseline-TIFF rasters -> (h, w) uint8 grayscale, or None.
+    Compression 1/5/8/32773/32946; 1-bit bilevel (photometric 0/1)
+    and 8-bit gray/RGB (SamplesPerPixel 1/3, optional horizontal
+    predictor for LZW/Deflate); BOTH layouts — strips via
+    RowsPerStrip and tiles via TileWidth/TileLength (tags 322-325,
+    raster order, edge tiles padded to the tile size). CCITT
+    compressions (2/4) stay with decode_tiff_g4."""
     data = bytes(data or b"")
     tags = _tiff_tag_arrays(data)
     if not tags:
@@ -938,55 +955,95 @@ def decode_tiff_gray(data: bytes) -> np.ndarray | None:
     spp = tags.get(277, [1])[0]
     photometric = tags.get(262, [1])[0]
     predictor = tags.get(317, [1])[0]
-    offs = tags.get(273)
-    cnts = tags.get(279)
-    rps = tags.get(278, [h])[0] or h
-    if not w or not h or not offs or not cnts or len(offs) != len(cnts):
-        return None
+    tiled = 322 in tags
     if spp not in (1, 3) or any(b != bps[0] for b in bps):
         return None
     depth = bps[0]
     if (depth, spp) not in ((1, 1), (8, 1), (8, 3)):
         return None
-    if w * h > (1 << 26):  # bomb guard, as gif/webp
+    if not w or not h or w * h > (1 << 26):  # bomb guard, as gif/webp
         return None
-    rowbytes = (w * depth * spp + 7) // 8
-    rows = []
-    for si, (off, cnt) in enumerate(zip(offs, cnts)):
-        if off + cnt > len(data):
+
+    def _unpredict(arr: np.ndarray, width: int) -> np.ndarray:
+        """Inverse horizontal differencing over `width` pixels/row."""
+        if predictor != 2 or depth != 8:
+            return arr
+        nrows, rb = arr.shape
+        return (
+            arr.reshape(nrows, width, spp)
+            .astype(np.int32)
+            .cumsum(axis=1) % 256
+        ).astype(np.uint8).reshape(nrows, rb)
+
+    if tiled:
+        tw = tags.get(322, [0])[0]
+        th = tags.get(323, [0])[0]
+        offs = tags.get(324)
+        cnts = tags.get(325)
+        if not tw or not th or not offs or not cnts:
             return None
-        strip = data[off : off + cnt]
-        nrows = min(rps, h - si * rps)
-        if nrows <= 0:
+        if len(offs) != len(cnts):
             return None
-        expect = rowbytes * nrows
-        if comp == 1:
-            raw = strip[:expect] if len(strip) >= expect else None
-        elif comp == 5:
-            raw = _tiff_lzw(strip, expect)
-        elif comp == 32773:
-            raw = _packbits(strip, expect)
-        else:  # 8 / 32946: zlib
-            try:
-                raw = _z.decompress(strip)[:expect]
-                if len(raw) < expect:
-                    raw = None
-            except _z.error:
-                raw = None
-        if raw is None:
+        across = (w + tw - 1) // tw
+        down = (h + th - 1) // th
+        if len(offs) != across * down:
             return None
-        arr = np.frombuffer(raw, np.uint8).reshape(nrows, rowbytes)
-        if predictor == 2 and depth == 8:
-            # horizontal differencing: per-sample prefix sum
-            arr = (
-                arr.reshape(nrows, w, spp)
-                .astype(np.int32)
-                .cumsum(axis=1) % 256
-            ).astype(np.uint8).reshape(nrows, rowbytes)
-        rows.append(arr)
-    plane = np.concatenate(rows, axis=0)
-    if plane.shape[0] != h:
-        return None
+        trb = (tw * depth * spp + 7) // 8
+        rowbytes = (w * depth * spp + 7) // 8
+        # composite at the byte level only for byte-aligned tiles;
+        # sub-byte tiles composite at the bit level
+        plane = np.zeros((h, rowbytes), np.uint8)
+        bitplane = (
+            np.zeros((h, w), np.uint8) if depth == 1 else None
+        )
+        for ti, (off, cnt) in enumerate(zip(offs, cnts)):
+            if off + cnt > len(data):
+                return None
+            raw = _tiff_decompress(data[off : off + cnt], trb * th, comp)
+            if raw is None:
+                return None
+            arr = np.frombuffer(raw, np.uint8).reshape(th, trb)
+            arr = _unpredict(arr, tw)
+            ty, tx = divmod(ti, across)
+            y0 = ty * th
+            nrows = min(th, h - y0)
+            if depth == 1:
+                bits = np.unpackbits(arr[:nrows], axis=1)[:, : min(tw, w - tx * tw)]
+                bitplane[y0 : y0 + nrows, tx * tw : tx * tw + bits.shape[1]] = bits
+            else:
+                x0 = tx * tw * spp
+                ncols = min(tw, w - tx * tw) * spp
+                plane[y0 : y0 + nrows, x0 : x0 + ncols] = arr[
+                    :nrows, :ncols
+                ]
+        if depth == 1:
+            if photometric == 0:
+                return np.where(bitplane == 1, 0, 255).astype(np.uint8)
+            return np.where(bitplane == 1, 255, 0).astype(np.uint8)
+    else:
+        offs = tags.get(273)
+        cnts = tags.get(279)
+        rps = tags.get(278, [h])[0] or h
+        if not offs or not cnts or len(offs) != len(cnts):
+            return None
+        rowbytes = (w * depth * spp + 7) // 8
+        rows = []
+        for si, (off, cnt) in enumerate(zip(offs, cnts)):
+            if off + cnt > len(data):
+                return None
+            nrows = min(rps, h - si * rps)
+            if nrows <= 0:
+                return None
+            raw = _tiff_decompress(
+                data[off : off + cnt], rowbytes * nrows, comp
+            )
+            if raw is None:
+                return None
+            arr = np.frombuffer(raw, np.uint8).reshape(nrows, rowbytes)
+            rows.append(_unpredict(arr, w))
+        plane = np.concatenate(rows, axis=0)
+        if plane.shape[0] != h:
+            return None
     if depth == 1:
         bits = np.unpackbits(plane, axis=1)[:, :w]
         # photometric 0 = WhiteIsZero: bit 1 is black
