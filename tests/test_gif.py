@@ -116,3 +116,151 @@ def test_garbage_and_truncation_safety():
         r = decode_gif_gray(bytes(buf))
         assert r is None or isinstance(r, np.ndarray)
         buf = bytearray(full)
+
+
+def _animated_gif(screen, frames):
+    """Multi-frame GIF built by splicing the package encoder's image
+    blocks: frames = list of (pixels, left, top, disposal,
+    transparent_idx or None). Uses the 256-gray GCT from
+    encode_gif_gray and per-frame GCEs."""
+    sw, sh = screen
+    first = encode_gif_gray(np.zeros((1, 1), np.uint8))
+    # header(6) + LSD(7) + GCT(768)
+    head = bytearray(first[: 6 + 7 + 768])
+    head[6:8] = sw.to_bytes(2, "little")
+    head[8:10] = sh.to_bytes(2, "little")
+    out = bytearray(head)
+    for px, left, top, disposal, trans in frames:
+        full = encode_gif_gray(px)
+        block = bytearray(full[6 + 7 + 768 : -1])  # descriptor..data
+        block[1:3] = left.to_bytes(2, "little")
+        block[3:5] = top.to_bytes(2, "little")
+        gce = bytes(
+            [0x21, 0xF9, 4,
+             (disposal << 2) | (1 if trans is not None else 0),
+             0, 0, trans if trans is not None else 0, 0]
+        )
+        out += gce + block
+    out += bytes([0x3B])
+    return bytes(out)
+
+
+def test_frames_compositing_and_disposal():
+    from two_tier_document_parser_spark.gif import decode_gif_frames
+
+    base = np.full((8, 10), 40, np.uint8)
+    patch = np.full((3, 4), 200, np.uint8)
+    # frame2 has transparent holes (index 7 transparent)
+    holed = np.full((3, 4), 90, np.uint8)
+    holed[1, 1:3] = 7
+    data = _animated_gif(
+        (10, 8),
+        [
+            (base, 0, 0, 1, None),       # full frame, leave in place
+            (patch, 2, 3, 2, None),      # patch, then restore to bg
+            (holed, 5, 0, 0, 7),         # transparent holes show canvas
+        ],
+    )
+    frames = decode_gif_frames(data)
+    assert frames is not None and len(frames) == 3
+    # frame 0: the base everywhere
+    assert np.array_equal(frames[0], base)
+    # frame 1: base with the patch at (3..6, 2..6)
+    exp1 = base.copy()
+    exp1[3:6, 2:6] = 200
+    assert np.array_equal(frames[1], exp1)
+    # frame 2: disposal 2 restored the patch rect to WHITE before
+    # frame 3 drew; holes show what's underneath (white over the
+    # restored area is not touched here — holes at (1,6:8) show base)
+    exp2 = base.copy()
+    exp2[3:6, 2:6] = 255  # disposal-2 restore
+    exp2[0:3, 5:9] = 90
+    exp2[1, 6:8] = base[1, 6:8]  # transparent holes
+    assert np.array_equal(frames[2], exp2)
+
+
+def test_frames_disposal_restore_previous():
+    from two_tier_document_parser_spark.gif import decode_gif_frames
+
+    base = np.full((6, 6), 10, np.uint8)
+    overlay = np.full((2, 2), 250, np.uint8)
+    after = np.full((2, 2), 120, np.uint8)
+    data = _animated_gif(
+        (6, 6),
+        [
+            (base, 0, 0, 1, None),
+            (overlay, 2, 2, 3, None),   # disposal 3: restore previous
+            (after, 0, 0, 0, None),
+        ],
+    )
+    frames = decode_gif_frames(data)
+    assert len(frames) == 3
+    exp1 = base.copy()
+    exp1[2:4, 2:4] = 250
+    assert np.array_equal(frames[1], exp1)
+    # overlay was undone before frame 3 drew at (0,0)
+    exp2 = base.copy()
+    exp2[0:2, 0:2] = 120
+    assert np.array_equal(frames[2], exp2)
+
+
+def test_frames_single_frame_matches_still_decode():
+    from two_tier_document_parser_spark.gif import (
+        decode_gif_frames,
+        decode_gif_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (12, 17), np.uint8)
+    data = encode_gif_gray(px)
+    frames = decode_gif_frames(data)
+    assert frames is not None and len(frames) == 1
+    assert np.array_equal(frames[0], decode_gif_gray(data))
+
+
+def test_frames_garbage_safety():
+    from two_tier_document_parser_spark.gif import decode_gif_frames
+
+    assert decode_gif_frames(b"") is None
+    assert decode_gif_frames(b"GIF89a\x00\x00") is None
+    data = _animated_gif(
+        (5, 5), [(np.full((5, 5), 9, np.uint8), 0, 0, 0, None)] * 3
+    )
+    rng = np.random.default_rng(4)
+    buf = bytearray(data)
+    for _ in range(150):
+        i = int(rng.integers(6, len(buf)))
+        buf[i] ^= 1 << int(rng.integers(0, 8))
+        r = decode_gif_frames(bytes(buf))
+        assert r is None or isinstance(r, list)
+        buf = bytearray(data)
+
+
+def test_sample_frames_real_gif(spark):
+    """sample_frames emits one real PNG per GIF animation frame, and
+    the byte-chunk stub for non-GIF payloads."""
+    from two_tier_document_parser_spark.multimodal import sample_frames
+    from two_tier_document_parser_spark.png import decode_png_gray
+
+    base = np.full((5, 6), 30, np.uint8)
+    over = np.full((2, 2), 220, np.uint8)
+    data = _animated_gif((6, 5), [(base, 0, 0, 1, None), (over, 1, 1, 0, None)])
+    df = spark.createDataFrame(
+        [("g", "m1", "image", bytearray(data)),
+         ("s", "m2", "video", bytearray(b"0123456789abcdef0"))],
+        "doc_id string, media_ref string, kind string, payload binary",
+    )
+    rows = sample_frames(df).collect()
+    gif_rows = sorted(
+        (r for r in rows if r.doc_id == "g"), key=lambda r: r.frame_idx
+    )
+    assert len(gif_rows) == 2
+    f0 = decode_png_gray(bytes(gif_rows[0].frame))
+    f1 = decode_png_gray(bytes(gif_rows[1].frame))
+    assert np.array_equal(f0, base)
+    exp1 = base.copy()
+    exp1[1:3, 1:3] = 220
+    assert np.array_equal(f1, exp1)
+    stub_rows = [r for r in rows if r.doc_id == "s"]
+    assert len(stub_rows) == 3  # 17 bytes / 8-byte chunks
+    assert bytes(stub_rows[0].frame) == b"01234567"

@@ -143,6 +143,138 @@ def _lzw_decode(data: bytes, min_code: int, npix: int) -> bytearray | None:
     return out[:npix]
 
 
+def _frame_luma_and_alpha(
+    arr: np.ndarray, palette: np.ndarray, transparent: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Index array -> (luma uint8, opaque-mask bool)."""
+    pal = np.clip(arr, 0, len(palette) - 1)
+    rgb = palette[pal].astype(np.int32)
+    gray = (299 * rgb[..., 0] + 587 * rgb[..., 1] + 114 * rgb[..., 2]) // 1000
+    opaque = (
+        arr != transparent
+        if 0 <= transparent < len(palette)
+        else np.ones(arr.shape, bool)
+    )
+    return gray.astype(np.uint8), opaque
+
+
+def decode_gif_frames(
+    data: bytes, max_frames: int = 64
+) -> list[np.ndarray] | None:
+    """GIF bytes -> list of (sh, sw) uint8 grayscale CANVAS snapshots,
+    one per animation frame (up to `max_frames`), or None when the
+    payload is not a decodable GIF.
+
+    Real animation semantics per the GIF89a spec: each frame's rect
+    (left, top, w, h) composites onto the logical-screen canvas with
+    its transparency mask; the Graphic Control disposal method then
+    decides what the NEXT frame draws over — 0/1 leave in place,
+    2 restore the rect to background (white, the engine's document
+    convention), 3 restore the previous canvas. This is the real
+    frame-sampling path for the one animated format the sandbox can
+    decode; multimodal.sample_frames uses it before falling back to
+    the byte-chunk stub for undecodable media."""
+    if not isinstance(data, (bytes, bytearray)) or bytes(data[:6]) not in _SIGS:
+        return None
+    data = bytes(data)
+    n = len(data)
+    if n < 13:
+        return None
+    sw = int.from_bytes(data[6:8], "little")
+    sh = int.from_bytes(data[8:10], "little")
+    if not sw or not sh or sw * sh > MAX_PIXELS:
+        return None
+    gct_flag = data[10] & 0x80
+    gct_size = 2 << (data[10] & 0x07)
+    i = 13
+    gct = None
+    if gct_flag:
+        if i + 3 * gct_size > n:
+            return None
+        gct = np.frombuffer(data[i : i + 3 * gct_size], np.uint8).reshape(-1, 3)
+        i += 3 * gct_size
+    canvas = np.full((sh, sw), 255, np.uint8)
+    frames: list[np.ndarray] = []
+    transparent = -1
+    disposal = 0
+    while i < n and len(frames) < max_frames:
+        b0 = data[i]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension
+            if i + 2 > n:
+                break
+            label = data[i + 1]
+            j = i + 2
+            if label == 0xF9 and j < n and data[j] >= 4 and j + 5 <= n:
+                packed = data[j + 1]
+                disposal = (packed >> 2) & 0x07
+                transparent = data[j + 4] if packed & 0x01 else -1
+            i = _skip_subblocks(data, j)
+            continue
+        if b0 != 0x2C:
+            break
+        if i + 10 > n:
+            break
+        left = int.from_bytes(data[i + 1 : i + 3], "little")
+        top = int.from_bytes(data[i + 3 : i + 5], "little")
+        w = int.from_bytes(data[i + 5 : i + 7], "little")
+        h = int.from_bytes(data[i + 7 : i + 9], "little")
+        flags = data[i + 9]
+        i += 10
+        lct = None
+        if flags & 0x80:
+            sz = 2 << (flags & 0x07)
+            if i + 3 * sz > n:
+                break
+            lct = np.frombuffer(data[i : i + 3 * sz], np.uint8).reshape(-1, 3)
+            i += 3 * sz
+        palette = lct if lct is not None else gct
+        if palette is None or not w or not h or i >= n or w * h > MAX_PIXELS:
+            break
+        min_code = data[i]
+        i += 1
+        chunks = []
+        while i < n:
+            ln = data[i]
+            i += 1
+            if ln == 0:
+                break
+            chunks.append(data[i : i + ln])
+            i += ln
+        idx = _lzw_decode(b"".join(chunks), min_code, w * h)
+        if idx is None:
+            break
+        arr = np.frombuffer(bytes(idx), np.uint8).reshape(h, w)
+        if flags & 0x40:  # interlaced
+            out_rows = np.empty(h, np.int32)
+            r = 0
+            for first, step in _INTERLACE:
+                for y in range(first, h, step):
+                    out_rows[y] = r
+                    r += 1
+            arr = arr[out_rows]
+        gray, opaque = _frame_luma_and_alpha(arr, palette, transparent)
+        # clip the frame rect to the canvas
+        y1 = min(top + h, sh)
+        x1 = min(left + w, sw)
+        if top < sh and left < sw:
+            prev = canvas.copy() if disposal == 3 else None
+            region = canvas[top:y1, left:x1]
+            m = opaque[: y1 - top, : x1 - left]
+            region[m] = gray[: y1 - top, : x1 - left][m]
+            frames.append(canvas.copy())
+            if disposal == 2:
+                canvas[top:y1, left:x1] = 255
+            elif disposal == 3 and prev is not None:
+                canvas = prev
+        else:
+            frames.append(canvas.copy())
+        transparent = -1
+        disposal = 0
+    return frames if frames else None
+
+
 def decode_gif_gray(data: bytes) -> np.ndarray | None:
     """GIF bytes -> (h, w) uint8 grayscale, or None when the payload
     is not a decodable GIF. First frame only; transparency composites

@@ -270,17 +270,38 @@ def resize_media(media: DataFrame, max_side: int = 32) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, chunk: int = FRAME_CHUNK) -> DataFrame:
-    """1→N frame sampling: split each payload into `chunk`-byte frames
-    (doc_id, media_ref, frame_idx, frame) — the stub stand-in for
-    ffmpeg keyframe extraction. Demonstrates the fan-out mapInPandas
+    """1→N frame sampling into (doc_id, media_ref, frame_idx, frame).
+
+    For ANIMATED GIF payloads the frames are REAL: gif.decode_gif_frames
+    composites every animation frame onto the logical-screen canvas
+    (disposal methods 0-3, transparency, frame rects per the GIF89a
+    spec) and each snapshot re-encodes as a grayscale PNG — actual
+    keyframe extraction for the one animated format the sandbox can
+    decode. Every other payload keeps the `chunk`-byte split stub
+    standing in for ffmpeg. Demonstrates the fan-out mapInPandas
     shape: output batches are emitted per input batch so a giant video
     row cannot materialize all frames in one pandas frame."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from .gif import decode_gif_frames
+        from .png import encode_png_gray
+
         for b in batches:
             ids, refs, idxs, frames = [], [], [], []
             for did, ref, p in zip(b["doc_id"], b["media_ref"], b["payload"]):
-                p = p or b""
+                p = bytes(p) if p is not None else b""
+                gif_frames = (
+                    decode_gif_frames(p)
+                    if p[:6] in (b"GIF87a", b"GIF89a")
+                    else None
+                )
+                if gif_frames:
+                    for i, fr in enumerate(gif_frames):
+                        ids.append(did)
+                        refs.append(ref)
+                        idxs.append(i)
+                        frames.append(encode_png_gray(fr))
+                    continue
                 for i in range(0, max(len(p), 1), chunk):
                     ids.append(did)
                     refs.append(ref)
